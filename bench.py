@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is forced with a cheap count() action (results are small
+aggregates; the work is the scan/join/shuffle, which count() executes
+fully). A warmup query runs first so JVM/codegen startup isn't charged
+to q1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from kinesis_s3_data_shipper_spark.plans import all_queries
+from kinesis_s3_data_shipper_spark.session import get_session
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "join_left_agg",
+    "agg_cube",
+    "window_topk_per_group",
+    "events_hourly",
+    "sessionize",
+    "asof_join",
+    "dedup_minhash_lsh",
+    "dedup_exact_hash",
+    "ann_bruteforce_topk",
+    "text_quality",
+    "ingest_pipeline",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_session("ksds-bench")
+    queries = all_queries()
+
+    # Warmup: spin up executors/codegen on a trivial action.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - start, 3)
+        assert n >= 0
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

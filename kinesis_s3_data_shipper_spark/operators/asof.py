@@ -1,0 +1,67 @@
+"""As-of join composed from built-in ops (no pandas, no per-row Python).
+
+Spark has no native ASOF JOIN. The standard scalable construction:
+union the two sides tagged, sort within each key partition by
+(ts, side), and carry the right side's columns forward with
+``last(..., ignorenulls=True)`` over a running frame. Cost: ONE shuffle
+on the join key (same as any sort-merge join) and one in-partition
+sort — no cross product, no skew beyond the key's own distribution.
+This scales to 100 TB the same way a sort-merge join does; salting the
+key applies unchanged if one key is hot.
+
+Alternative rejected: ``applyInPandas`` + ``pd.merge_asof`` per key —
+simpler but moves every row through Arrow+Python; only worth it when
+the match rule can't be expressed as running window state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, *, on: str, ts_col: str,
+              strict: bool = True,
+              right_value_cols: Sequence[str] = (),
+              right_alias: str = "right") -> DataFrame:
+    """For each left row, attach the most recent right row at-or-before
+    (``strict=False``) or strictly-before (``strict=True``) its ts.
+
+    Returns all left columns plus ``{right_alias}_{col}`` for each
+    requested right value column (NULL when no match exists yet).
+    """
+    carried = [f"{right_alias}_{c}" for c in right_value_cols]
+
+    lt = left.withColumn("_side", F.lit(0 if strict else 1))
+    for src, dst in zip(right_value_cols, carried):
+        lt = lt.withColumn(dst, F.lit(None).cast(right.schema[src].dataType))
+
+    rt = right.withColumn("_side", F.lit(1 if strict else 0))
+    for src, dst in zip(right_value_cols, carried):
+        rt = rt.withColumn(dst, F.col(src))
+    rt = rt.select(on, ts_col, "_side", *carried)
+
+    # Pad the right rows to the left schema so unionByName lines up.
+    left_cols = [c for c in lt.columns if c not in {on, ts_col, "_side", *carried}]
+    for c in left_cols:
+        rt = rt.withColumn(c, F.lit(None).cast(lt.schema[c].dataType))
+    rt = rt.withColumn("_is_left", F.lit(0))
+    lt = lt.withColumn("_is_left", F.lit(1))
+
+    unioned = lt.unionByName(rt.select(lt.columns))
+
+    # Within a key, order by (ts, _side): with strict=True the left rows
+    # carry _side=0 so an equal-ts right row sorts AFTER them and is not
+    # yet visible — exactly `right.ts < left.ts`. With strict=False the
+    # sides flip, giving `right.ts <= left.ts`.
+    w = (W.partitionBy(on).orderBy(ts_col, "_side")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    for dst in carried:
+        unioned = unioned.withColumn(
+            dst, F.last(F.when(F.col("_is_left") == 0, F.col(dst)),
+                        ignorenulls=True).over(w))
+
+    return (unioned.filter(F.col("_is_left") == 1)
+            .drop("_side", "_is_left"))

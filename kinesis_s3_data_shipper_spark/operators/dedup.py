@@ -1,0 +1,195 @@
+"""Deduplication operators for large-scale text pipelines.
+
+All four variants are built from JVM expressions only (higher-order
+array functions + md5) — no Python in the hot path, nothing that can't
+run inside WholeStageCodegen:
+
+- exact:        groupBy(text) / groupBy(sha2(text)).
+- MinHash+LSH:  shingle → md5 minhash signature → banded buckets →
+                bucket self-join → verified Jaccard. The signature is
+                computed in ONE projection (no shuffle); the only
+                shuffle is the bucket join, whose fan-in is bounded by
+                band collisions, not n².
+- SimHash:      frequency-weighted bit votes from per-word md5 nibbles,
+                one projection per doc.
+- n-gram Jaccard: exact pairwise Jaccard *within blocking keys*
+                (lang × length bucket) so the pair count stays linear-
+                ish at scale instead of n².
+
+Every hash is md5-derived, so results are deterministic and engine-
+portable (the DuckDB oracles mirror the same md5 pipeline exactly).
+
+Why md5 and not Spark's xxhash64/hash: those are Spark-specific; a
+portable fingerprint lets the oracle (and any other engine) reproduce
+signatures bit-for-bit. md5 is ~2× slower but still JVM-side and
+vectorizable; swap in xxhash64 for pure-Spark deployments if desired.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def let(bound_expr: str, var: str, body: str) -> str:
+    """SQL let-binding: evaluate ``bound_expr`` ONCE, visible as ``var``
+    inside ``body`` — spelled ``transform(array(e), v -> body)[0]``.
+
+    Why it exists: Catalyst's CollapseProject inlines aliased columns
+    into every consumer, so a chained select(tokens).select(shingles)
+    .select(signature) re-evaluates the token split once per lambda
+    iteration of every downstream higher-order function — measured
+    ~3,500 re-splits per row for the minhash pipeline. Binding the
+    expensive sub-expression to a lambda variable pins it to exactly
+    one evaluation per row however the projections collapse, while
+    staying 100% JVM expression (no UDF, no shuffle, no persist)."""
+    return f"transform(array({bound_expr}), {var} -> {body})[0]"
+
+
+def _shingles_sql(text_col: str, k: int) -> str:
+    """Distinct word k-gram shingles; the token split is let-bound so it
+    runs once per row, not once per shingle."""
+    body = (f"array_distinct(transform("
+            f" sequence(1, greatest(size(toks) - {k - 1}, 1)),"
+            f" i -> array_join(slice(toks, i, {k}), ' ')))")
+    return let(f"split({text_col}, ' ')", "toks", body)
+
+
+def word_shingles(text_col: str, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of a space-separated text column."""
+    return F.expr(_shingles_sql(text_col, k))
+
+
+def _signature_sql(shingles_sql: str, num_hashes: int) -> str:
+    """MinHash signature over a shingles expression (let-bound: the
+    shingle array is computed once, not once per hash function).
+
+    String-min over md5 hex digests is a valid min-hash family (md5 is
+    uniform on hex strings); using j as a salt gives independent
+    permutations without precomputed coefficients."""
+    body = (f"transform(sequence(0, {num_hashes - 1}),"
+            f" j -> array_min(transform(sh,"
+            f" s -> md5(concat(s, '#', CAST(j AS STRING))))))")
+    return let(shingles_sql, "sh", body)
+
+
+def minhash_signature(shingles_col: str, num_hashes: int = 16) -> Column:
+    """MinHash signature: per hash j, min over shingles of md5(s+'#'+j)."""
+    return F.expr(_signature_sql(shingles_col, num_hashes))
+
+
+def _bands_sql(sig_sql: str, num_bands: int, band_size: int) -> str:
+    body = (f"transform(sequence(0, {num_bands - 1}),"
+            f" b -> md5(array_join(slice(sig, b * {band_size} + 1,"
+            f" {band_size}), '|')))")
+    return let(sig_sql, "sig", body)
+
+
+def lsh_bands(sig_col: str, num_bands: int, band_size: int) -> Column:
+    """Band buckets: md5 of each band's joined signature slice."""
+    return F.expr(_bands_sql(sig_col, num_bands, band_size))
+
+
+def minhash_lsh_pairs(docs: DataFrame, *, id_col: str, text_col: str,
+                      shingle_k: int = 3, num_hashes: int = 16,
+                      num_bands: int = 4, threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH with exact Jaccard verify.
+
+    Returns (doc_a, doc_b, jaccard) for candidate pairs sharing ≥1 LSH
+    band bucket whose true shingle-Jaccard ≥ threshold.
+    """
+    band_size = num_hashes // num_bands
+    prepared = (docs
+                .select(F.col(id_col).alias("_id"),
+                        word_shingles(text_col, shingle_k).alias("_shingles"))
+                .withColumn("_sig", minhash_signature("_shingles", num_hashes))
+                .withColumn("_bands", lsh_bands("_sig", num_bands, band_size))
+                # The plan consumes this 4× (both sides of the bucket
+                # self-join + both sides of the Jaccard verify); persist
+                # so the signature build runs ONCE. Size is bounded:
+                # O(docs × (num_hashes + shingles) × 32B) — spills to
+                # disk beyond memory, which is the 100 TB posture too.
+                .persist(StorageLevel.MEMORY_AND_DISK))
+
+    banded = prepared.select(
+        "_id", F.posexplode("_bands").alias("band_idx", "bucket"))
+
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                  & (F.col("a.bucket") == F.col("b.bucket"))
+                  & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+        .distinct())
+
+    sh = prepared.select("_id", "_shingles")
+    return (
+        candidates
+        .join(sh.select(F.col("_id").alias("doc_a"),
+                        F.col("_shingles").alias("_sh_a")), "doc_a")
+        .join(sh.select(F.col("_id").alias("doc_b"),
+                        F.col("_shingles").alias("_sh_b")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            # Raw IEEE division of two exact ints — bit-identical in any
+            # engine (no round(), whose half-way modes differ).
+            (F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
+             / F.size(F.array_union("_sh_a", "_sh_b"))).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold))
+
+
+def simhash_bits(text_col: str, num_bits: int = 32) -> Column:
+    """SimHash fingerprint as a bit-string column.
+
+    Per bit j: every word votes ±1 by the parity of hex digit j of its
+    md5; the sign of the vote sum is bit j. Frequency-weighted (words
+    kept with multiplicity). Output as a '0'/'1' string of length
+    num_bits — portable across engines with no 64-bit signedness traps.
+    """
+    # Per-word md5s are let-bound so the split+hash pass runs once per
+    # row, not once per output bit (see `let`).
+    body = (f"array_join(transform(sequence(1, {num_bits}), j -> CASE WHEN"
+            f"  aggregate(hs, 0, (acc, h) -> acc +"
+            f"    (CASE WHEN pmod(instr('0123456789abcdef',"
+            f"         substring(h, j, 1)) - 1, 2) = 1"
+            f"     THEN 1 ELSE -1 END)) >= 0"
+            f"  THEN '1' ELSE '0' END), '')")
+    return F.expr(let(
+        f"transform(split({text_col}, ' '), x -> md5(x))", "hs", body))
+
+
+def char_ngrams(text_col: str, n: int = 5) -> Column:
+    """Distinct character n-grams of a text column."""
+    return F.expr(
+        f"array_distinct(transform("
+        f"  sequence(1, greatest(length({text_col}) - {n - 1}, 1)),"
+        f"  i -> substring({text_col}, i, {n})))"
+    )
+
+
+def blocked_ngram_jaccard_pairs(docs: DataFrame, *, id_col: str,
+                                text_col: str, block_cols: list[str],
+                                ngram_n: int = 5,
+                                threshold: float = 0.6) -> DataFrame:
+    """Exact char-n-gram Jaccard over pairs inside blocking keys.
+
+    Blocking (here: caller-chosen columns like lang + length bucket)
+    bounds the candidate set so the exact quadratic verify only runs
+    within small groups — the standard scale pattern when LSH recall
+    guarantees aren't acceptable.
+    """
+    prepared = docs.select(
+        F.col(id_col).alias("_id"), *block_cols,
+        char_ngrams(text_col, ngram_n).alias("_grams"))
+    a, b = prepared.alias("a"), prepared.alias("b")
+    cond = (F.col("a._id") < F.col("b._id"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"),
+            (F.size(F.array_intersect("a._grams", "b._grams")).cast("double")
+             / F.size(F.array_union("a._grams", "b._grams"))).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold))

@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns.
+
+Two paths, per the standard large-scale ANN playbook:
+
+- **Brute-force cosine top-k** (the exactness baseline): broadcast the
+  (small) query set against the corpus — a map-side-only join, no
+  shuffle of the corpus — then per-query top-k via window row_number.
+  O(|Q|·n·d); correct at any scale where |Q| is bounded.
+
+- **Sign-LSH bucketing** (the scale path): 8 deterministic random
+  hyperplanes → 8 sign bits → bucket key. Hyperplane weights are
+  generated driver-side from a seeded PRNG derived from md5, embedded
+  as literals into the plan (and into the DuckDB oracle), so both
+  engines compute identical buckets. Search cost drops from n to
+  n/2^bits per query at matching recall tradeoffs; at 100 TB this is
+  the difference between a broadcast of everything and a bucket-pruned
+  scan (bucket key is also a fine partition/cluster key for storage).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, norm
+
+
+def hyperplanes(num_planes: int, dim: int, seed: str = "ksds-lsh-v1") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane weights in [-0.5, 0.5].
+
+    Derived from md5(seed|plane|dim-chunk) so any engine/language can
+    regenerate them exactly; embedded as plan literals on both the
+    Spark and oracle sides.
+    """
+    planes: list[list[float]] = []
+    for p in range(num_planes):
+        weights: list[float] = []
+        counter = 0
+        while len(weights) < dim:
+            digest = hashlib.md5(f"{seed}|{p}|{counter}".encode()).digest()
+            for off in range(0, 16, 4):
+                (u,) = struct.unpack_from(">I", digest, off)
+                weights.append(u / 4294967295.0 - 0.5)
+            counter += 1
+        planes.append(weights[:dim])
+    return planes
+
+
+def _plane_literal(weights: list[float]) -> str:
+    return "array(" + ",".join(f"CAST({w!r} AS DOUBLE)" for w in weights) + ")"
+
+
+def lsh_bucket(vec_col: str, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket string for a float-array column."""
+    bits = []
+    for weights in planes:
+        lit = _plane_literal(weights)
+        bits.append(
+            f"CASE WHEN aggregate(zip_with({vec_col}, {lit},"
+            f" (x, w) -> CAST(x AS DOUBLE) * w), CAST(0 AS DOUBLE),"
+            f" (acc, v) -> acc + v) >= 0 THEN '1' ELSE '0' END")
+    return F.expr("concat(" + ",".join(bits) + ")")
+
+
+def sql_lsh_bucket(vec_col: str, planes: list[list[float]]) -> str:
+    """DuckDB spelling of the same bucket (same literals, same fold)."""
+    bits = []
+    for weights in planes:
+        lit = "[" + ",".join(f"CAST({w!r} AS DOUBLE)" for w in weights) + "]"
+        bits.append(
+            f"CASE WHEN list_reduce(list_transform(list_zip({vec_col}, {lit}),"
+            f" p -> CAST(p[1] AS DOUBLE) * p[2]), (acc, v) -> acc + v) >= 0"
+            f" THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
+                vec_col: str, k: int, round_dp: int = 6) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: query_id, neighbor_id, cos (rounded), rank. Ordering uses
+    (rounded cos DESC, neighbor_id) so ranks are deterministic even if
+    two engines' unrounded doubles differ in the last ulp.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("_qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("_cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                F.round(cosine("_qv", "_cv"), round_dp).alias("cos")))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (scored.select("query_id", "neighbor_id", "cos",
+                          F.row_number().over(w).alias("rank"))
+            .filter(F.col("rank") <= k))
+
+
+def cosine_pairs(vectors: DataFrame, *, id_col: str, vec_col: str,
+                 block_col: str, threshold: float) -> DataFrame:
+    """Embedding near-duplicate pairs (cos ≥ threshold) within blocks.
+
+    Blocking (label, or an LSH bucket at scale) bounds the quadratic
+    verify to within-block pairs.
+    """
+    v = vectors.select(F.col(id_col).alias("_id"),
+                       F.col(block_col).alias("_blk"),
+                       F.col(vec_col).alias("_v"))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, (F.col("a._blk") == F.col("b._blk"))
+                  & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+                F.col("a._blk").alias("block"),
+                cosine("a._v", "b._v").alias("_cos_raw"))
+        .filter(F.col("_cos_raw") >= threshold)
+        .select("id_a", "id_b", "block",
+                F.round("_cos_raw", 6).alias("cos")))
+
+
+def lsh_bucket_stats(vectors: DataFrame, *, id_col: str, vec_col: str,
+                     num_planes: int = 8, dim: int = 64) -> DataFrame:
+    """Assign sign-LSH buckets and summarize occupancy (the IVF-style
+    coarse index a scale deployment would partition by)."""
+    planes = hyperplanes(num_planes, dim)
+    return (vectors
+            .select(F.col(id_col).alias("vid"),
+                    lsh_bucket(vec_col, planes).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n_vecs"),
+                 F.min("vid").alias("min_vec_id")))

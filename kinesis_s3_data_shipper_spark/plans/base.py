@@ -1,0 +1,70 @@
+"""QuerySpec registry — the correctness surface of the engine.
+
+Each operator from SURVEY.md §2 is exposed as a named query: a Spark
+callable ``(spark, sf_dir) -> DataFrame`` plus (where SQL-expressible)
+the equivalent ANSI SQL a DuckDB oracle runs on the same parquet
+tables. Keeping the pair in one object, side by side, is deliberate:
+the two must evolve together, and the determinism conventions
+(decimal-safe sums, epoch-ms longs for timestamps, unique-key
+tiebreaks for order-sensitive ops) apply to both at once.
+
+Determinism conventions (both sides MUST follow):
+- never SUM/AVG raw doubles — use functions.decimal_safe;
+- timestamps in outputs → epoch-millis longs or 'yyyy-MM-dd' strings;
+- any row_number/limit/top-k ordering includes a unique-key tiebreak;
+- alias every computed column identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    spark: SparkFn
+    oracle: str | None  # None → non-SQL-expressible; rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn], SparkFn]:
+    """Decorator: add a query to the registry."""
+    def wrap(fn: SparkFn) -> SparkFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = QuerySpec(name=name, spark=fn, oracle=oracle,
+                                   doc=doc or (fn.__doc__ or ""))
+        return fn
+    return wrap
+
+
+def _load_all() -> None:
+    """Import every plan module so its @register calls run."""
+    from . import relational  # noqa: F401
+    from . import events  # noqa: F401
+    from . import text  # noqa: F401
+    from . import dedup  # noqa: F401
+    from . import similarity  # noqa: F401
+    from . import ingest  # noqa: F401
+    from . import streaming  # noqa: F401
+    from . import multimodal  # noqa: F401
+
+
+def all_queries() -> dict[str, SparkFn]:
+    _load_all()
+    return {name: spec.spark for name, spec in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _load_all()
+    return {name: spec.oracle for name, spec in REGISTRY.items()
+            if spec.oracle is not None}

@@ -1,0 +1,136 @@
+"""Dedup plans over the `documents` table (north-star ⊕ operators,
+SURVEY.md §2.2): exact, hash-keyed exact, MinHash-LSH near-dup,
+SimHash fingerprint, blocked n-gram Jaccard.
+
+Each oracle mirrors the md5-based pipeline exactly (same shingles,
+same salts, same bands), so the LSH candidate set — not just the final
+verdicts — is engine-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (blocked_ngram_jaccard_pairs, minhash_lsh_pairs,
+                               simhash_bits)
+from ..sources.tables import load_table
+from .base import register
+
+#: DuckDB spelling of distinct word-3-gram shingles of `text`.
+_SQL_SHINGLES = ("list_distinct(list_transform("
+                 " range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),"
+                 " i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))")
+
+
+@register("dedup_exact", oracle="""
+SELECT text, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY text
+""", doc="Exact dedup: group identical texts, keep the lowest doc_id. "
+         "One hash-agg shuffle on the text key.")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.groupBy("text")
+            .agg(F.min("doc_id").alias("keeper_doc_id"),
+                 F.count("*").alias("n_copies")))
+
+
+@register("dedup_exact_hash", oracle="""
+SELECT sha256(text) AS text_sha256, COUNT(*) AS n_copies,
+       MIN(doc_id) AS keeper_doc_id
+FROM documents GROUP BY sha256(text)
+""", doc="Hash-keyed exact dedup: shuffle 32-byte digests instead of full "
+         "documents — the 100 TB variant of dedup_exact (shuffle volume "
+         "independent of document size).")
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.groupBy(F.sha2("text", 256).alias("text_sha256"))
+            .agg(F.count("*").alias("n_copies"),
+                 F.min("doc_id").alias("keeper_doc_id")))
+
+
+@register("dedup_minhash_lsh", oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
+), sigs AS (
+  SELECT doc_id, shingles,
+         list_transform(range(0, 16), j -> list_min(list_transform(
+             shingles, s -> md5(s || '#' || CAST(j AS VARCHAR))))) AS sig
+  FROM sh
+), bands AS (
+  SELECT doc_id, t.b AS band_idx,
+         md5(array_to_string(sig[t.b*4+1 : t.b*4+4], '|')) AS bucket
+  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         / len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
+FROM cand
+JOIN sh sa ON sa.doc_id = doc_a
+JOIN sh sb ON sb.doc_id = doc_b
+WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / len(list_distinct(sa.shingles || sb.shingles)) >= 0.5
+""", doc="MinHash-LSH near-dup pairs: 16 md5 min-hashes over word-3-gram "
+         "shingles, 4 bands × 4 rows, bucket join, exact-Jaccard verify "
+         "at τ=0.5. Signature build is shuffle-free; the bucket join is "
+         "the only shuffle and its width is bounded by collisions.")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, id_col="doc_id", text_col="text",
+                             shingle_k=3, num_hashes=16, num_bands=4,
+                             threshold=0.5)
+
+
+@register("dedup_simhash", oracle="""
+WITH fp AS (
+  SELECT doc_id,
+         array_to_string(list_transform(range(1, 33), j -> CASE WHEN
+             list_sum(list_transform(string_split(text, ' '), x ->
+                 CASE WHEN (strpos('0123456789abcdef',
+                                   substr(md5(x), j, 1)) - 1) % 2 = 1
+                      THEN 1 ELSE -1 END)) >= 0
+             THEN '1' ELSE '0' END), '') AS simhash32
+  FROM documents
+)
+SELECT simhash32, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc_id
+FROM fp GROUP BY simhash32
+""", doc="SimHash fingerprinting: 32-bit frequency-weighted bit votes from "
+         "per-word md5 nibble parity; group identical fingerprints. One "
+         "projection + one hash-agg.")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.select(simhash_bits("text", 32).alias("simhash32"), "doc_id")
+            .groupBy("simhash32")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("keeper_doc_id")))
+
+
+@register("dedup_ngram_jaccard", oracle="""
+WITH g AS (
+  SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+         list_distinct(list_transform(
+             range(1, greatest(length(text) - 4, 1) + 1),
+             i -> substr(text, i, 5))) AS grams
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         / len(list_distinct(a.grams || b.grams)) AS jaccard
+FROM g a JOIN g b
+  ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+ AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        / len(list_distinct(a.grams || b.grams)) >= 0.6
+""", doc="Exact char-5-gram Jaccard restricted to (lang, length-bucket) "
+         "blocks — the blocking keeps pair counts near-linear at scale.")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (load_table(spark, sf_dir, "documents")
+            .withColumn("len_bucket", F.expr("n_chars div 100")))
+    return blocked_ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text",
+        block_cols=["lang", "len_bucket"], ngram_n=5, threshold=0.6)

@@ -1,0 +1,163 @@
+"""Event-table plans: JSON extraction, event-time windowing, lag/lead,
+sessionization, as-of join, pivot.
+
+These exercise the reference's semantic core — the reference flattens
+CloudWatch logEvents carrying epoch-millis event time and opaque JSON
+payloads (kinesis-to-humio.py:143-148) — over the driver's `events`
+table, whose `ts` is parquet TIMESTAMP(NANOS) read as epoch-nanos
+LongType (sources.tables). All time arithmetic stays in exact integer
+nanos so results are engine-reproducible; outputs use epoch-ms longs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.decimal_safe import sql_dsum, dsum
+from ..operators.asof import asof_join
+from ..operators.sessionize import sessionize
+from ..sources.tables import load_table
+from .base import register
+
+NS_PER_HOUR = 3_600_000_000_000
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register("json_extract_agg", oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events GROUP BY event_type
+""", doc="Schema-on-read JSON extraction (the reference parses JSON blocks "
+         "at K:131; here from_json with an explicit schema → Catalyst "
+         "prunes to the one field used).")
+def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("k").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k")))
+
+
+@register("events_hourly", oracle=f"""
+SELECT (epoch_ns(ts) // {NS_PER_HOUR}) * 3600000 AS hour_ms,
+       event_type,
+       COUNT(*) AS n,
+       {sql_dsum('value', 'sum_value')},
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+""", doc="Event-time tumbling 1-hour window aggregate (flagship). Exact "
+         "integer bucketing on epoch-nanos; the streaming variant in "
+         "plans.streaming produces the identical result via F.window.")
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # Exact integer bucketing (`div`), never double division: epoch-nanos
+    # exceed 2^53 and would lose precision through a double.
+    hour_ms = F.expr(f"(ts div {NS_PER_HOUR}) * 3600000")
+    return (ev.groupBy(hour_ms.alias("hour_ms"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 dsum("value", "sum_value"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
+@register("window_lag_lead", oracle="""
+SELECT event_id, user_id, epoch_ns(ts) AS ts_ns,
+       lag(epoch_ns(ts))  OVER w AS prev_ts_ns,
+       epoch_ns(ts) - lag(epoch_ns(ts)) OVER w AS gap_ns,
+       lead(event_type)   OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""", doc="lag/lead over per-user event-time order (unique event_id tiebreak). "
+         "ts is truncated to microsecond precision on the Spark side because "
+         "DuckDB reads TIMESTAMP_NS parquet as microsecond TIMESTAMP — the "
+         "truncation makes both engines' epoch_ns identical.")
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (load_table(spark, sf_dir, "events")
+          .withColumn("ts_us", F.expr("(ts div 1000) * 1000")))
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return ev.select(
+        "event_id", "user_id", F.col("ts_us").alias("ts_ns"),
+        F.lag("ts_us").over(w).alias("prev_ts_ns"),
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_ns"),
+        F.lead("event_type").over(w).alias("next_type"))
+
+
+@register("sessionize", oracle="""
+WITH flagged AS (
+  SELECT user_id, epoch_ns(ts) AS ts_ns,
+         CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+              OR lag(epoch_ns(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts_ns,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ns
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       MIN(ts_ns) // 1000000 AS start_ms,
+       MAX(ts_ns) // 1000000 AS end_ms
+FROM sessions GROUP BY user_id, session_id
+""", doc="Sessionization: 30-min inactivity gap → lag + cumulative-sum "
+         "session ids → per-session stats (batch twin of streaming "
+         "session_window). ts truncated to micros (DuckDB parquet "
+         "TIMESTAMP_NS limit — see window_lag_lead).")
+def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (load_table(spark, sf_dir, "events")
+          .withColumn("ts_us", F.expr("(ts div 1000) * 1000")))
+    return sessionize(ev, user_col="user_id", ts_col="ts_us",
+                      tiebreak_col="event_id",
+                      gap_ns=30 * 60 * 1_000_000_000)
+
+
+@register("asof_join", oracle="""
+SELECT p.event_id, p.user_id,
+       epoch_ns(p.ts) AS ts_ns,
+       epoch_ns(s.ts) AS signup_ts_ns
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts > s.ts
+""", doc="As-of join: each purchase matched to the user's most recent "
+         "strictly-earlier signup. Spark lacks a native as-of join; "
+         "operators.asof composes it from union + running last_value — "
+         "one shuffle on the key, no per-row Python.")
+def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ts truncated to micros (DuckDB parquet TIMESTAMP_NS limit).
+    ev = (load_table(spark, sf_dir, "events")
+          .withColumn("ts", F.expr("(ts div 1000) * 1000")))
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    signups = ev.filter(F.col("event_type") == "signup")
+    joined = asof_join(purchases, signups, on="user_id", ts_col="ts",
+                       strict=True, right_value_cols=("ts",),
+                       right_alias="signup")
+    return joined.select(
+        "event_id", "user_id",
+        F.col("ts").alias("ts_ns"),
+        F.col("signup_ts").alias("signup_ts_ns"))
+
+
+@register("pivot_event_counts", oracle="""
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+       COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+FROM events GROUP BY user_id
+""", doc="Pivot event_type → per-user count columns (explicit value list "
+         "so the plan needs no extra distinct pass).")
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("user_id")
+            .pivot("event_type", list(EVENT_TYPES))
+            .agg(F.count(F.lit(1)))
+            .na.fill(0, list(EVENT_TYPES)))

@@ -1,0 +1,520 @@
+"""Relational operator suite (SURVEY.md §2.2: projections/filters,
+joins of every flavor incl. the reference's own anti-join semantics,
+aggregations, grouping sets/cube/rollup, windows, sorts/limits/top-k,
+set ops, scalar functions).
+
+The reference (kinesis-to-humio.py) only has a degenerate anti-join
+(K:210-216), a lexicographic sort (K:292), prefix predicates (K:187,
+K:212) and incidental counts (K:133) — everything else here is the ⊕
+declared surface from SURVEY.md §2.2, expressed with Spark built-ins
+so Catalyst handles pushdown/pruning/join-selection/AQE.
+
+Every query follows plans.base's determinism conventions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.decimal_safe import dsum, davg, sql_dsum, sql_davg
+from ..sources.tables import load_table
+from .base import register
+
+# Money columns fit 8 integer digits → DECIMAL(12,4); rate columns
+# (discount/tax) are < 10 → DECIMAL(8,6). Products stay inside both
+# engines' decimal(38) bounds with zero rounding: (12,4)*(8,6)*(8,6)
+# → scale 16, width 28.
+MONEY = "decimal(12,4)"
+RATE = "decimal(8,6)"
+
+def _revenue():
+    """revenue := extendedprice * (1 - discount), exact decimal.
+    (A function, not a module constant: Column construction needs an
+    active SparkContext.)"""
+    return (F.col("l_extendedprice").cast(MONEY)
+            * (F.lit(1).cast(RATE) - F.col("l_discount").cast(RATE)))
+
+
+_SQL_REVENUE = ("CAST(l_extendedprice AS DECIMAL(12,4))"
+                " * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))")
+
+
+# ---------------------------------------------------------------- TPC-H-ish
+
+@register("q1_pricing_summary", oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity', 'sum_qty')},
+       {sql_dsum('l_extendedprice', 'sum_base_price')},
+       CAST(SUM({_SQL_REVENUE}) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                * CAST((CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))
+                       * (CAST(1 AS DECIMAL(8,6)) + CAST(l_tax AS DECIMAL(8,6)))
+                       AS DECIMAL(26,12))) AS DOUBLE) AS sum_charge,
+       {sql_davg('l_quantity', 'avg_qty')},
+       {sql_davg('l_extendedprice', 'avg_price')},
+       {sql_davg('l_discount', 'avg_disc')},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""", doc="TPC-H Q1 flavor: filtered scan → hash agg with 8 measures.")
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(_revenue()).cast("double").alias("sum_disc_price"),
+            # Rates multiplied together FIRST: keeps the decimal widths
+            # inside both engines' exact ranges (no precision overflow).
+            F.sum(F.col("l_extendedprice").cast(MONEY)
+                  * ((F.lit(1).cast(RATE) - F.col("l_discount").cast(RATE))
+                     * (F.lit(1).cast(RATE) + F.col("l_tax").cast(RATE))))
+             .cast("double").alias("sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register("q3_shipping_priority", oracle=f"""
+SELECT l_orderkey,
+       CAST(SUM({_SQL_REVENUE}) AS DOUBLE) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""", doc="TPC-H Q3 flavor: 3-way join → agg → top-10 (broadcast dims).")
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        # customer is the small side at every sf → broadcast, no shuffle.
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey", "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register("q5_region_revenue", oracle=f"""
+SELECT n_name, CAST(SUM({_SQL_REVENUE}) AS DOUBLE) AS revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY n_name
+""", doc="TPC-H Q5 flavor: 6-way snowflake join, local-supplier predicate.")
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")))
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, (orders.o_custkey == cust.c_custkey)
+                    & (supp.s_nationkey == cust.c_nationkey))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+# ------------------------------------------------------- filters / scalars
+
+@register("filter_project_scalar", oracle=r"""
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       substr(p_type, 1, 5) AS type5,
+       length(p_name) AS name_len,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       regexp_extract(p_type, '^(\w+)', 1) AS type_first_word,
+       p_retailprice
+FROM part
+WHERE p_name LIKE '%a%' AND p_size > 10
+""", doc="Projection + LIKE/comparison filters + string scalar functions; "
+         "filters and column pruning push to the parquet scan.")
+def filter_project_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_name").like("%a%") & (F.col("p_size") > 10))
+        .select(
+            "p_partkey",
+            F.upper("p_name").alias("name_upper"),
+            F.substring("p_type", 1, 5).alias("type5"),
+            F.length("p_name").alias("name_len"),
+            F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+            F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_first_word"),
+            "p_retailprice")
+    )
+
+
+# ------------------------------------------------------------------- joins
+
+@register("join_inner_agg", oracle=f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice', 'sum_total')},
+       COUNT(DISTINCT c_custkey) AS n_customers
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""", doc="Inner equi-join (fact ⋈ dim, broadcastable) + aggregation.")
+def join_inner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"),
+             dsum("o_totalprice", "sum_total"),
+             F.countDistinct("c_custkey").alias("n_customers"))
+    )
+
+
+@register("join_left_agg", oracle=f"""
+SELECT c_custkey,
+       COUNT(o_orderkey) AS n_orders,
+       {sql_dsum('o_totalprice', 'sum_total')}
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey
+""", doc="Left outer join preserving customers with zero orders.")
+def join_left_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"),
+             dsum("o_totalprice", "sum_total"))
+    )
+
+
+@register("join_semi", oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""", doc="Left-semi join (EXISTS).")
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+            .select("c_custkey", "c_name"))
+
+
+@register("join_anti", oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+""", doc="Left-anti join (NOT EXISTS) — the reference's own incremental-"
+         "dedupe semantics (kinesis-to-humio.py:210-216: remove already-"
+         "processed file keys) expressed relationally. The filtered "
+         "right side keeps the result non-empty at every sf (a 0-row "
+         "match would be a vacuous correctness check).")
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT")
+    cust = load_table(spark, sf_dir, "customer")
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+@register("join_theta_pairs", oracle="""
+SELECT a.n_name AS name_a, b.n_name AS name_b, a.n_regionkey AS regionkey
+FROM nation a JOIN nation b
+  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+""", doc="Self theta-join: same-region nation pairs (equi key + inequality).")
+def join_theta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = load_table(spark, sf_dir, "nation").alias("a")
+    b = load_table(spark, sf_dir, "nation").alias("b")
+    return (
+        a.join(b, (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+                  & (F.col("a.n_nationkey") < F.col("b.n_nationkey")))
+        .select(F.col("a.n_name").alias("name_a"),
+                F.col("b.n_name").alias("name_b"),
+                F.col("a.n_regionkey").alias("regionkey"))
+    )
+
+
+@register("join_range_pred", oracle=f"""
+SELECT p_brand,
+       COUNT(*) AS n,
+       {sql_dsum('l_extendedprice', 'sum_price')}
+FROM lineitem JOIN part
+  ON l_partkey = p_partkey
+ AND l_quantity BETWEEN p_size - 5 AND p_size + 5
+GROUP BY p_brand
+""", doc="Equi-join with a range residual predicate (band join): the equi "
+         "key carries the shuffle/broadcast; the range is a cheap filter.")
+def join_range_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part),
+                (li.l_partkey == part.p_partkey)
+                & (li.l_quantity >= part.p_size - 5)
+                & (li.l_quantity <= part.p_size + 5))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"), dsum("l_extendedprice", "sum_price"))
+    )
+
+
+# ------------------------------------------------------------ aggregations
+
+@register("agg_stats", oracle=f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       {sql_dsum('o_totalprice', 'sum_total')},
+       {sql_davg('o_totalprice', 'avg_total')},
+       strftime(MIN(o_orderdate), '%Y-%m-%d') AS min_date,
+       strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_date,
+       COUNT(DISTINCT o_custkey) AS n_custs
+FROM orders GROUP BY o_orderpriority
+""", doc="groupBy + count/sum/avg/min/max/countDistinct.")
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"),
+             dsum("o_totalprice", "sum_total"),
+             davg("o_totalprice", "avg_total"),
+             F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_date"),
+             F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_date"),
+             F.countDistinct("o_custkey").alias("n_custs"))
+    )
+
+
+@register("agg_distinct", oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps
+FROM lineitem GROUP BY l_returnflag
+""", doc="Multi-column exact distinct aggregation (expand + two-phase agg).")
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.countDistinct("l_partkey").alias("n_parts"),
+                 F.countDistinct("l_suppkey").alias("n_supps")))
+
+
+@register("agg_rollup", oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n, {sql_dsum('o_totalprice', 'sum_total')}
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""", doc="ROLLUP hierarchy totals (null-padded subtotal rows).")
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (orders.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n"), dsum("o_totalprice", "sum_total")))
+
+
+@register("agg_cube", oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n, {sql_dsum('l_quantity', 'sum_qty')}
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""", doc="CUBE over two dimensions.")
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"), dsum("l_quantity", "sum_qty")))
+
+
+@register("agg_grouping_sets", oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n, {sql_dsum('o_totalprice', 'sum_total')}
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""", doc="Explicit GROUPING SETS via the SQL API.")
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n, {sql_dsum('o_totalprice', 'sum_total')}
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+@register("agg_quantiles", oracle="""
+SELECT l_returnflag,
+       quantile_disc(l_quantity, 0.25) AS q25,
+       quantile_disc(l_quantity, 0.50) AS q50,
+       quantile_disc(l_quantity, 0.75) AS q75,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+""", doc="Discrete quantiles per group. Discrete (element-picking, index "
+         "floor(q*(n-1))) rather than interpolated, so values are exact "
+         "and engine-independent. Spark side: sort + row_number pick.")
+def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    w = W.partitionBy("l_returnflag").orderBy("l_quantity")
+    ranked = li.select(
+        "l_returnflag", "l_quantity",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("l_returnflag")).alias("n"))
+
+    def pick(q: float, alias: str):
+        idx = F.floor(F.lit(q) * (F.col("n") - 1)) + 1
+        return F.max(F.when(F.col("rn") == idx, F.col("l_quantity"))).alias(alias)
+
+    return (ranked.groupBy("l_returnflag")
+            .agg(pick(0.25, "q25"), pick(0.50, "q50"), pick(0.75, "q75"),
+                 F.max("n").alias("n")))
+
+
+# ----------------------------------------------------------------- windows
+
+@register("window_topk_per_group", oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""", doc="Top-3 orders per customer: window row_number ≤ k (unique-key "
+         "tiebreak keeps it deterministic).")
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (orders
+            .select("o_custkey", "o_orderkey", "o_totalprice",
+                    F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= 3))
+
+
+@register("window_rank", oracle="""
+SELECT p_partkey, p_brand, p_retailprice,
+       rank()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk,
+       dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS drnk
+FROM part
+""", doc="rank / dense_rank (tie-stable by definition).")
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    return part.select(
+        "p_partkey", "p_brand", "p_retailprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"))
+
+
+@register("window_running_sum", oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_total
+FROM orders
+""", doc="Running sum per customer (exact decimal accumulation; explicit "
+         "ROWS frame + unique-key order so frames match across engines).")
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w)
+         .cast("double").alias("running_total"))
+
+
+# ------------------------------------------------------------ sort / limit
+
+@register("sort_limit", oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 100
+""", doc="Global top-100 by price (TakeOrderedAndProject — no full sort).")
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+            .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+            .limit(100))
+
+
+# ---------------------------------------------------------------- set ops
+
+@register("set_union_all", oracle="""
+SELECT nk, COUNT(*) AS n FROM (
+  SELECT c_nationkey AS nk FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nk FROM supplier
+) GROUP BY nk
+""", doc="UNION ALL then aggregate (deterministic multiset check).")
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk"))
+    return cust.unionByName(supp).groupBy("nk").agg(F.count("*").alias("n"))
+
+
+@register("set_intersect", oracle="""
+SELECT c_nationkey AS nk FROM customer
+INTERSECT
+SELECT s_nationkey AS nk FROM supplier
+""", doc="INTERSECT (distinct) of nation keys present on both sides.")
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk"))
+    return cust.intersect(supp)
+
+
+@register("set_except", oracle="""
+SELECT c_nationkey AS nk FROM customer
+EXCEPT
+SELECT s_nationkey AS nk FROM supplier
+""", doc="EXCEPT (distinct) — customer nations with no supplier.")
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk"))
+    return cust.subtract(supp)
+
+
+# --------------------------------------------------------------- datetime
+
+@register("scalar_datetime", oracle=f"""
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
+       COUNT(*) AS n, {sql_dsum('o_totalprice', 'sum_total')}
+FROM orders GROUP BY 1
+""", doc="date_trunc + formatting + monthly aggregate.")
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (orders
+            .groupBy(F.date_format(F.date_trunc("month", "o_orderdate"),
+                                   "yyyy-MM").alias("order_month"))
+            .agg(F.count("*").alias("n"), dsum("o_totalprice", "sum_total")))

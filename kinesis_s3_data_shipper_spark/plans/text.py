@@ -1,0 +1,144 @@
+"""Text-analysis plans over `documents` (north-star ⊕): token stats,
+quality scoring, language-ID heuristic, regex token counting,
+fingerprinting. All pure JVM expressions; oracles mirror formulas
+term-for-term (same operand order → same IEEE doubles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .base import register
+
+#: Stopword list used by the quality heuristic (ASCII, lowercase).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+_SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register("text_stats", oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       length(text) AS n_chars_calc,
+       n_chars,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         / len(string_split(text, ' ')) AS avg_token_len,
+       len(list_distinct(string_split(text, ' '))) AS n_unique_tokens
+FROM documents
+""", doc="Per-document token statistics (whitespace tokenization).")
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("n_chars_calc"),
+        "n_chars",
+        (F.length(F.regexp_replace("text", " ", "")).cast("double") / n_tokens)
+            .alias("avg_token_len"),
+        F.size(F.array_distinct(F.split("text", " "))).alias("n_unique_tokens"))
+
+
+@register("text_quality", oracle=f"""
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), w -> w IN ({_SW_SQL})))
+         AS n_stopwords,
+       CAST(len(list_filter(string_split(text, ' '), w -> w IN ({_SW_SQL})))
+            AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio,
+       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS unique_ratio,
+       CASE WHEN len(string_split(text, ' ')) BETWEEN 5 AND 1000
+            THEN 1 ELSE 0 END AS len_ok,
+       (CAST(len(list_filter(string_split(text, ' '), w -> w IN ({_SW_SQL})))
+             AS DOUBLE) / len(string_split(text, ' '))) * 0.5
+         + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' '))) * 0.5 AS quality_score
+FROM documents
+""", doc="Quality heuristics: stopword ratio, lexical diversity, length "
+         "gate, combined score — the standard cheap pre-filters of an "
+         "LLM training-data pipeline.")
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    n_tokens = F.size(F.split("text", " "))
+    n_stop = F.expr(f"size(filter(split(text, ' '), w -> w IN ({sw})))")
+    n_uniq = F.size(F.array_distinct(F.split("text", " ")))
+    stop_ratio = n_stop.cast("double") / n_tokens
+    uniq_ratio = n_uniq.cast("double") / n_tokens
+    return docs.select(
+        "doc_id",
+        n_stop.alias("n_stopwords"),
+        stop_ratio.alias("stopword_ratio"),
+        uniq_ratio.alias("unique_ratio"),
+        F.when(n_tokens.between(5, 1000), 1).otherwise(0).alias("len_ok"),
+        (stop_ratio * 0.5 + uniq_ratio * 0.5).alias("quality_score"))
+
+
+@register("text_lang_id", oracle=r"""
+WITH pred AS (
+  SELECT doc_id, lang,
+         CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+              WHEN regexp_matches(text, '[áéíóúñ¿¡]') THEN 'es'
+              WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+              WHEN regexp_matches(text, '[àâçèêëîïôùûœ]') THEN 'fr'
+              WHEN regexp_matches(text, '^[ -~]+$') THEN 'en'
+              ELSE 'und' END AS lang_pred
+  FROM documents
+)
+SELECT lang, lang_pred, COUNT(*) AS n FROM pred GROUP BY lang, lang_pred
+""", doc="Character-class language-ID heuristic + confusion matrix against "
+         "the labeled lang column (on this corpus the text is ASCII word "
+         "soup, so the heuristic's honest answer is 'en' — the operator "
+         "shape is what matters).")
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pred = (F.when(F.col("text").rlike(r"[一-鿿]"), "zh")
+            .when(F.col("text").rlike(r"[áéíóúñ¿¡]"), "es")
+            .when(F.col("text").rlike(r"[äöüß]"), "de")
+            .when(F.col("text").rlike(r"[àâçèêëîïôùûœ]"), "fr")
+            .when(F.col("text").rlike(r"^[ -~]+$"), "en")
+            .otherwise("und"))
+    return (docs.select("lang", pred.alias("lang_pred"))
+            .groupBy("lang", "lang_pred").agg(F.count("*").alias("n")))
+
+
+@register("text_token_count_regex", oracle=r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_pieces,
+       len(regexp_extract_all(text, '[a-z]+')) AS n_words,
+       len(regexp_extract_all(text, '[0-9]+')) AS n_numbers
+FROM documents
+""", doc="BPE-ish regex token counting (letters / digit runs / symbols).")
+def text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).alias("n_pieces"),
+        F.regexp_count("text", F.lit("[a-z]+")).alias("n_words"),
+        F.regexp_count("text", F.lit("[0-9]+")).alias("n_numbers"))
+
+
+@register("doc_fingerprint", oracle="""
+SELECT doc_id,
+       md5(text) AS fp_md5,
+       sha256(text) AS fp_sha256,
+       list_min(list_transform(
+           range(1, greatest(length(text) - 4, 1) + 1),
+           i -> md5(substr(text, i, 5)))) AS fp_winnow_min,
+       list_max(list_transform(
+           range(1, greatest(length(text) - 4, 1) + 1),
+           i -> md5(substr(text, i, 5)))) AS fp_winnow_max
+FROM documents
+""", doc="Document fingerprints: whole-text digests plus winnowing-style "
+         "min/max over char-5-gram md5s (rolling-hash family).")
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (f"transform(sequence(1, greatest(length(text) - 4, 1)),"
+             f" i -> md5(substring(text, i, 5)))")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("fp_md5"),
+        F.sha2("text", 256).alias("fp_sha256"),
+        F.expr(f"array_min({grams})").alias("fp_winnow_min"),
+        F.expr(f"array_max({grams})").alias("fp_winnow_max"))

@@ -1,0 +1,82 @@
+"""SparkSession construction and runtime-conf hygiene.
+
+Two entry points:
+
+- :func:`get_session` — build a tuned local session (tests, bench).
+- :func:`ensure_runtime_confs` — idempotently apply the runtime-settable
+  confs this engine needs to a session *someone else* built (the
+  correctness driver passes us its own session).
+
+Scale posture: the static confs below are sized for ``local[N]`` but the
+same knobs are the ones that matter on a 1000-executor cluster — AQE for
+runtime re-planning / skew-join splitting, shuffle partitions ~ cores,
+Arrow for the (rare) pandas-UDF path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs that are runtime-settable (spark.sql.*) and required for
+#: correctness on the driver's tables. Applied defensively by every
+#: query entry point, because the driver owns the session it hands us.
+RUNTIME_CONFS: dict[str, str] = {
+    # The driver's events table stores TIMESTAMP(NANOS) parquet, which
+    # Spark cannot map to TimestampType; read as epoch-nanos LongType.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # DuckDB timestamps are UTC-naive; pin the session so timestamp ↔
+    # string conversions agree with the oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow transfer for pandas UDFs / toPandas.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # AQE: runtime partition coalescing + skew-join handling.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply :data:`RUNTIME_CONFS` to an existing session (idempotent)."""
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(key, None) != value:
+                spark.conf.set(key, value)
+        except Exception:
+            # A conf may be non-settable in exotic deployments; queries
+            # that depend on it will raise a clearer error themselves.
+            pass
+    return spark
+
+
+def default_parallelism() -> int:
+    """Worker-thread count: $SPARK_GRAFT_CPUS, else the machine's CPUs."""
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env and env.isdigit() and int(env) > 0:
+        return int(env)
+    return os.cpu_count() or 4
+
+
+def get_session(app_name: str = "kinesis_s3_data_shipper_spark", *,
+                cpus: int | None = None,
+                extra_confs: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) a tuned local SparkSession."""
+    n = cpus or default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        # Shuffle partitions ≈ cores for local mode; on a real cluster
+        # AQE coalesces from a higher initial number instead.
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    for key, value in (extra_confs or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return ensure_runtime_confs(spark)

@@ -1,0 +1,64 @@
+"""Local mirror of the driver's correctness gate: run a registered
+query in Spark and its oracle SQL in DuckDB on the same parquet
+tables, then compare row count, column names, and order-insensitively
+the values (exact for ints/strings/bools, tight approx for floats).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+
+from kinesis_s3_data_shipper_spark.sources.tables import TABLE_NAMES
+
+REL_TOL = 1e-12
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith(("int", "uint", "Int")):
+            df[c] = df[c].astype("int64")
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].astype("float64")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    sort_cols = list(df.columns)
+    return df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+
+
+def compare(spark_df, oracle_pdf: pd.DataFrame, name: str = "") -> None:
+    got = _normalize(spark_df.toPandas())
+    want = _normalize(oracle_pdf)
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}")
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    for c in got.columns:
+        if got[c].dtype == "float64":
+            a, b = got[c].to_numpy(), want[c].to_numpy()
+            for i, (x, y) in enumerate(zip(a, b)):
+                ok = (math.isnan(x) and math.isnan(y)) or x == y or (
+                    abs(x - y) <= REL_TOL * max(abs(x), abs(y)))
+                assert ok, f"{name}.{c}[{i}]: {x!r} != {y!r}"
+        else:
+            pd.testing.assert_series_equal(
+                got[c], want[c], check_names=False,
+                obj=f"{name}.{c}")
+
+
+def run_pair(spark, sf_dir: str, name: str, spark_fn, oracle: str) -> None:
+    sdf = spark_fn(spark, sf_dir)
+    con = duckdb_connection(sf_dir)
+    want = con.sql(oracle).df()
+    compare(sdf, want, name)

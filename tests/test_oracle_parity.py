@@ -1,0 +1,46 @@
+"""The big gate: every registered query with an oracle must match
+DuckDB on the sf0.001 tables (sf0.01 runs in the slower driver gate;
+use SPARK_GRAFT_TEST_SF=/root/testdata/sf0.01 to mirror it exactly).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from kinesis_s3_data_shipper_spark.plans import REGISTRY, all_queries
+
+from .oracle_harness import run_pair
+
+all_queries()  # force registration
+
+ORACLE_SPECS = [spec for spec in REGISTRY.values() if spec.oracle]
+ROWS_ONLY_SPECS = [spec for spec in REGISTRY.values() if spec.oracle is None]
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.mark.parametrize("spec", ORACLE_SPECS, ids=lambda s: s.name)
+def test_oracle_parity(spark, spec):
+    run_pair(spark, SF_DIR, spec.name, spec.spark, spec.oracle)
+
+
+@pytest.mark.parametrize("spec", ROWS_ONLY_SPECS, ids=lambda s: s.name)
+def test_rows_only_queries_run(spark, spec):
+    df = spec.spark(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+    df = e.entry(spark)
+    assert df.count() > 0
+
+
+def test_every_oracle_key_has_query():
+    import __spark_entry__ as e
+    q, o = e.queries(), e.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 30

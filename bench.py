@@ -24,6 +24,7 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "join_left_agg",
+    "join_salted_skew",
     "agg_cube",
     "window_topk_per_group",
     "events_hourly",
@@ -32,7 +33,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_exact_hash",
     "ann_bruteforce_topk",
+    "ann_lsh_probe",
     "text_quality",
+    "text_tfidf_top_terms",
     "ingest_pipeline",
 ]
 

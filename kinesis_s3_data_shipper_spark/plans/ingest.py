@@ -32,9 +32,15 @@ _BINARY_SCHEMA = T.StructType([
 
 def raw_fixture_df(spark: SparkSession) -> DataFrame:
     """The fixture matrix as (path, content) binary rows — the same
-    shape ``spark.read.format('binaryFile')`` yields from S3."""
+    shape ``spark.read.format('binaryFile')`` yields from S3.
+
+    Coalesced to 8 partitions: the matrix is ~75 tiny files, and each
+    mapInPandas partition pays a Python-worker startup — 32 near-empty
+    partitions is pure overhead. (With real S3 input the file count
+    itself sets the parallelism; this only tunes the fixture.)"""
     ensure_runtime_confs(spark)
-    return spark.createDataFrame(fixture_files(), schema=_BINARY_SCHEMA)
+    return (spark.createDataFrame(fixture_files(), schema=_BINARY_SCHEMA)
+            .coalesce(8))
 
 
 @register("ingest_pipeline", oracle=None,

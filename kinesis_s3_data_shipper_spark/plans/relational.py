@@ -290,6 +290,29 @@ def join_range_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("join_salted_skew", oracle=f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n, {sql_dsum('l_extendedprice', 'sum_price')}
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""", doc="Hot-key-safe join: the fact side is salted 8 ways and the dim "
+         "side exploded per salt, so one pathological key spreads over 8 "
+         "shuffle partitions (operators/skew.py). Result is provably "
+         "identical to the plain equi-join — which is what the oracle "
+         "asserts. (AQE skew-split handles the moderate cases; salting "
+         "is the explicit lever for single-key blowups at 100 TB.)")
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    joined = salted_join(li, orders, on="l_orderkey", num_salts=8,
+                         fact_spread_col="l_linenumber")
+    return (joined.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 dsum("l_extendedprice", "sum_price")))
+
+
 # ------------------------------------------------------------ aggregations
 
 @register("agg_stats", oracle=f"""
@@ -445,6 +468,134 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "o_orderkey",
         F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w)
          .cast("double").alias("running_total"))
+
+
+@register("window_rank_stats", oracle="""
+SELECT o_orderkey, o_orderpriority,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist()    OVER w AS cume,
+       ntile(4)       OVER w AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey)
+""", doc="percent_rank / cume_dist / ntile (rational-valued doubles: "
+         "(rank-1)/(n-1) divisions are IEEE-exact on identical operands, "
+         "so they hash-match across engines; unique-key tiebreak).")
+def window_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey", "o_orderpriority",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"))
+
+
+@register("agg_argminmax", oracle="""
+SELECT o_orderpriority,
+       arg_max(o_totalprice, o_orderkey) AS latest_price,
+       arg_min(o_totalprice, o_orderkey) AS earliest_price
+FROM orders GROUP BY o_orderpriority
+""", doc="max_by / min_by (argmax aggregation): price of the highest-/"
+         "lowest-keyed order per priority. The ordering key (o_orderkey) "
+         "is unique, so ties can't produce engine-dependent winners.")
+def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (orders.groupBy("o_orderpriority")
+            .agg(F.expr("max_by(o_totalprice, o_orderkey)")
+                  .alias("latest_price"),
+                 F.expr("min_by(o_totalprice, o_orderkey)")
+                  .alias("earliest_price")))
+
+
+@register("subquery_above_nation_avg", oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE CAST(c_acctbal AS DECIMAL(18,6)) > (
+  SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,18))
+         / COUNT(*)
+  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+""", doc="Correlated scalar subquery (decorrelated by Catalyst into an "
+         "aggregate + join): customers above their nation's average "
+         "balance. Exact decimal average on both sides.")
+def subquery_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql("""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE CAST(c_acctbal AS DECIMAL(18,6)) > (
+          SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,18))
+                 / COUNT(*)
+          FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+    """)
+
+
+@register("scalar_array_funcs", oracle="""
+SELECT l_orderkey,
+       list_sort(list(l_linenumber)) AS line_numbers,
+       len(list(l_linenumber)) AS n_lines,
+       list_sort(list(l_linenumber))[1] AS first_line,
+       list_contains(list(l_linenumber), 1) AS has_line1,
+       list_reduce(list_sort(list(l_linenumber)), (acc, x) -> acc + x)
+         AS line_sum
+FROM lineitem GROUP BY l_orderkey
+""", doc="Array surface: collect + sort, size, element_at, contains, and "
+         "a higher-order fold — all integer-exact.")
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    arr = F.sort_array(F.collect_list("l_linenumber"))
+    return (li.groupBy("l_orderkey")
+            .agg(arr.alias("line_numbers"),
+                 F.size(F.collect_list("l_linenumber")).alias("n_lines"),
+                 F.element_at(arr, 1).alias("first_line"),
+                 F.array_contains(F.collect_list("l_linenumber"), 1)
+                  .alias("has_line1"),
+                 F.expr("aggregate(sort_array(collect_list(l_linenumber)),"
+                        " 0, (acc, x) -> acc + x)").alias("line_sum")))
+
+
+@register("scalar_math_funcs", oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice, 1) AS price_r1,
+       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+       CAST(ceil(l_extendedprice) AS BIGINT)  AS price_ceil,
+       abs(l_discount - 0.05) AS disc_dev,
+       sqrt(l_quantity) AS qty_sqrt,
+       CAST(l_quantity AS BIGINT) % 7 AS qty_mod7
+FROM lineitem
+""", doc="Math scalars restricted to operations with engine-identical "
+         "IEEE semantics: round/floor/ceil/abs, correctly-rounded sqrt, "
+         "integer modulo. (No pow/ln/exp — libm results differ in the "
+         "last ulp across engines.)")
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"))
+
+
+@register("agg_approx_distinct", oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS approx_ok
+FROM lineitem GROUP BY l_returnflag
+""", doc="approx_count_distinct (HLL++) sanity-gated against the exact "
+         "count: emits approx_ok = (relative error < 5%), which the "
+         "oracle asserts TRUE — so the sketch's accuracy is itself the "
+         "checked value. At 100 TB the approx path avoids the exact "
+         "distinct's expand+double-shuffle.")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.countDistinct("l_partkey").alias("exact_parts"),
+                 F.approx_count_distinct("l_partkey", 0.02).alias("_approx"))
+            .select(
+                "l_returnflag", "exact_parts",
+                (F.abs(F.col("_approx") - F.col("exact_parts"))
+                 < 0.05 * F.col("exact_parts")).alias("approx_ok")))
 
 
 # ------------------------------------------------------------ sort / limit

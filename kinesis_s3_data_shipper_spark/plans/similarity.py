@@ -8,12 +8,13 @@ bit-for-bit-then-rounded.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vectors import sql_cosine
+from ..functions.vectors import cosine, sql_cosine
 from ..operators.similarity import (cosine_pairs, cosine_topk, hyperplanes,
-                                    lsh_bucket_stats, sql_lsh_bucket)
+                                    lsh_bucket, lsh_bucket_stats,
+                                    sql_lsh_bucket)
 from ..sources.tables import load_table
 from .base import register
 
@@ -70,6 +71,53 @@ SELECT bucket, COUNT(*) AS n_vecs, MIN(vid) AS min_vec_id FROM (
   SELECT vec_id AS vid, {bucket} AS bucket FROM embeddings
 ) GROUP BY bucket
 """
+
+
+def _lsh_probe_oracle() -> str:
+    bucket = sql_lsh_bucket("embedding", hyperplanes(8, 64))
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv, bucket FROM b
+  WHERE {_QUERY_PRED}
+), scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         ROUND({sql_cosine('q.qv', 'b.embedding')}, 6) AS cos
+  FROM b JOIN q ON b.bucket = q.bucket
+  WHERE b.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+@register("ann_lsh_probe", oracle=_lsh_probe_oracle(),
+          doc="Bucket-pruned ANN (the 100 TB search path): queries probe "
+              "only their own sign-LSH bucket instead of the full corpus "
+              "— an equi-join on the bucket key replaces the broadcast "
+              "cross join, cutting per-query work to n/2^bits. Same "
+              "deterministic cosine + top-k machinery as the exact path.")
+def ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = hyperplanes(8, 64)
+    b = emb.select(F.col("vec_id"), F.col("embedding"),
+                   lsh_bucket("embedding", planes).alias("bucket"))
+    q = (b.filter(F.expr(_QUERY_PRED))
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qv"), "bucket"))
+    scored = (b.join(F.broadcast(q), "bucket")
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      F.round(cosine("qv", "embedding"), 6).alias("cos")))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (scored.select("query_id", "neighbor_id", "cos",
+                          F.row_number().over(w).alias("rank"))
+            .filter(F.col("rank") <= 3))
 
 
 @register("ann_lsh_buckets", oracle=_lsh_oracle(),

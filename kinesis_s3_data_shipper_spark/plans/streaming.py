@@ -1,7 +1,13 @@
-"""Streaming plans. `streaming_hourly` runs a real Structured Streaming
-query (file source → watermark → tumbling window → memory sink, drained
-with availableNow) and is oracle-checked against the SAME SQL as the
-batch `events_hourly` — streaming/batch parity is itself the assertion.
+"""Streaming plans — each runs a REAL Structured Streaming query (file
+source → watermark → stateful op → memory sink, drained with
+availableNow) and is oracle-checked against batch SQL over the same
+events table: streaming/batch parity is itself the assertion.
+
+- `streaming_hourly`: tumbling event-time window aggregate.
+- `streaming_dedup`: the landing dir holds the events file TWICE;
+  dropDuplicatesWithinWatermark on event_id must collapse the copies
+  back to the single-copy counts the oracle computes.
+- `streaming_sessions`: session_window gap sessions, complete mode.
 """
 
 from __future__ import annotations
@@ -14,10 +20,23 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.decimal_safe import sql_dsum
-from ..streaming.jobs import streaming_hourly_counts
+from ..streaming.jobs import (streaming_dedup_counts, streaming_hourly_counts,
+                              streaming_session_windows)
 from .base import register
 
 NS_PER_HOUR = 3_600_000_000_000
+
+
+def _stage_landing(sf_dir: str, copies: int = 1) -> tuple[str, str]:
+    """Stage events.parquet into a fresh landing dir (the file source
+    wants a directory); return (landing, checkpoint)."""
+    events_path = os.path.join(sf_dir, "events.parquet")
+    work = tempfile.mkdtemp(prefix="ksds_stream_")
+    landing = os.path.join(work, "landing")
+    os.makedirs(landing)
+    for i in range(copies):
+        shutil.copy(events_path, os.path.join(landing, f"events_{i}.parquet"))
+    return landing, os.path.join(work, "ckpt")
 
 
 @register("streaming_hourly", oracle=f"""
@@ -30,13 +49,51 @@ FROM events GROUP BY 1, 2
          "table (file source + watermark + availableNow), checked against "
          "the batch-SQL oracle — exact streaming/batch parity.")
 def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events_path = os.path.join(sf_dir, "events.parquet")
-    work = tempfile.mkdtemp(prefix="ksds_stream_")
-    checkpoint = os.path.join(work, "ckpt")
-    # The file source wants a directory; stage the single parquet file.
-    landing = os.path.join(work, "landing")
-    os.makedirs(landing)
-    shutil.copy(events_path, os.path.join(landing, "events.parquet"))
+    landing, checkpoint = _stage_landing(sf_dir)
     name = f"hourly_{uuid.uuid4().hex[:8]}"
     return streaming_hourly_counts(spark, landing, checkpoint=checkpoint,
                                    query_name=name)
+
+
+@register("streaming_dedup", oracle="""
+SELECT event_type, COUNT(*) AS n
+FROM events GROUP BY event_type
+""", doc="Streaming exact dedup: the landing dir holds the events file "
+         "TWICE; dropDuplicatesWithinWatermark(event_id) must collapse "
+         "the duplicate copy so counts equal the single-copy oracle — "
+         "the streaming twin of the reference's seen-keys dedupe "
+         "(kinesis-to-humio.py:210-216) at event granularity.")
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    landing, checkpoint = _stage_landing(sf_dir, copies=2)
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    return streaming_dedup_counts(spark, landing, checkpoint=checkpoint,
+                                  query_name=name)
+
+
+@register("streaming_sessions", oracle="""
+WITH flagged AS (
+  SELECT user_id, epoch_ns(ts) AS ts_ns,
+         CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER w >= 1800000000000
+              OR lag(epoch_ns(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+  SELECT user_id, ts_ns,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ns
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS sid
+  FROM flagged
+)
+SELECT user_id, COUNT(*) AS n_events,
+       MIN(ts_ns) // 1000000 AS start_ms
+FROM sessions GROUP BY user_id, sid
+""", doc="session_window (30-min gap) streaming sessions vs a batch "
+         "gaps-and-islands oracle. session_window merges an event iff it "
+         "lands strictly inside [start, last+gap) — i.e. a gap >= 30 min "
+         "opens a session — so the oracle flags is_new on >=, unlike the "
+         "batch sessionize query's > convention.")
+def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    landing, checkpoint = _stage_landing(sf_dir)
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    return streaming_session_windows(spark, landing, checkpoint=checkpoint,
+                                     query_name=name)

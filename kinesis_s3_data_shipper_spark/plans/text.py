@@ -119,6 +119,43 @@ def text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit("[0-9]+")).alias("n_numbers"))
 
 
+@register("text_tfidf_top_terms", oracle="""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY term
+)
+SELECT doc_id, term, tf, df, score, rank FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE) / df.df AS score,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC,
+                                     tf.term) AS rank
+  FROM tf JOIN df ON tf.term = df.term
+) WHERE rank <= 3
+""", doc="Top-3 distinctive terms per doc by tf/df relevance (rational "
+         "score — one exact int division, not log-idf, so both engines "
+         "produce bit-identical doubles). Shape = the HashingTF/IDF "
+         "pipeline: tokenize → term stats → per-doc ranking; the df "
+         "side is a broadcastable term dictionary at any corpus size.")
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select("doc_id",
+                        F.explode(F.split("text", " ")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = terms.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"))
+    score = F.col("tf").cast("double") / F.col("df")
+    w = W.partitionBy("doc_id").orderBy(F.desc(score), "term")
+    return (tf.join(F.broadcast(df_), "term")
+            .select("doc_id", "term", "tf", "df", score.alias("score"),
+                    F.row_number().over(w).alias("rank"))
+            .filter(F.col("rank") <= 3))
+
+
 @register("doc_fingerprint", oracle="""
 SELECT doc_id,
        md5(text) AS fp_md5,

@@ -1,4 +1,4 @@
 """Structured Streaming variants of the engine's pipelines."""
 
-from .jobs import (streaming_hourly_counts, streaming_ingest,  # noqa: F401
-                   streaming_dedup)
+from .jobs import (streaming_dedup_counts, streaming_hourly_counts,  # noqa: F401
+                   streaming_ingest, streaming_session_windows)

@@ -69,12 +69,13 @@ def streaming_hourly_counts(spark: SparkSession, events_dir: str, *,
     return spark.table(query_name)
 
 
-def streaming_dedup(spark: SparkSession, events_dir: str, *,
-                    checkpoint: str, query_name: str,
-                    watermark: str = "2 hours") -> DataFrame:
+def streaming_dedup_counts(spark: SparkSession, events_dir: str, *,
+                           checkpoint: str, query_name: str,
+                           watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup on event_id within the watermark — the
     streaming twin of dedup_exact (dropDuplicatesWithinWatermark bounds
-    state; RocksDB state store at scale)."""
+    state; RocksDB state store at scale). Counts per type AFTER dedup,
+    so feeding duplicated input must reproduce single-copy counts."""
     events = _events_stream(spark, events_dir)
     deduped = (
         events.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
@@ -89,6 +90,48 @@ def streaming_dedup(spark: SparkSession, events_dir: str, *,
     return spark.table(query_name)
 
 
+#: Sentinel event time far past any test data (2100-01-01, epoch-nanos).
+#: Appending one sentinel row advances the watermark past every real
+#: session so append-mode emits ALL finalized session windows before
+#: availableNow terminates (event-time state flushes on the trailing
+#: no-data micro-batch).
+SENTINEL_TS_NS = 4_102_444_800_000_000_000
+SENTINEL_USER = -1
+
+
+def streaming_session_windows(spark: SparkSession, events_dir: str, *,
+                              checkpoint: str, query_name: str,
+                              gap: str = "30 minutes") -> DataFrame:
+    """session_window gap-based sessions per user, append mode.
+
+    Stages a sentinel far-future event (user_id = -1) into the landing
+    dir so the watermark passes every real session; the sentinel's own
+    session is filtered from the result. Semantics: an event extends a
+    session while it lands strictly inside [start, last+gap) — a gap of
+    exactly `gap` opens a NEW session (>= convention, vs the batch
+    sessionize query's >)."""
+    ensure_runtime_confs(spark)
+    sentinel = spark.createDataFrame(
+        [(int(-1), SENTINEL_TS_NS, SENTINEL_USER, "sentinel", 0.0, "{}")],
+        EVENTS_DDL)
+    sentinel.write.mode("append").parquet(events_dir)
+
+    events = _events_stream(spark, events_dir)
+    sessions = (
+        events.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("event_time", "0 seconds")
+        .groupBy(F.session_window("event_time", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", "n_events",
+                F.unix_millis(F.col("session_window.start")).alias("start_ms")))
+    query = (sessions.writeStream.outputMode("append")
+             .format("memory").queryName(query_name)
+             .option("checkpointLocation", checkpoint)
+             .trigger(availableNow=True).start())
+    query.awaitTermination()
+    return spark.table(query_name).filter(F.col("user_id") != SENTINEL_USER)
+
+
 def streaming_ingest(spark: SparkSession, landing_dir: str, *,
                      checkpoint: str, out_dir: str,
                      max_files_per_trigger: int = 64) -> None:
@@ -99,7 +142,10 @@ def streaming_ingest(spark: SparkSession, landing_dir: str, *,
     retries + idempotent event_ids give at-least-once without the
     reference's lost-batch flaw."""
     ensure_runtime_confs(spark)
+    # Streaming sources require an explicit schema; this is binaryFile's.
     raw = (spark.readStream.format("binaryFile")
+           .schema("path STRING, modificationTime TIMESTAMP,"
+                   " length LONG, content BINARY")
            .option("maxFilesPerTrigger", str(max_files_per_trigger))
            .option("latestFirst", "false")
            .load(landing_dir))

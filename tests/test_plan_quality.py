@@ -1,0 +1,87 @@
+"""Physical-plan assertions: the scale properties each operator is
+designed around must actually appear in the executed plan — filters
+pushed to the parquet scan, column pruning, broadcast joins for dim
+tables, partial (map-side) aggregation, top-k without a global sort.
+A regression here is a 100 TB performance bug even when results stay
+correct, so it's tested like correctness.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kinesis_s3_data_shipper_spark.plans import REGISTRY, all_queries
+
+all_queries()
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].spark(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "filter_project_scalar")
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(p_size,10)" in plan
+    # Column pruning: untouched wide columns must not be read.
+    assert "p_retailprice" in plan
+    assert "p_container" not in plan
+
+
+def test_q3_broadcasts_dimension(spark):
+    plan = plan_of(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q5_snowflake_broadcasts(spark):
+    plan = plan_of(spark, "q5_region_revenue")
+    # nation/region/supplier ride broadcasts; no cartesian anywhere.
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_agg_is_partial_final(spark):
+    plan = plan_of(spark, "events_hourly")
+    # Two HashAggregates (partial + final) around one Exchange.
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan or "partial" in plan
+
+
+def test_sort_limit_is_topk(spark):
+    plan = plan_of(spark, "sort_limit")
+    # Global top-100 must be TakeOrderedAndProject, not a full sort.
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ann_bruteforce_broadcasts_queries(spark):
+    plan = plan_of(spark, "ann_bruteforce_topk")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_exact_hash_single_shuffle(spark):
+    plan = plan_of(spark, "dedup_exact_hash")
+    # One shuffle for the digest groupBy (plus AQE reads) — the full
+    # text column must not appear in the exchange.
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_anti_join_stays_hash(spark):
+    plan = plan_of(spark, "join_anti")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", ["q1_pricing_summary", "events_hourly",
+                                  "join_inner_agg", "text_quality"])
+def test_no_python_udfs_in_core_queries(spark, name):
+    """Core relational/text queries must stay entirely JVM-side
+    (BatchEvalPython / ArrowEvalPython = a Python worker in the hot
+    path; only the ingest splitter and multimodal decode may use one)."""
+    plan = plan_of(spark, name)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

@@ -25,7 +25,7 @@ import struct
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, norm
+from ..functions.vectors import cosine, dot, norm
 
 
 def hyperplanes(num_planes: int, dim: int, seed: str = "ksds-lsh-v1") -> list[list[float]]:
@@ -85,15 +85,23 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
     (rounded cos DESC, neighbor_id) so ranks are deterministic even if
     two engines' unrounded doubles differ in the last ulp.
     """
+    # Norms are projected per ROW before the join — the per-pair work
+    # is then a single dot product. (Inlining cosine() after the join
+    # would recompute ‖q‖ once per corpus row and ‖c‖ once per query:
+    # O((|Q|+1)·n·d) wasted flops. Same arithmetic, same result —
+    # dot/(‖a‖·‖b‖) on identical operands.)
     q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("_qv"))
+                       F.col(vec_col).alias("_qv"),
+                       norm(vec_col).alias("_qn"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("_cv"))
+                      F.col(vec_col).alias("_cv"),
+                      norm(vec_col).alias("_cn"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id",
-                F.round(cosine("_qv", "_cv"), round_dp).alias("cos")))
+                F.round(dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn")),
+                        round_dp).alias("cos")))
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (scored.select("query_id", "neighbor_id", "cos",
                           F.row_number().over(w).alias("rank"))
@@ -107,16 +115,20 @@ def cosine_pairs(vectors: DataFrame, *, id_col: str, vec_col: str,
     Blocking (label, or an LSH bucket at scale) bounds the quadratic
     verify to within-block pairs.
     """
+    # Per-row norms before the self-join (see cosine_topk): per-pair
+    # cost is one dot product, not dot + two norm recomputations.
     v = vectors.select(F.col(id_col).alias("_id"),
                        F.col(block_col).alias("_blk"),
-                       F.col(vec_col).alias("_v"))
+                       F.col(vec_col).alias("_v"),
+                       norm(vec_col).alias("_n"))
     a, b = v.alias("a"), v.alias("b")
     return (
         a.join(b, (F.col("a._blk") == F.col("b._blk"))
                   & (F.col("a._id") < F.col("b._id")))
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
                 F.col("a._blk").alias("block"),
-                cosine("a._v", "b._v").alias("_cos_raw"))
+                (dot("a._v", "b._v") / (F.col("a._n") * F.col("b._n")))
+                .alias("_cos_raw"))
         .filter(F.col("_cos_raw") >= threshold)
         .select("id_a", "id_b", "block",
                 F.round("_cos_raw", 6).alias("cos")))

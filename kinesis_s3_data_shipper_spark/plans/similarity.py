@@ -103,17 +103,23 @@ SELECT query_id, neighbor_id, cos, rank FROM (
               "cross join, cutting per-query work to n/2^bits. Same "
               "deterministic cosine + top-k machinery as the exact path.")
 def ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import dot, norm
     emb = load_table(spark, sf_dir, "embeddings")
     planes = hyperplanes(8, 64)
+    # Norms projected per row before the bucket join (one dot per pair).
     b = emb.select(F.col("vec_id"), F.col("embedding"),
+                   norm("embedding").alias("_n"),
                    lsh_bucket("embedding", planes).alias("bucket"))
     q = (b.filter(F.expr(_QUERY_PRED))
          .select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("qv"), "bucket"))
+                 F.col("embedding").alias("qv"),
+                 F.col("_n").alias("_qn"), "bucket"))
     scored = (b.join(F.broadcast(q), "bucket")
               .filter(F.col("vec_id") != F.col("query_id"))
               .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                      F.round(cosine("qv", "embedding"), 6).alias("cos")))
+                      F.round(dot("qv", "embedding")
+                              / (F.col("_qn") * F.col("_n")), 6)
+                       .alias("cos")))
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (scored.select("query_id", "neighbor_id", "cos",
                           F.row_number().over(w).alias("rank"))

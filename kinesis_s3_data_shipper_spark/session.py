@@ -34,6 +34,13 @@ RUNTIME_CONFS: dict[str, str] = {
     # AQE: runtime partition coalescing + skew-join handling.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Streaming state (dedup keys, session windows) in RocksDB: state
+    # size bounded by local disk instead of executor heap — the only
+    # viable store when watermark-retained state reaches 100 TB-scale
+    # cardinalities. No-op for batch queries.
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
 }
 
 

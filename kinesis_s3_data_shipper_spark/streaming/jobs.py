@@ -153,7 +153,16 @@ def streaming_ingest(spark: SparkSession, landing_dir: str, *,
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         events = flatten_events(parse_blocks(split_blocks(
             batch_df.select("path", "content"))))
-        (events.write.mode("append").parquet(out_dir))
+        # Idempotent sink: each epoch OVERWRITES its own partition
+        # directory, so a retried/replayed epoch rewrites the same data
+        # instead of appending a duplicate copy — exactly-once output
+        # on top of the checkpoint's exactly-once input, fixing the
+        # reference's lost/duplicated-batch flaw (SURVEY §3).
+        (events.withColumn("_epoch", F.lit(epoch_id))
+         .write.mode("overwrite")
+         .partitionBy("_epoch")
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(out_dir))
 
     query = (raw.writeStream.foreachBatch(process)
              .option("checkpointLocation", checkpoint)

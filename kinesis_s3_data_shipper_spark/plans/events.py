@@ -145,6 +145,34 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("signup_ts").alias("signup_ts_ns"))
 
 
+@register("window_range_frame", oracle="""
+SELECT event_id, user_id, ts_us,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+            PARTITION BY user_id ORDER BY ts_us
+            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         AS DOUBLE) AS rolling_1h_value,
+       COUNT(*) OVER (
+            PARTITION BY user_id ORDER BY ts_us
+            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         AS rolling_1h_n
+FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events)
+""", doc="RANGE window frame: per-user rolling 1-hour sum/count over "
+         "event time — value-based frames (RANGE), not row counts, on "
+         "exact integer micros. The rows-frame twin is "
+         "window_running_sum.")
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "user_id",
+                  F.expr("ts div 1000").alias("ts_us"),
+                  F.col("value").cast("decimal(18,6)").alias("_v")))
+    w = (W.partitionBy("user_id").orderBy("ts_us")
+         .rangeBetween(-3_600_000_000, W.currentRow))
+    return ev.select(
+        "event_id", "user_id", "ts_us",
+        F.sum("_v").over(w).cast("double").alias("rolling_1h_value"),
+        F.count("*").over(w).alias("rolling_1h_n"))
+
+
 @register("pivot_event_counts", oracle="""
 SELECT user_id,
        COUNT(*) FILTER (WHERE event_type = 'click')    AS click,

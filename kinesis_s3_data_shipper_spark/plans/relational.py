@@ -153,6 +153,55 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q18_large_orders", oracle=f"""
+SELECT c_custkey, c_name, o_orderkey, {sql_dsum('l_quantity', 'total_qty')}
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY c_custkey, c_name, o_orderkey
+HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 150
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 20
+""", doc="TPC-H Q18 flavor: per-order quantity rollup with HAVING, "
+         "joined back to the customer — agg → filter-on-agg → "
+         "broadcast dim join → top-k.")
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(dsum("l_quantity", "total_qty"))
+           .filter(F.col("total_qty") > 150))
+    return (big.join(orders, big.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .select("c_custkey", "c_name", "o_orderkey", "total_qty")
+            .orderBy(F.desc("total_qty"), "o_orderkey")
+            .limit(20))
+
+
+@register("distinct_rows", oracle="""
+SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+""", doc="SELECT DISTINCT (dropDuplicates over the full projection — "
+         "deterministic because the whole row is the key).")
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select("c_nationkey", "c_mktsegment").dropDuplicates()
+
+
+@register("unpivot_measures", oracle="""
+SELECT l_orderkey, l_linenumber, measure, CAST(value AS DOUBLE) AS value
+FROM lineitem
+UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount))
+""", doc="UNPIVOT (wide measures → long key/value rows), the inverse of "
+         "pivot — Spark's unpivot/melt.")
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure", "value")
+
+
 # ------------------------------------------------------- filters / scalars
 
 @register("filter_project_scalar", oracle=r"""

@@ -579,20 +579,23 @@ def subquery_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("scalar_array_funcs", oracle="""
 SELECT l_orderkey,
-       list_sort(list(l_linenumber)) AS line_numbers,
+       array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers,
        len(list(l_linenumber)) AS n_lines,
        list_sort(list(l_linenumber))[1] AS first_line,
        list_contains(list(l_linenumber), 1) AS has_line1,
        list_reduce(list_sort(list(l_linenumber)), (acc, x) -> acc + x)
          AS line_sum
 FROM lineitem GROUP BY l_orderkey
-""", doc="Array surface: collect + sort, size, element_at, contains, and "
-         "a higher-order fold — all integer-exact.")
+""", doc="Array surface: collect + sort, element_at, contains, a higher-"
+         "order fold — all integer-exact. The array itself is emitted "
+         "as a canonical joined STRING: list-typed output columns "
+         "render differently per engine (numpy array vs list), which "
+         "would break value comparison even when contents are equal.")
 def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     arr = F.sort_array(F.collect_list("l_linenumber"))
     return (li.groupBy("l_orderkey")
-            .agg(arr.alias("line_numbers"),
+            .agg(F.array_join(arr, ",").alias("line_numbers"),
                  F.size(F.collect_list("l_linenumber")).alias("n_lines"),
                  F.element_at(arr, 1).alias("first_line"),
                  F.array_contains(F.collect_list("l_linenumber"), 1)
@@ -695,14 +698,91 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("set_except", oracle="""
 SELECT c_nationkey AS nk FROM customer
 EXCEPT
-SELECT s_nationkey AS nk FROM supplier
-""", doc="EXCEPT (distinct) — customer nations with no supplier.")
+SELECT s_nationkey AS nk FROM supplier WHERE s_nationkey < 10
+""", doc="EXCEPT (distinct) — customer nations minus a filtered supplier-"
+         "nation set. The right-side filter keeps the difference non-"
+         "empty at every sf (unfiltered, suppliers cover all nations at "
+         "sf>=0.01 and the check would be a vacuous 0=0).")
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk"))
+    supp = (load_table(spark, sf_dir, "supplier")
+            .filter(F.col("s_nationkey") < 10)
+            .select(F.col("s_nationkey").alias("nk")))
+    return cust.subtract(supp)
+
+
+@register("set_intersect_all", oracle="""
+SELECT nk FROM (SELECT c_nationkey AS nk FROM customer)
+INTERSECT ALL
+SELECT nk FROM (SELECT s_nationkey AS nk FROM supplier)
+""", doc="INTERSECT ALL (multiset semantics: min of per-side counts).")
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nk"))
     supp = load_table(spark, sf_dir, "supplier").select(
         F.col("s_nationkey").alias("nk"))
-    return cust.subtract(supp)
+    return cust.intersectAll(supp)
+
+
+@register("set_except_all", oracle="""
+SELECT nk FROM (SELECT c_nationkey AS nk FROM customer)
+EXCEPT ALL
+SELECT nk FROM (SELECT s_nationkey AS nk FROM supplier)
+""", doc="EXCEPT ALL (multiset difference: per-side count subtraction).")
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk"))
+    return cust.exceptAll(supp)
+
+
+@register("window_value_funcs", oracle="""
+SELECT o_orderkey, o_custkey,
+       first_value(o_orderkey) OVER w AS first_key,
+       last_value(o_orderkey)  OVER w AS last_key,
+       nth_value(o_orderkey, 2) OVER w AS second_key
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""", doc="first/last/nth value over an explicit full-partition frame "
+         "(unbounded frame + unique-key order = deterministic).")
+def window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    return orders.select(
+        "o_orderkey", "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"))
+
+
+@register("scalar_null_funcs", oracle="""
+SELECT o_orderkey,
+       nullif(o_orderstatus, 'O') AS status_or_null,
+       coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_filled,
+       (nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL)
+         AS is_open,
+       CASE WHEN o_totalprice > 100000 THEN 'big'
+            WHEN o_totalprice > 10000 THEN 'mid'
+            ELSE 'small' END AS price_band
+FROM orders
+""", doc="Null semantics: nullif/coalesce, null-safe comparison "
+         "(Spark <=> ≡ SQL IS NOT DISTINCT FROM), CASE WHEN ladders.")
+def scalar_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    status_or_null = F.nullif("o_orderstatus", F.lit("O"))
+    return orders.select(
+        "o_orderkey",
+        status_or_null.alias("status_or_null"),
+        F.coalesce(status_or_null, F.lit("OPEN")).alias("status_filled"),
+        status_or_null.eqNullSafe(F.lit(None).cast("string"))
+         .alias("is_open"),
+        F.when(F.col("o_totalprice") > 100000, "big")
+         .when(F.col("o_totalprice") > 10000, "mid")
+         .otherwise("small").alias("price_band"))
 
 
 # --------------------------------------------------------------- datetime

@@ -104,7 +104,7 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
                         round_dp).alias("cos")))
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (scored.select("query_id", "neighbor_id", "cos",
-                          F.row_number().over(w).alias("rank"))
+                          F.row_number().over(w).cast("long").alias("rank"))
             .filter(F.col("rank") <= k))
 
 

@@ -224,7 +224,7 @@ def filter_project_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey",
             F.upper("p_name").alias("name_upper"),
             F.substring("p_type", 1, 5).alias("type5"),
-            F.length("p_name").alias("name_len"),
+            F.length("p_name").cast("long").alias("name_len"),
             F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
             F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_first_word"),
             "p_retailprice")
@@ -481,7 +481,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
     return (orders
             .select("o_custkey", "o_orderkey", "o_totalprice",
-                    F.row_number().over(w).alias("rn"))
+                    F.row_number().over(w).cast("long").alias("rn"))
             .filter(F.col("rn") <= 3))
 
 
@@ -496,8 +496,8 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
     return part.select(
         "p_partkey", "p_brand", "p_retailprice",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"))
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"))
 
 
 @register("window_running_sum", oracle="""
@@ -537,7 +537,7 @@ def window_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderpriority",
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
-        F.ntile(4).over(w).alias("quartile"))
+        F.ntile(4).over(w).cast("long").alias("quartile"))
 
 
 @register("agg_argminmax", oracle="""
@@ -596,7 +596,7 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = F.sort_array(F.collect_list("l_linenumber"))
     return (li.groupBy("l_orderkey")
             .agg(F.array_join(arr, ",").alias("line_numbers"),
-                 F.size(F.collect_list("l_linenumber")).alias("n_lines"),
+                 F.size(F.collect_list("l_linenumber")).cast("long").alias("n_lines"),
                  F.element_at(arr, 1).alias("first_line"),
                  F.array_contains(F.collect_list("l_linenumber"), 1)
                   .alias("has_line1"),

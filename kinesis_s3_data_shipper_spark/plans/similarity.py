@@ -124,7 +124,7 @@ def ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("cos")))
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (scored.select("query_id", "neighbor_id", "cos",
-                          F.row_number().over(w).alias("rank"))
+                          F.row_number().over(w).cast("long").alias("rank"))
             .filter(F.col("rank") <= 3))
 
 

@@ -32,12 +32,13 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = F.size(F.split("text", " "))
     return docs.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        F.length("text").alias("n_chars_calc"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_calc"),
         "n_chars",
         (F.length(F.regexp_replace("text", " ", "")).cast("double") / n_tokens)
             .alias("avg_token_len"),
-        F.size(F.array_distinct(F.split("text", " "))).alias("n_unique_tokens"))
+        F.size(F.array_distinct(F.split("text", " "))).cast("long")
+         .alias("n_unique_tokens"))
 
 
 @register("text_quality", oracle=f"""
@@ -68,7 +69,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniq_ratio = n_uniq.cast("double") / n_tokens
     return docs.select(
         "doc_id",
-        n_stop.alias("n_stopwords"),
+        n_stop.cast("long").alias("n_stopwords"),
         stop_ratio.alias("stopword_ratio"),
         uniq_ratio.alias("unique_ratio"),
         F.when(n_tokens.between(5, 1000), 1).otherwise(0).alias("len_ok"),
@@ -114,9 +115,11 @@ def text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.regexp_count("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).alias("n_pieces"),
-        F.regexp_count("text", F.lit("[a-z]+")).alias("n_words"),
-        F.regexp_count("text", F.lit("[0-9]+")).alias("n_numbers"))
+        F.regexp_count("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long")
+         .alias("n_pieces"),
+        F.regexp_count("text", F.lit("[a-z]+")).cast("long").alias("n_words"),
+        F.regexp_count("text", F.lit("[0-9]+")).cast("long")
+         .alias("n_numbers"))
 
 
 @register("text_tfidf_top_terms", oracle="""
@@ -152,7 +155,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("doc_id").orderBy(F.desc(score), "term")
     return (tf.join(F.broadcast(df_), "term")
             .select("doc_id", "term", "tf", "df", score.alias("score"),
-                    F.row_number().over(w).alias("rank"))
+                    F.row_number().over(w).cast("long").alias("rank"))
             .filter(F.col("rank") <= 3))
 
 

@@ -51,11 +51,20 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        start = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - start, 3)
-        assert n >= 0
+        best = None
+        # Two runs, report the min: steady-state cost, not JVM/codegen
+        # warmup or GC noise from the preceding query. Cache cleared
+        # per run so persisted intermediates (minhash signatures) are
+        # honestly recomputed, not replayed.
+        for _ in range(2):
+            spark.catalog.clearCache()
+            start = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            elapsed = time.perf_counter() - start
+            assert n >= 0
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

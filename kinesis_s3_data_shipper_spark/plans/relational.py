@@ -465,6 +465,42 @@ def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("n").alias("n")))
 
 
+@register("agg_pandas_median", oracle="""
+SELECT l_returnflag, median(l_quantity) AS median_qty
+FROM lineitem GROUP BY l_returnflag
+""", doc="Grouped-agg pandas UDF (Arrow-batched): exact interpolated "
+         "median per group — the declared UDAF surface. Order-"
+         "independent by construction (sort inside the UDF, one exact "
+         "(a+b)/2), so it hash-matches DuckDB's quantile_cont median.")
+def agg_pandas_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pandas_udfs import grouped_median
+    li = load_table(spark, sf_dir, "lineitem")
+    return grouped_median(li, group_col="l_returnflag",
+                          value_col="l_quantity", alias="median_qty")
+
+
+@register("grouped_minmax_scale", oracle="""
+SELECT l_returnflag, l_orderkey * 10 + l_linenumber AS line_id, l_quantity,
+       CASE WHEN MAX(l_quantity) OVER w > MIN(l_quantity) OVER w
+            THEN (l_quantity - MIN(l_quantity) OVER w)
+                 / (MAX(l_quantity) OVER w - MIN(l_quantity) OVER w)
+            END AS scaled
+FROM lineitem
+WINDOW w AS (PARTITION BY l_returnflag)
+""", doc="applyInPandas grouped-map: per-group min-max scaling — the "
+         "declared grouped-map UDF surface. min/max are order-"
+         "independent and the scale is one IEEE op per row, so the "
+         "Arrow path still hash-matches the window-SQL oracle.")
+def grouped_minmax_scale_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pandas_udfs import grouped_minmax_scale
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_returnflag",
+                  F.expr("l_orderkey * 10 + l_linenumber").alias("line_id"),
+                  "l_quantity"))
+    return grouped_minmax_scale(li, group_col="l_returnflag",
+                                id_col="line_id", value_col="l_quantity")
+
+
 # ----------------------------------------------------------------- windows
 
 @register("window_topk_per_group", oracle="""

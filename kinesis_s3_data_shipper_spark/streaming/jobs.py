@@ -132,6 +132,49 @@ def streaming_session_windows(spark: SparkSession, events_dir: str, *,
     return spark.table(query_name).filter(F.col("user_id") != SENTINEL_USER)
 
 
+def streaming_running_user_counts(spark: SparkSession, events_dir: str, *,
+                                  checkpoint: str, query_name: str,
+                                  max_files_per_trigger: int = 1) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: a per-user
+    running event counter carried across micro-batches in explicit
+    group state (the surface for stateful logic that session_window /
+    dropDuplicates can't express — e.g. CEP-ish accumulators).
+
+    Emits (user_id, total) on every batch a user appears in; the final
+    emission per user equals the batch groupBy count, which is what the
+    unit test asserts. RocksDB-backed state (session default)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = _events_stream(spark, events_dir,
+                            max_files=max_files_per_trigger)
+
+    def update(key, pdfs, state: GroupState):
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        (prev,) = state.get if state.exists else (0,)
+        total = prev + n
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "total": [total]})
+
+    counted = (events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id LONG, total LONG",
+        stateStructType="total LONG",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout))
+    query = (counted.writeStream.outputMode("update")
+             .format("memory").queryName(query_name)
+             .option("checkpointLocation", checkpoint)
+             .trigger(availableNow=True).start())
+    query.awaitTermination()
+    # Update-mode memory sink keeps every emission; the running maximum
+    # per user IS the final total (totals are monotone).
+    return (spark.table(query_name)
+            .groupBy("user_id").agg(F.max("total").alias("total")))
+
+
 def streaming_ingest(spark: SparkSession, landing_dir: str, *,
                      checkpoint: str, out_dir: str,
                      max_files_per_trigger: int = 64) -> None:

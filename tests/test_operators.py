@@ -25,6 +25,29 @@ def test_stream_prefix_reference_parity(spark):
         assert got[c] == "/".join(c.split("/")[0:2]), c
 
 
+def test_stream_prefix_property(spark):
+    """Hypothesis sweep: for ANY printable string (slashes anywhere),
+    the JVM expression equals Python's '/'.join(s.split('/')[0:2]) —
+    the reference's exact tag derivation (kinesis-to-humio.py:137)."""
+    from hypothesis import given, settings, strategies as st
+
+    cases: list[str] = []
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet=st.characters(codec="utf-8",
+                                          exclude_characters="\x00"),
+                   max_size=30))
+    def collect(s):
+        cases.append(s)
+
+    collect()
+    df = spark.createDataFrame([(c,) for c in set(cases) if c], "s STRING")
+    got = {r.s: r.p for r in
+           df.select("s", stream_prefix("s").alias("p")).collect()}
+    for s, p in got.items():
+        assert p == "/".join(s.split("/")[0:2]), repr(s)
+
+
 def test_asof_join_strict_and_inclusive(spark):
     left = spark.createDataFrame(
         [(1, 100, "p1"), (1, 200, "p2"), (2, 50, "p3")],

@@ -1,0 +1,31 @@
+"""applyInPandasWithState: the custom stateful operator must carry
+per-user counts across micro-batches (two files, one per trigger) and
+land exactly on the batch groupBy counts.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from kinesis_s3_data_shipper_spark.streaming.jobs import (
+    streaming_running_user_counts)
+
+
+def test_running_counts_match_batch(spark, tmp_path, sf_small):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    # Two copies → two micro-batches (maxFilesPerTrigger=1): state must
+    # persist across batches, so every user's total is 2× the single-
+    # copy count.
+    src = f"{sf_small}/events.parquet"
+    shutil.copy(src, landing / "a.parquet")
+    shutil.copy(src, landing / "b.parquet")
+
+    got = streaming_running_user_counts(
+        spark, str(landing), checkpoint=str(tmp_path / "ckpt"),
+        query_name="running_counts_test")
+    got_map = {r.user_id: r.total for r in got.collect()}
+
+    want = (spark.read.parquet(src).groupBy("user_id").count().collect())
+    want_map = {r.user_id: 2 * r["count"] for r in want}
+    assert got_map == want_map

@@ -43,4 +43,6 @@ def test_every_oracle_key_has_query():
     import __spark_entry__ as e
     q, o = e.queries(), e.oracle_sql()
     assert set(o) <= set(q)
-    assert len(q) >= 30
+    # Regression guard: the registry held 68 queries at round-1 end;
+    # a module failing to import would silently shrink it.
+    assert len(q) >= 68

@@ -48,9 +48,15 @@ def deliver_partition(rows: Iterable, transport: Callable[[dict], int], *,
             if 200 <= status < 300:
                 sent += 1
                 break
-            if attempt == max_retries:
+            # Permanent client errors (bad auth/payload) can't succeed
+            # on retry — fail fast instead of burning the backoff loop
+            # per row before Spark's own task retry multiplies it.
+            # 408 (timeout) and 429 (throttle) stay retryable.
+            permanent = 400 <= status < 500 and status not in (408, 429)
+            if permanent or attempt == max_retries:
                 raise RuntimeError(
-                    f"undeliverable batch (status {status}) for "
+                    f"undeliverable batch (status {status}"
+                    f"{', permanent' if permanent else ''}) for "
                     f"{row.file}#{row.block_index}.{row.batch_id}")
             time.sleep(backoff_s * (2 ** attempt))
     return sent

@@ -91,6 +91,21 @@ def lsh_bands(sig_col: str, num_bands: int, band_size: int) -> Column:
     return F.expr(_bands_sql(sig_col, num_bands, band_size))
 
 
+def shingle_hashes(shingles_col: str) -> Column:
+    """Shingle strings → 60-bit ints (first 15 md5 hex digits).
+
+    The exact-Jaccard verify only needs set intersect/union SIZES, so
+    hashing each shingle to a fixed-width int before the candidate
+    joins cuts the shuffled array bytes to 8B/element regardless of
+    shingle length. md5-derived (not xxhash64) so any engine — and the
+    DuckDB oracle — reproduces identical values; a collision would hit
+    both sides identically.
+    """
+    return F.expr(f"transform({shingles_col},"
+                  f" s -> CAST(conv(substring(md5(s), 1, 15), 16, 10)"
+                  f" AS BIGINT))")
+
+
 def minhash_lsh_pairs(docs: DataFrame, *, id_col: str, text_col: str,
                       shingle_k: int = 3, num_hashes: int = 16,
                       num_bands: int = 4, threshold: float = 0.5) -> DataFrame:
@@ -105,11 +120,17 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str, text_col: str,
                         word_shingles(text_col, shingle_k).alias("_shingles"))
                 .withColumn("_sig", minhash_signature("_shingles", num_hashes))
                 .withColumn("_bands", lsh_bands("_sig", num_bands, band_size))
-                # The plan consumes this 4× (both sides of the bucket
-                # self-join + both sides of the Jaccard verify); persist
-                # so the signature build runs ONCE. Size is bounded:
-                # O(docs × (num_hashes + shingles) × 32B) — spills to
-                # disk beyond memory, which is the 100 TB posture too.
+                .withColumn("_hsh", shingle_hashes("_shingles"))
+                # Only what downstream consumes is persisted: band
+                # buckets for the candidate join, 8-byte shingle hashes
+                # (not raw shingle strings, not the 32B/hash signature)
+                # for the Jaccard verify. The plan consumes this 4×
+                # (both sides of the bucket self-join + both sides of
+                # the verify); persist so the signature build runs
+                # ONCE. Size is O(docs × (num_bands + shingles) × 8B)
+                # — spills to disk beyond memory, which is the 100 TB
+                # posture too.
+                .select("_id", "_bands", "_hsh")
                 .persist(StorageLevel.MEMORY_AND_DISK))
 
     banded = prepared.select(
@@ -123,13 +144,13 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str, text_col: str,
         .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
         .distinct())
 
-    sh = prepared.select("_id", "_shingles")
+    sh = prepared.select("_id", "_hsh")
     return (
         candidates
         .join(sh.select(F.col("_id").alias("doc_a"),
-                        F.col("_shingles").alias("_sh_a")), "doc_a")
+                        F.col("_hsh").alias("_sh_a")), "doc_a")
         .join(sh.select(F.col("_id").alias("doc_b"),
-                        F.col("_shingles").alias("_sh_b")), "doc_b")
+                        F.col("_hsh").alias("_sh_b")), "doc_b")
         .select(
             "doc_a", "doc_b",
             # Raw IEEE division of two exact ints — bit-identical in any

@@ -42,14 +42,19 @@ def grouped_median(df: DataFrame, *, group_col: str, value_col: str,
 
 
 def grouped_minmax_scale(df: DataFrame, *, group_col: str, id_col: str,
-                         value_col: str) -> DataFrame:
+                         value_col: str, group_type: str = "string") -> DataFrame:
     """applyInPandas grouped-map: per-group min-max scaling.
 
     Output: (group, id, value, scaled) where scaled = (x-min)/(max-min)
     (NULL for degenerate single-value groups). min/max are order-
     independent, so the result is deterministic under any partitioning.
+
+    Scale note: applyInPandas materializes each group as ONE pandas
+    DataFrame in ONE Python worker — the group key must be high-
+    cardinality / bounded-size (e.g. a key-range bucket), never a
+    handful-of-values enum, or the biggest group OOMs at 100 TB.
     """
-    schema = (f"{group_col} string, {id_col} long, {value_col} double,"
+    schema = (f"{group_col} {group_type}, {id_col} long, {value_col} double,"
               f" scaled double")
 
     def scale(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -52,6 +52,10 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_minhash_lsh", oracle=f"""
 WITH sh AS (
   SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
+), hs AS (
+  SELECT doc_id, list_transform(shingles,
+         s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hsh
+  FROM sh
 ), sigs AS (
   SELECT doc_id, shingles,
          list_transform(range(0, 16), j -> list_min(list_transform(
@@ -68,17 +72,19 @@ WITH sh AS (
    AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b,
-       CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-         / len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
+       CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE)
+         / len(list_distinct(sa.hsh || sb.hsh)) AS jaccard
 FROM cand
-JOIN sh sa ON sa.doc_id = doc_a
-JOIN sh sb ON sb.doc_id = doc_b
-WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-        / len(list_distinct(sa.shingles || sb.shingles)) >= 0.5
+JOIN hs sa ON sa.doc_id = doc_a
+JOIN hs sb ON sb.doc_id = doc_b
+WHERE CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE)
+        / len(list_distinct(sa.hsh || sb.hsh)) >= 0.5
 """, doc="MinHash-LSH near-dup pairs: 16 md5 min-hashes over word-3-gram "
          "shingles, 4 bands × 4 rows, bucket join, exact-Jaccard verify "
          "at τ=0.5. Signature build is shuffle-free; the bucket join is "
-         "the only shuffle and its width is bounded by collisions.")
+         "the only shuffle and its width is bounded by collisions. The "
+         "verify joins shuffle 60-bit shingle HASHES (8B/element, md5-"
+         "derived so the oracle mirrors them), never raw shingle strings.")
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, id_col="doc_id", text_col="text",

@@ -466,38 +466,51 @@ def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("agg_pandas_median", oracle="""
-SELECT l_returnflag, median(l_quantity) AS median_qty
-FROM lineitem GROUP BY l_returnflag
+SELECT l_orderkey // 128 AS okey_bucket, median(l_quantity) AS median_qty
+FROM lineitem GROUP BY 1
 """, doc="Grouped-agg pandas UDF (Arrow-batched): exact interpolated "
          "median per group — the declared UDAF surface. Order-"
          "independent by construction (sort inside the UDF, one exact "
-         "(a+b)/2), so it hash-matches DuckDB's quantile_cont median.")
+         "(a+b)/2), so it hash-matches DuckDB's quantile_cont median. "
+         "Keyed on an orderkey RANGE BUCKET, not a low-cardinality "
+         "enum: a grouped-agg UDF materializes the whole group in one "
+         "Python worker, so group size must stay bounded (~0.5k rows "
+         "here) while group COUNT grows with the data — the shape that "
+         "survives 100 TB. The scale-safe pure-SQL alternative for "
+         "low-cardinality keys is agg_quantiles' sort+row_number pick.")
 def agg_pandas_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pandas_udfs import grouped_median
-    li = load_table(spark, sf_dir, "lineitem")
-    return grouped_median(li, group_col="l_returnflag",
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select(F.expr("l_orderkey div 128").alias("okey_bucket"),
+                  "l_quantity"))
+    return grouped_median(li, group_col="okey_bucket",
                           value_col="l_quantity", alias="median_qty")
 
 
 @register("grouped_minmax_scale", oracle="""
-SELECT l_returnflag, l_orderkey * 10 + l_linenumber AS line_id, l_quantity,
+SELECT l_orderkey // 128 AS okey_bucket,
+       l_orderkey * 10 + l_linenumber AS line_id, l_quantity,
        CASE WHEN MAX(l_quantity) OVER w > MIN(l_quantity) OVER w
             THEN (l_quantity - MIN(l_quantity) OVER w)
                  / (MAX(l_quantity) OVER w - MIN(l_quantity) OVER w)
             END AS scaled
 FROM lineitem
-WINDOW w AS (PARTITION BY l_returnflag)
+WINDOW w AS (PARTITION BY l_orderkey // 128)
 """, doc="applyInPandas grouped-map: per-group min-max scaling — the "
          "declared grouped-map UDF surface. min/max are order-"
          "independent and the scale is one IEEE op per row, so the "
-         "Arrow path still hash-matches the window-SQL oracle.")
+         "Arrow path still hash-matches the window-SQL oracle. Keyed "
+         "on an orderkey range bucket (bounded group size, group count "
+         "grows with the data) — see agg_pandas_median's scale note; "
+         "the window-SQL oracle IS the scale path for low-cardinality "
+         "keys.")
 def grouped_minmax_scale_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pandas_udfs import grouped_minmax_scale
     li = (load_table(spark, sf_dir, "lineitem")
-          .select("l_returnflag",
+          .select(F.expr("l_orderkey div 128").alias("okey_bucket"),
                   F.expr("l_orderkey * 10 + l_linenumber").alias("line_id"),
                   "l_quantity"))
-    return grouped_minmax_scale(li, group_col="l_returnflag",
+    return grouped_minmax_scale(li, group_col="okey_bucket", group_type="long",
                                 id_col="line_id", value_col="l_quantity")
 
 

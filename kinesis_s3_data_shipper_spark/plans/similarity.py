@@ -18,9 +18,11 @@ from ..operators.similarity import (cosine_pairs, cosine_topk, hyperplanes,
 from ..sources.tables import load_table
 from .base import register
 
-#: Query-vector selector shared by Spark and oracle: a bounded, sf-
-#: independent sample (every 97th id) so brute force stays O(|Q|·n).
-_QUERY_PRED = "vec_id % 97 = 0"
+#: Query-vector selector shared by Spark and oracle: every 97th id for
+#: spread, HARD-CAPPED at 256 queries (vec_id < 97*256) so |Q| is a
+#: constant independent of corpus size — the broadcast stays small and
+#: brute force stays O(256·n), not O(n²/97), at any scale factor.
+_QUERY_PRED = "vec_id % 97 = 0 AND vec_id < 24832"
 
 
 @register("ann_bruteforce_topk", oracle=f"""

@@ -66,13 +66,34 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", default=None,
                    help="checkpoint dir (required with --stream)")
     p.add_argument("--token", default=None,
-                   help="ingest-API token (redacted in logs; unused by "
-                        "the parquet sink)")
+                   help="ingest-API bearer token (redacted in logs; used "
+                        "by --post-url, unused by the parquet sink)")
     p.add_argument("--payloads", action="store_true",
                    help="also write assembled payload JSON (tags+events "
                         "batches) under <output>_payloads")
+    p.add_argument("--post-url", default=None,
+                   help="with --payloads: POST each payload to this base "
+                        "URL's structured-ingest endpoint through a "
+                        "per-executor pooled transport (the reference's "
+                        "HTTP sink, with idempotency keys + retry)")
     p.add_argument("--debug", action="store_true")
     return p
+
+
+def _read_processed(spark, processed_dir: str) -> DataFrame | None:
+    """Read the processed-keys table; None only when the path doesn't
+    exist yet (first run). Any OTHER failure (corrupt parquet,
+    permissions, transient FS error) must fail the run — silently
+    treating it as 'first run' would disable dedup tracking and
+    re-append every previously-shipped file."""
+    from pyspark.errors import AnalysisException
+    try:
+        return spark.read.parquet(processed_dir)
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        raise
 
 
 def run_batch(spark, ns) -> int:
@@ -83,33 +104,61 @@ def run_batch(spark, ns) -> int:
     if ns.prefix:
         raw = raw.filter(F.col("path").startswith(ns.prefix))
     if ns.processed_dir:
-        try:
-            processed = spark.read.parquet(ns.processed_dir)
+        processed = _read_processed(spark, ns.processed_dir)
+        if processed is not None:
             raw = filter_unprocessed(raw, processed, key_col="path")
-        except Exception:
-            pass  # first run: nothing recorded yet
+
+    # Materialize the work list ONCE (sorted — the reference's
+    # lexicographic work-list order, K:292) and pin the whole run to
+    # this snapshot: the write and the processed-record below must see
+    # the SAME file set, or a file landing between two lazy re-listings
+    # gets recorded as processed without its events ever being written.
+    # Driver memory: path strings only — the same order of magnitude
+    # Spark's own InMemoryFileIndex already holds for this listing.
+    worklist = sorted(r.path for r in raw.select("path").collect())
     # Empty-input short-circuit (reference parity, K:284-286).
-    paths = raw.select("path")
-    if paths.limit(1).count() == 0:
+    if not worklist:
         print("no unprocessed input files matched; nothing to do",
               file=sys.stderr)
         return 0
+    work_df = spark.createDataFrame([(p,) for p in worklist], "path string")
+    raw = raw.join(F.broadcast(work_df), "path", "left_semi")
 
     # Observability (reference logs block/event counts, K:114-117, 133,
     # 170): df.observe attaches the metric to the job itself — no
-    # second scan, readable after the action.
+    # second scan, readable after the action. collect_set(file) is
+    # bounded by the run's file count (same scale as the snapshot) and
+    # lets us warn per zero-output file like the reference's
+    # "0 message blocks" path (K:114-115).
     from pyspark.sql import Observation
     obs = Observation("shipper")
     events = (flatten_events(parse_blocks(split_blocks(raw)))
               .observe(obs, F.count(F.lit(1)).alias("n_events"),
-                       F.approx_count_distinct("file").alias("n_files")))
+                       F.collect_set("file").alias("files_with_events")))
     events.write.mode("append").parquet(ns.output)
-    print(json.dumps({"metrics": obs.get}), file=sys.stderr)
+    metrics = obs.get
+    files_with_events = set(metrics["files_with_events"])
+    for path in worklist:
+        if path not in files_with_events:
+            print(f"warning: 0 message blocks in {path}", file=sys.stderr)
+    print(json.dumps({"metrics": {
+        "n_events": metrics["n_events"],
+        "n_files": len(files_with_events),
+        "n_files_empty": len(worklist) - len(files_with_events)}}),
+        file=sys.stderr)
     if ns.payloads:
-        build_payloads(events, ns.batch_size).write.mode("append").parquet(
-            ns.output + "_payloads")
+        pay = build_payloads(events, ns.batch_size)
+        if ns.post_url:
+            pay = pay.persist()  # one compute for both write and POST
+        pay.write.mode("append").parquet(ns.output + "_payloads")
+        if ns.post_url:
+            from .ingest.sink import send_payloads
+            from .ingest.transport import http_transport_factory
+            send_payloads(pay, http_transport_factory(ns.post_url, ns.token))
+            pay.unpersist()
     if ns.processed_dir:
-        record_processed(ns.processed_dir, paths, key_col="path")
+        # The static snapshot — NOT a re-listing — becomes the record.
+        record_processed(ns.processed_dir, work_df, key_col="path")
     return 0
 
 

@@ -160,3 +160,49 @@ def test_sink_delivers_and_retries(spark):
     with pytest.raises(RuntimeError, match="undeliverable"):
         deliver_partition([Row('{"c":3}')], dead, max_retries=1,
                           backoff_s=0.0)
+
+
+def test_sink_fails_fast_on_permanent_4xx():
+    """Permanent client errors (401/400) must NOT burn the retry loop —
+    one attempt, immediate raise; 429 stays retryable."""
+    from kinesis_s3_data_shipper_spark.ingest.sink import deliver_partition
+
+    class Row:
+        def __init__(self, payload):
+            self.payload = payload
+            self.file, self.block_index, self.batch_id = "f", 0, 0
+
+    calls = []
+
+    def unauthorized(request):
+        calls.append(1)
+        return 401
+
+    with pytest.raises(RuntimeError, match="permanent"):
+        deliver_partition([Row('{"a":1}')], unauthorized, max_retries=3,
+                          backoff_s=0.0)
+    assert len(calls) == 1  # no retries on a permanent error
+
+    throttled = []
+
+    def throttle_then_ok(request):
+        throttled.append(1)
+        return 429 if len(throttled) == 1 else 200
+
+    assert deliver_partition([Row('{"b":2}')], throttle_then_ok,
+                             backoff_s=0.0) == 1
+    assert len(throttled) == 2  # 429 retried, then delivered
+
+
+def test_transport_url_and_headers():
+    from kinesis_s3_data_shipper_spark.ingest.transport import (build_headers,
+                                                                build_url)
+    assert (build_url("http://h:8080/", "/api/v1/ingest/humio-structured")
+            == "http://h:8080/api/v1/ingest/humio-structured")
+    assert (build_url("http://h", "api/x")
+            == "http://h/api/x")
+    h = build_headers("tkn", "k123")
+    assert h["Authorization"] == "Bearer tkn"
+    assert h["X-Idempotency-Key"] == "k123"
+    assert h["Content-Type"] == "application/json"
+    assert "Authorization" not in build_headers(None, "k")

@@ -40,8 +40,13 @@ def test_batch_run_and_incremental_skip(spark, landing, tmp_path, capsys):
                  "--processed-dir", processed, "--token", "hush"]) == 0
     n_first = spark.read.parquet(out).count()
     assert n_first > 0
+    err = capsys.readouterr().err
     # Token never echoed in clear.
-    assert "hush" not in capsys.readouterr().err
+    assert "hush" not in err
+    # Per-file zero-block warning (reference parity, K:114-115): the
+    # fixture's empty.dat has no DATA_MESSAGE blocks.
+    assert "warning: 0 message blocks in" in err
+    assert "empty.dat" in err
 
     # Re-run: every file already tracked → short-circuit, no new rows.
     assert main(["--input", landing, "--output", out,
@@ -61,6 +66,55 @@ def test_batch_payloads_written(spark, landing, tmp_path):
     assert sum(r.n_events for r in rows) == spark.read.parquet(out).count()
     body = json.loads(rows[0].payload)
     assert set(body) == {"tags", "events"}
+
+
+def test_batch_post_http_e2e(spark, landing, tmp_path):
+    """--payloads --post-url against a real local HTTP server: executor
+    workers POST through the pooled transport; the server (driver
+    process) must see every payload with auth + idempotency headers."""
+    import http.server
+    import threading
+
+    received = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            received.append((self.path, dict(self.headers), body))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *args):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        out = str(tmp_path / "ev")
+        assert main(["--input", landing, "--output", out, "--payloads",
+                     "--post-url", url, "--token", "tkn",
+                     "--batch-size", "40"]) == 0
+        n_payloads = spark.read.parquet(out + "_payloads").count()
+        assert len(received) == n_payloads > 0
+        path, headers, body = received[0]
+        assert path == "/api/v1/ingest/humio-structured"
+        assert headers["Authorization"] == "Bearer tkn"
+        assert headers["X-Idempotency-Key"]
+        assert set(json.loads(body)) == {"tags", "events"}
+    finally:
+        srv.shutdown()
+
+
+def test_processed_dir_read_errors_are_fatal(spark, landing, tmp_path):
+    """A corrupt processed-dir must FAIL the run, not silently disable
+    tracking (which would re-append every previously-shipped file)."""
+    processed = tmp_path / "processed"
+    processed.mkdir()
+    (processed / "part-00000.parquet").write_bytes(b"this is not parquet")
+    with pytest.raises(Exception):
+        main(["--input", landing, "--output", str(tmp_path / "o"),
+              "--processed-dir", str(processed)])
 
 
 def test_stream_requires_checkpoint(landing, tmp_path):

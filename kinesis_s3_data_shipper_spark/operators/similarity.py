@@ -77,6 +77,54 @@ def sql_lsh_bucket(vec_col: str, planes: list[list[float]]) -> str:
     return "concat(" + ", ".join(bits) + ")"
 
 
+# ----------------------------------------------------------------- IVF
+
+def fold_norm(vec: list[float]) -> float:
+    """The engines' sequential-fold L2 norm, replicated in Python.
+
+    Every op is an IEEE double op in the same order as functions.
+    vectors.norm / sql_norm (acc + x*x left fold, then sqrt), so the
+    value embedded as a plan literal is bit-identical to what either
+    engine would compute from the same vector."""
+    import math
+    acc = 0.0
+    for x in vec:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def ivf_cluster(vec_col: str, centroids: list[list[float]]) -> Column:
+    """IVF coarse-quantizer assignment as ONE shuffle-free projection.
+
+    centroid_id = argmax_j cosine(vec, C_j), ties → lowest j (matches
+    an ORDER BY cos DESC, cid pick). The centroid vectors and their
+    fold-norms are embedded as plan literals, so assignment costs
+    K·d flops per row inside WholeStageCodegen — no join, no shuffle,
+    which is what lets a 100 TB corpus be clustered in the scan
+    itself. The row's own norm and the cosine array are let-bound
+    (operators.dedup.let) so each fold runs once per row however
+    Catalyst collapses the projections.
+    """
+    from .dedup import let
+    cos_exprs = []
+    for c in centroids:
+        lit = _plane_literal(c)
+        n = fold_norm(c)
+        cos_exprs.append(
+            f"(aggregate(zip_with({vec_col}, {lit},"
+            f" (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE),"
+            f" (acc, v) -> acc + v)"
+            f" / (nv * CAST({n!r} AS DOUBLE)))")
+    arr = "array(" + ",".join(cos_exprs) + ")"
+    norm_sql = (f"sqrt(aggregate({vec_col}, CAST(0 AS DOUBLE),"
+                f" (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+    # array_position is 1-based and returns the FIRST match → lowest
+    # centroid id wins ties, exactly like the oracle's window pick.
+    body = let(arr, "cs",
+               "CAST(array_position(cs, array_max(cs)) - 1 AS BIGINT)")
+    return F.expr(let(norm_sql, "nv", body))
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
                 vec_col: str, k: int, round_dp: int = 6) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.

@@ -130,6 +130,82 @@ def ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rank") <= 3))
 
 
+#: IVF coarse-quantizer size. Centroids are the K lowest-vec_id vectors
+#: — a deterministic, data-derived codebook both engines recompute
+#: identically (production would k-means these; the probe machinery is
+#: unchanged either way).
+_IVF_K = 16
+
+
+def _ivf_probe_oracle() -> str:
+    return f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id < {_IVF_K}
+), asg AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {sql_cosine('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+  FROM embeddings e CROSS JOIN c
+), a AS (
+  SELECT vec_id, embedding, cid AS cluster FROM asg WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv, cluster FROM a
+  WHERE {_QUERY_PRED}
+), scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         ROUND({sql_cosine('q.qv', 'a.embedding')}, 6) AS cos
+  FROM a JOIN q ON a.cluster = q.cluster
+  WHERE a.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+@register("ann_ivf_probe", oracle=_ivf_probe_oracle(),
+          doc="IVF-style ANN (the other standard 100 TB search path, "
+              "alongside sign-LSH): a K-centroid coarse quantizer "
+              "assigns every vector to its nearest-cosine centroid in "
+              "ONE shuffle-free projection (centroids + fold-norms are "
+              "plan literals), then queries probe only their own "
+              "cluster via an equi-join — per-query work n/K instead "
+              "of n. nprobe=1 here; production raises nprobe for "
+              "recall. The oracle recomputes the identical assignment "
+              "with a window argmax over the same sequential-fold "
+              "cosines, so the candidate sets match exactly.")
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import dot, norm
+    from ..operators.similarity import ivf_cluster
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Bounded driver-side collect: exactly K centroid vectors, embedded
+    # as plan literals (the hyperplanes pattern — not a join input).
+    cents = [list(map(float, r.embedding)) for r in
+             emb.filter(F.col("vec_id") < _IVF_K)
+                .orderBy("vec_id").collect()]
+    b = emb.select("vec_id", "embedding",
+                   norm("embedding").alias("_n"),
+                   ivf_cluster("embedding", cents).alias("cluster"))
+    q = (b.filter(F.expr(_QUERY_PRED))
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qv"),
+                 F.col("_n").alias("_qn"), "cluster"))
+    scored = (b.join(F.broadcast(q), "cluster")
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      F.round(dot("qv", "embedding")
+                              / (F.col("_qn") * F.col("_n")), 6)
+                       .alias("cos")))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (scored.select("query_id", "neighbor_id", "cos",
+                          F.row_number().over(w).cast("long").alias("rank"))
+            .filter(F.col("rank") <= 3))
+
+
 @register("ann_lsh_buckets", oracle=_lsh_oracle(),
           doc="Sign-LSH coarse index: 8 deterministic hyperplanes → 8-bit "
               "bucket per vector → occupancy stats. The bucket key is the "

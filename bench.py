@@ -31,11 +31,15 @@ HEADLINE = [
     "sessionize",
     "asof_join",
     "dedup_minhash_lsh",
+    "dedup_clusters_cc",
     "dedup_exact_hash",
     "ann_bruteforce_topk",
     "ann_lsh_probe",
+    "ann_ivf_probe",
     "text_quality",
     "text_tfidf_top_terms",
+    "sample_hash_stratified",
+    "q6_forecast_revenue",
     "ingest_pipeline",
 ]
 

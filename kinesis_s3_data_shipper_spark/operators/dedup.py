@@ -160,6 +160,56 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str, text_col: str,
         .filter(F.col("jaccard") >= threshold))
 
 
+def connected_components(edges: DataFrame, *, src: str = "doc_a",
+                         dst: str = "doc_b",
+                         max_iters: int = 25) -> DataFrame:
+    """Connected components over an undirected edge list via min-label
+    propagation: every node's label converges to the smallest node id
+    reachable from it. Returns (node, component_id).
+
+    This is the step that turns near-dup PAIRS into dedup CLUSTERS —
+    transitive closure (A~B, B~C → {A,B,C} one group, keep one doc) —
+    which pair output alone cannot express.
+
+    Scale design: each iteration is one shuffle join + one min-agg,
+    i.e. the same dataflow GraphFrames/Pregel uses; `localCheckpoint`
+    truncates lineage every round so plan depth stays O(1) instead of
+    O(iters). Iterations needed = graph diameter, and near-dup graphs
+    are unions of small dense clusters (diameter ≲ a few), so the loop
+    exits after 2-4 rounds with the early-convergence check. For
+    adversarial long-chain graphs, swap in large-star/small-star
+    (O(log n) rounds) — the per-round dataflow is identical.
+
+    The per-iteration driver action (the convergence count) is loop
+    control, not data movement — it collects ONE number.
+    """
+    sym = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+           .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+           .distinct()
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    labels = (sym.select(F.col("s").alias("node")).distinct()
+              .select("node", F.col("node").alias("label"))
+              .localCheckpoint())
+    for _ in range(max_iters):
+        nbr = (sym.join(labels, F.col("s") == F.col("node"))
+               .groupBy(F.col("d").alias("node"))
+               .agg(F.min("label").alias("nbr_label")))
+        new = (labels.join(nbr, "node", "left")
+               .select("node",
+                       F.least("label", F.coalesce("nbr_label", "label"))
+                       .alias("label"))
+               .localCheckpoint())
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .limit(1).count())
+        labels = new
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("node", F.col("label").alias("component_id"))
+
+
 def simhash_bits(text_col: str, num_bits: int = 32) -> Column:
     """SimHash fingerprint as a bit-string column.
 

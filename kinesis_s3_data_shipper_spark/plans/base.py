@@ -62,6 +62,7 @@ def _load_all() -> None:
     from . import ingest  # noqa: F401
     from . import streaming  # noqa: F401
     from . import text  # noqa: F401
+    from . import sampling  # noqa: F401
     from . import relational  # noqa: F401
     from . import events  # noqa: F401
 

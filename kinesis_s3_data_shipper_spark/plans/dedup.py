@@ -49,8 +49,9 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("doc_id").alias("keeper_doc_id")))
 
 
-@register("dedup_minhash_lsh", oracle=f"""
-WITH sh AS (
+#: The minhash-LSH verified-pairs pipeline as a CTE block, shared by the
+#: pairs oracle and the connected-components clusters oracle.
+_SQL_MINHASH_CTES = f"""sh AS (
   SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
 ), hs AS (
   SELECT doc_id, list_transform(shingles,
@@ -70,15 +71,21 @@ WITH sh AS (
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.bucket = b.bucket
    AND a.doc_id < b.doc_id
-)
-SELECT doc_a, doc_b,
-       CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE)
-         / len(list_distinct(sa.hsh || sb.hsh)) AS jaccard
-FROM cand
-JOIN hs sa ON sa.doc_id = doc_a
-JOIN hs sb ON sb.doc_id = doc_b
-WHERE CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE)
-        / len(list_distinct(sa.hsh || sb.hsh)) >= 0.5
+), pairs AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE)
+           / len(list_distinct(sa.hsh || sb.hsh)) AS jaccard
+  FROM cand
+  JOIN hs sa ON sa.doc_id = doc_a
+  JOIN hs sb ON sb.doc_id = doc_b
+  WHERE CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE)
+          / len(list_distinct(sa.hsh || sb.hsh)) >= 0.5
+)"""
+
+
+@register("dedup_minhash_lsh", oracle=f"""
+WITH {_SQL_MINHASH_CTES}
+SELECT doc_a, doc_b, jaccard FROM pairs
 """, doc="MinHash-LSH near-dup pairs: 16 md5 min-hashes over word-3-gram "
          "shingles, 4 bands × 4 rows, bucket join, exact-Jaccard verify "
          "at τ=0.5. Signature build is shuffle-free; the bucket join is "
@@ -90,6 +97,39 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, id_col="doc_id", text_col="text",
                              shingle_k=3, num_hashes=16, num_bands=4,
                              threshold=0.5)
+
+
+@register("dedup_clusters_cc", oracle=f"""
+WITH RECURSIVE {_SQL_MINHASH_CTES},
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), nodes AS (
+  SELECT DISTINCT s AS node FROM edges
+), reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.node, e.d FROM reach JOIN edges e ON reach.r = e.s
+)
+SELECT node, MIN(r) AS component_id FROM reach GROUP BY node
+""", doc="Near-dup CLUSTERS: the transitive closure of the verified "
+         "minhash-LSH pairs (A~B, B~C => {A,B,C} is one dedup group, "
+         "keep component_id = lowest doc_id). Spark runs min-label "
+         "propagation — per round one shuffle join + min-agg, lineage "
+         "truncated via localCheckpoint, early-exit on convergence "
+         "(near-dup graphs are small-diameter, so 2-4 rounds). The "
+         "oracle computes the identical closure with a recursive CTE. "
+         "Iterative => non-SQL on the Spark side; this is the step the "
+         "reference's pair-level dedupe (kinesis-to-humio.py:210-216) "
+         "cannot express.")
+def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, id_col="doc_id", text_col="text",
+                              shingle_k=3, num_hashes=16, num_bands=4,
+                              threshold=0.5)
+    return connected_components(pairs, src="doc_a", dst="doc_b")
 
 
 @register("dedup_simhash", oracle="""

@@ -847,3 +847,112 @@ def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.date_format(F.date_trunc("month", "o_orderdate"),
                                    "yyyy-MM").alias("order_month"))
             .agg(F.count("*").alias("n"), dsum("o_totalprice", "sum_total")))
+
+
+# ----------------------------------------------------------------------
+# TPC-H-adapted correlated-subquery class (q4/q6/q13/q17 shapes, keyed
+# to the reduced testdata schema — no commitdate/receiptdate/comment
+# columns, so the predicates are adapted but the operator shapes are
+# the classics: EXISTS decorrelation, selective scan-agg, left-join
+# count distribution, correlated scalar-average subquery).
+
+@register("q4_exists_priority", oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+""", doc="TPC-H q4 shape: EXISTS correlated subquery -> Catalyst "
+         "decorrelates to a left-semi join on the order key with the "
+         "cross-column date predicate; one shuffle, then a tiny "
+         "5-group agg. The slow-shipment predicate replaces q4's "
+         "commitdate/receiptdate columns absent from this schema.")
+def q4_exists_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                      "l_shipdate")
+    slow = (orders.join(
+        li, (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate")
+               > F.expr("o_orderdate + INTERVAL 60 DAY")), "left_semi"))
+    return (slow.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count")))
+
+
+@register("q6_forecast_revenue", oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+             * CAST(l_discount AS DECIMAL(8,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""", doc="TPC-H q6: pure scan-side revenue forecast — every predicate "
+         "pushes to the parquet reader (min/max row-group skipping on "
+         "l_shipdate at scale), zero joins, one-row result. The "
+         "canonical 'is pushdown working' probe.")
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_shipdate") >= "1996-01-01")
+                      & (F.col("l_shipdate") < "1997-01-01")
+                      & F.col("l_discount").between(0.05, 0.07)
+                      & (F.col("l_quantity") < 24))
+            .agg(F.sum(F.col("l_extendedprice").cast(MONEY)
+                       * F.col("l_discount").cast(RATE))
+                  .cast("double").alias("revenue"),
+                 F.count("*").alias("n_rows")))
+
+
+@register("q13_order_distribution", oracle="""
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+GROUP BY c_count
+""", doc="TPC-H q13: orders-per-customer distribution — left join "
+         "preserving order-less customers (COUNT of the null key is "
+         "0), two-level aggregation. The outer agg's key cardinality "
+         "is tiny, so the second shuffle is negligible at any scale.")
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey",
+                                                        "o_orderkey")
+    per_cust = (cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register("q17_small_qty_revenue", oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE)
+         / 7.0 AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (
+    SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = p_partkey)
+""", doc="TPC-H q17: correlated scalar-average subquery. Spark plans "
+         "it as a per-part average aggregated once and joined back — "
+         "the decorrelation Catalyst itself applies — with the tiny "
+         "brand-filtered part side broadcast into both joins.")
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (load_table(spark, sf_dir, "part")
+            .filter(F.col("p_brand") == "Brand#23")
+            .select("p_partkey"))
+    # Aggregate per-part averages BEFORE touching only-brand rows? No:
+    # the average is over ALL lineitems of the part (per spec), but
+    # only brand-filtered parts matter — so semi-reduce lineitem to
+    # those parts first via the broadcast part dim, then compute the
+    # threshold on that bounded subset.
+    li_brand = li.join(F.broadcast(part),
+                       li.l_partkey == part.p_partkey)
+    thresh = (li_brand.groupBy("l_partkey")
+              .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_cap")))
+    return (li_brand.join(F.broadcast(thresh), "l_partkey")
+            .filter(F.col("l_quantity") < F.col("qty_cap"))
+            .agg((F.sum(F.col("l_extendedprice").cast(MONEY))
+                  .cast("double") / 7.0).alias("avg_yearly")))

@@ -1,0 +1,91 @@
+"""Deterministic sampling / split assignment (north-star ⊕): the two
+sampling primitives a training-data pipeline runs constantly.
+
+Both are HASH-gated, not rand()-gated: `rand()` is neither engine-
+portable nor stable under retries/re-partitioning, so a production
+sample must key off a content hash. md5-derived 60-bit uniform ints
+(the same portable-hash convention as operators/dedup.shingle_hashes)
+make the sample reproducible bit-for-bit in any engine — the oracle
+replays the identical gate.
+
+Scale: each query is one shuffle-free projection + filter; the
+predicate is sargable-adjacent (a cheap per-row hash), so a 100 TB
+sample is a single scan with no driver involvement and no skew (md5 is
+uniform regardless of key distribution).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .base import register
+
+
+def _u100_spark(key_sql: str) -> str:
+    """Uniform [0,100) int from a key expression (Spark SQL spelling)."""
+    return (f"pmod(CAST(conv(substring(md5({key_sql}), 1, 15), 16, 10)"
+            f" AS BIGINT), 100)")
+
+
+def _u100_duck(key_sql: str) -> str:
+    """The identical gate in DuckDB spelling."""
+    return f"(CAST('0x' || substr(md5({key_sql}), 1, 15) AS BIGINT) % 100)"
+
+
+#: Per-stratum sample percentages for the stratified query.
+_RATES = {"A": 2, "N": 1, "R": 5}
+_RATE_SPARK = ("CASE l_returnflag " +
+               " ".join(f"WHEN '{k}' THEN {v}" for k, v in _RATES.items()) +
+               " ELSE 0 END")
+
+_LI_KEY_SPARK = ("concat(CAST(l_orderkey AS STRING), '-',"
+                 " CAST(l_linenumber AS STRING))")
+_LI_KEY_DUCK = ("CAST(l_orderkey AS VARCHAR) || '-'"
+                " || CAST(l_linenumber AS VARCHAR)")
+
+
+@register("sample_hash_stratified", oracle=f"""
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       {_u100_duck(_LI_KEY_DUCK)} AS hash_bucket
+FROM lineitem
+WHERE {_u100_duck(_LI_KEY_DUCK)} <
+      CASE l_returnflag WHEN 'A' THEN 2 WHEN 'N' THEN 1
+                        WHEN 'R' THEN 5 ELSE 0 END
+""", doc="Stratified sampling with per-stratum rates (A:2%, N:1%, "
+         "R:5%) gated on a portable md5 hash of the row key — "
+         "reproducible under retries, engine-portable, skew-free. One "
+         "scan, no shuffle; the sample rate per stratum is exact in "
+         "expectation and independent of data order.")
+def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    u = F.expr(_u100_spark(_LI_KEY_SPARK))
+    return (li.select("l_orderkey", "l_linenumber", "l_returnflag",
+                      u.alias("hash_bucket"))
+            .filter(F.col("hash_bucket") < F.expr(_RATE_SPARK)))
+
+
+@register("split_train_val_test", oracle=f"""
+SELECT CASE WHEN {_u100_duck('CAST(doc_id AS VARCHAR)')} < 90 THEN 'train'
+            WHEN {_u100_duck('CAST(doc_id AS VARCHAR)')} < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM documents
+GROUP BY 1
+""", doc="Deterministic train/val/test assignment (90/5/5) by content "
+         "hash — the split a doc lands in never changes as the corpus "
+         "grows or re-partitions, unlike rand()-based splits. "
+         "Aggregated per split for a bounded result.")
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.expr(_u100_spark("CAST(doc_id AS STRING)"))
+    split = (F.when(u < 90, "train").when(u < 95, "val")
+             .otherwise("test").alias("split"))
+    return (docs.select(split, "doc_id")
+            .groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("min_doc_id"),
+                 F.max("doc_id").alias("max_doc_id")))

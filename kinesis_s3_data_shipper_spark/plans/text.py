@@ -182,3 +182,86 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("text", 256).alias("fp_sha256"),
         F.expr(f"array_min({grams})").alias("fp_winnow_min"),
         F.expr(f"array_max({grams})").alias("fp_winnow_max"))
+
+
+#: PII regexes, written in the common Java-regex ∩ RE2 dialect so Spark
+#: and the DuckDB oracle match byte-for-byte. DuckDB's regexp_replace
+#: needs the 'g' flag to match Spark's replace-all semantics.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+
+#: The synthetic corpus holds no real PII, so both engines append the
+#: SAME deterministic contact line per doc, then scrub it — proving the
+#: redaction actually fires (an all-zero match count proves nothing).
+_AUG_SPARK = ("concat(text, ' contact user', CAST(doc_id AS STRING),"
+              " '@mail.example.com from 10.',"
+              " CAST(doc_id % 200 AS STRING), '.0.1')")
+_AUG_DUCK = ("text || ' contact user' || CAST(doc_id AS VARCHAR)"
+             " || '@mail.example.com from 10.'"
+             " || CAST(doc_id % 200 AS VARCHAR) || '.0.1'")
+
+
+@register("text_pii_scrub", oracle=f"""
+WITH aug AS (SELECT doc_id, {_AUG_DUCK} AS t FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(t, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                      '{_PII_IPV4}', '[IP]', 'g') AS scrubbed,
+       len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(t, '{_PII_IPV4}')) AS n_ips
+FROM aug
+""", doc="PII redaction pass (emails, IPv4) — the scrub step every "
+         "training-data pipeline runs before tokenization. Pure JVM "
+         "regexp projection; patterns written in the Java-regex ∩ RE2 "
+         "common dialect so the oracle replays them identically.")
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DataFrame-API regex functions take the pattern verbatim — going
+    # through F.expr would put it through SQL string-literal escaping,
+    # which silently strips the \b/\d backslashes.
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.expr(_AUG_SPARK)
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(F.regexp_replace(aug, _PII_EMAIL, "[EMAIL]"),
+                         _PII_IPV4, "[IP]").alias("scrubbed"),
+        F.size(F.regexp_extract_all(aug, F.lit(_PII_EMAIL), F.lit(0)))
+         .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(_PII_IPV4), F.lit(0)))
+         .cast("long").alias("n_ips"))
+
+
+@register("text_quality_filter", oracle=f"""
+SELECT doc_id,
+       CASE WHEN len(string_split(text, ' ')) BETWEEN 30 AND 100000
+            THEN 1 ELSE 0 END AS words_ok,
+       CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                   / len(string_split(text, ' ')) BETWEEN 3 AND 10
+            THEN 1 ELSE 0 END AS wordlen_ok,
+       CASE WHEN len(list_filter(string_split(text, ' '),
+                                 w -> w IN ({_SW_SQL}))) >= 2
+            THEN 1 ELSE 0 END AS stopwords_ok,
+       CASE WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) >= 0.2
+            THEN 1 ELSE 0 END AS diversity_ok
+FROM documents
+""", doc="Gopher-style composite quality gate: word-count bounds, mean "
+         "word length, stopword presence, lexical-diversity floor — "
+         "each rule surfaced as its own flag so downstream can audit "
+         "WHY a doc was dropped. One JVM projection, no shuffle.")
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return docs.select(
+        "doc_id",
+        F.when(n_words.between(30, 100000), 1).otherwise(0)
+         .cast("long").alias("words_ok"),
+        F.when((F.length(F.regexp_replace("text", " ", "")).cast("double")
+                / n_words).between(3, 10), 1).otherwise(0)
+         .cast("long").alias("wordlen_ok"),
+        F.when(F.expr(f"size(filter(split(text, ' '),"
+                      f" w -> w IN ({sw})))") >= 2, 1).otherwise(0)
+         .cast("long").alias("stopwords_ok"),
+        F.when((F.size(F.array_distinct(words)).cast("double")
+                / n_words) >= 0.2, 1).otherwise(0)
+         .cast("long").alias("diversity_ok"))

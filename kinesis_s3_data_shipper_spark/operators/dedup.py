@@ -183,6 +183,8 @@ def connected_components(edges: DataFrame, *, src: str = "doc_a",
     The per-iteration driver action (the convergence count) is loop
     control, not data movement — it collects ONE number.
     """
+    from pyspark.sql import Observation
+
     sym = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
            .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
            .distinct()
@@ -190,21 +192,24 @@ def connected_components(edges: DataFrame, *, src: str = "doc_a",
     labels = (sym.select(F.col("s").alias("node")).distinct()
               .select("node", F.col("node").alias("label"))
               .localCheckpoint())
-    for _ in range(max_iters):
+    for i in range(max_iters):
         nbr = (sym.join(labels, F.col("s") == F.col("node"))
                .groupBy(F.col("d").alias("node"))
                .agg(F.min("label").alias("nbr_label")))
+        # One job per round: the eager localCheckpoint materializes the
+        # new labels AND (via observe) counts label changes in the same
+        # pass — no separate convergence-scan job.
+        obs = Observation(f"cc_round_{i}")
         new = (labels.join(nbr, "node", "left")
                .select("node",
                        F.least("label", F.coalesce("nbr_label", "label"))
-                       .alias("label"))
+                       .alias("label"),
+                       (F.coalesce("nbr_label", "label") < F.col("label"))
+                       .cast("long").alias("_changed"))
+               .observe(obs, F.sum("_changed").alias("n_changed"))
                .localCheckpoint())
-        changed = (new.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.label") != F.col("o.label"))
-                   .limit(1).count())
-        labels = new
-        if changed == 0:
+        labels = new.drop("_changed")
+        if not obs.get["n_changed"]:
             break
     sym.unpersist()
     return labels.select("node", F.col("label").alias("component_id"))

@@ -85,3 +85,48 @@ def test_no_python_udfs_in_core_queries(spark, name):
     plan = plan_of(spark, name)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_q6_predicates_reach_scan(spark):
+    plan = plan_of(spark, "q6_forecast_revenue")
+    # All four predicates push to the parquet reader (row-group
+    # skipping at scale); untouched wide columns are pruned.
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+    assert "l_partkey" not in plan
+
+
+def test_q17_broadcasts_brand_dim(spark):
+    plan = plan_of(spark, "q17_small_qty_revenue")
+    # The brand-filtered part dim and the per-part threshold both ride
+    # broadcasts — lineitem is never shuffled for the join.
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q4_exists_is_semi_join(spark):
+    plan = plan_of(spark, "q4_exists_priority")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sampling_is_scan_side(spark):
+    # The hash gate is one projection+filter over the scan: no shuffle
+    # at all in the sampled-rows plan (Exchange only above, for AQE's
+    # final coalesce of results, never hashpartitioning).
+    plan = plan_of(spark, "sample_hash_stratified")
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_quality_filter_stays_jvm(spark):
+    plan = plan_of(spark, "text_quality_filter")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_pii_scrub_stays_jvm(spark):
+    plan = plan_of(spark, "text_pii_scrub")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

@@ -956,3 +956,156 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("l_quantity") < F.col("qty_cap"))
             .agg((F.sum(F.col("l_extendedprice").cast(MONEY))
                   .cast("double") / 7.0).alias("avg_yearly")))
+
+
+@register("q7_nation_volume", oracle=f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       CAST(SUM({_SQL_REVENUE}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+""", doc="TPC-H q7 shape: six-way join with the same dimension (nation) "
+         "joined twice under different roles; the two nation sides and "
+         "supplier/customer dims all ride broadcasts, so the only big "
+         "shuffle is lineitem-orders.")
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nkey"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nkey"),
+                       F.col("n_name").alias("cust_nation"))
+    picked = F.col("supp_nation").isin("NATION_1", "NATION_2")
+    return (li
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+            .filter(picked
+                    & F.col("cust_nation").isin("NATION_1", "NATION_2")
+                    & (F.col("supp_nation") != F.col("cust_nation")))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("long").alias("l_year"))
+            .agg(F.sum(_revenue()).cast("double").alias("revenue")))
+
+
+@register("q15_top_supplier", oracle=f"""
+WITH rev AS (
+  SELECT l_suppkey, CAST(SUM({_SQL_REVENUE}) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+""", doc="TPC-H q15 shape: agg view + scalar MAX subquery over it, "
+         "equality on an exact-decimal-derived double (both engines "
+         "derive it identically, so the float equality is principled). "
+         "Spark computes the view once, max via a 1-row broadcast.")
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (li.filter((F.col("l_shipdate") >= "1996-01-01")
+                     & (F.col("l_shipdate") < "1996-04-01"))
+           .groupBy("l_suppkey")
+           .agg(F.sum(_revenue()).cast("double").alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (rev.join(F.broadcast(mx),
+                     rev.total_revenue == F.col("_mx"))
+            .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+            .select("s_suppkey", "s_name", "total_revenue"))
+
+
+@register("q21_sole_supplier", oracle="""
+SELECT s_name, COUNT(*) AS n_last_ship
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s_name
+""", doc="TPC-H q21 shape: EXISTS + NOT EXISTS both correlated on the "
+         "fact table itself with non-equi predicates — planned as a "
+         "semi join then an anti join, both shuffling only the order "
+         "key + supplier key + date, never full rows. Finds the "
+         "supplier that shipped LAST on multi-supplier finished "
+         "orders (the schema has no commitdate, so lateness is "
+         "re-expressed via ship order).")
+def q21_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    l1 = li.alias("l1")
+    l2 = li.alias("l2")
+    l3 = li.alias("l3")
+    base = (l1.join(orders.filter(F.col("o_orderstatus") == "F")
+                    .select("o_orderkey"),
+                    F.col("l1.l_orderkey") == F.col("o_orderkey")))
+    multi = base.join(
+        l2, (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_semi")
+    last = multi.join(
+        l3, (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey"))
+            & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
+        "left_anti")
+    return (last.join(F.broadcast(supp),
+                      F.col("l1.l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_name").agg(F.count("*").alias("n_last_ship")))
+
+
+@register("q22_idle_customers", oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n_custs,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(c_acctbal)
+    FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+""", doc="TPC-H q22 shape: global scalar-average subquery gating the "
+         "rows plus a NOT EXISTS anti join against the fact table — "
+         "wealthy customers with no orders, per segment. The scalar "
+         "is a 1-row broadcast; the anti join shuffles only keys. "
+         "(Idleness = no URGENT orders: this corpus gives every "
+         "customer at least one order, and an always-empty result "
+         "would be a vacuous check.)")
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_custkey"))
+    thresh = (cust.filter(F.col("c_acctbal") > 0.0)
+              .agg((F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+                    .cast("double") / F.count("c_acctbal")).alias("_avg")))
+    return (cust.join(F.broadcast(thresh),
+                      cust.c_acctbal > F.col("_avg"))
+            .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_custs"),
+                 F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+                  .cast("double").alias("total_acctbal")))

@@ -97,3 +97,22 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"sess_{uuid.uuid4().hex[:8]}"
     return streaming_session_windows(spark, landing, checkpoint=checkpoint,
                                      query_name=name)
+
+
+@register("streaming_enrich", oracle="""
+SELECT c_mktsegment, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+""", doc="Stream-static enrichment: the events stream joins the static "
+         "customer dimension (broadcast, re-read per micro-batch) and "
+         "aggregates per (segment, type) — checked against the batch "
+         "join oracle. The streaming twin of the reference's per-event "
+         "enrichment projection (kinesis-to-humio.py:144-148).")
+def streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import streaming_enriched_counts
+    landing, checkpoint = _stage_landing(sf_dir)
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    return streaming_enriched_counts(
+        spark, landing, os.path.join(sf_dir, "customer.parquet"),
+        checkpoint=checkpoint, query_name=name)

@@ -211,3 +211,29 @@ def streaming_ingest(spark: SparkSession, landing_dir: str, *,
              .option("checkpointLocation", checkpoint)
              .trigger(availableNow=True).start())
     query.awaitTermination()
+
+
+def streaming_enriched_counts(spark: SparkSession, events_dir: str,
+                              customer_path: str, *, checkpoint: str,
+                              query_name: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins the static
+    customer dimension (re-read each micro-batch, broadcast — the
+    standard streaming enrichment pattern), then aggregates per
+    (segment, event_type). Stateless join + stateful agg; at scale the
+    static side is a slowly-changing parquet/Delta dim and the
+    broadcast keeps the stream shuffle-free below the agg."""
+    events = _events_stream(spark, events_dir)
+    dim = (spark.read.parquet(customer_path)
+           .select(F.col("c_custkey").alias("user_id"), "c_mktsegment"))
+    enriched = (
+        events.join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+              .alias("sum_value")))
+    query = (enriched.writeStream.outputMode("complete")
+             .format("memory").queryName(query_name)
+             .option("checkpointLocation", checkpoint)
+             .trigger(availableNow=True).start())
+    query.awaitTermination()
+    return spark.table(query_name)

@@ -189,3 +189,25 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .pivot("event_type", list(EVENT_TYPES))
             .agg(F.count(F.lit(1)))
             .na.fill(0, list(EVENT_TYPES)))
+
+
+@register("scalar_json_map", oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+       len(json_keys(props)) AS n_keys
+FROM events
+WHERE CAST(json_extract(props, '$.k') AS BIGINT) % 7 = 0
+""", doc="Semi-structured JSON access: extract a typed field from the "
+         "props JSON column and count its keys, filtering on the "
+         "extracted value — all JVM-side (get_json_object / from_json "
+         "to MapType), no Python. The pattern for schema-on-read "
+         "attribute bags like the reference's opaque event attributes "
+         "(kinesis-to-humio.py:148).")
+def scalar_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.select(
+        "event_id", k.alias("k_value"),
+        F.size(F.map_keys(F.from_json("props", "map<string,string>")))
+         .cast("long").alias("n_keys"))
+        .filter(F.col("k_value") % 7 == 0))

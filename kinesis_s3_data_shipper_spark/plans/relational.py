@@ -1109,3 +1109,45 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_custs"),
                  F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
                   .cast("double").alias("total_acctbal")))
+
+
+@register("window_distribution", oracle="""
+SELECT s_nationkey, s_suppkey, s_acctbal,
+       ntile(4)       OVER w AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist()    OVER w AS cume
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+""", doc="Distribution window functions (ntile / percent_rank / "
+         "cume_dist) — the unique-key tiebreak makes ntile's row "
+         "assignment deterministic across engines.")
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return supp.select(
+        "s_nationkey", "s_suppkey", "s_acctbal",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"))
+
+
+@register("agg_approx_quantiles", oracle="""
+SELECT l_returnflag, COUNT(*) AS n, TRUE AS approx_ok
+FROM lineitem GROUP BY l_returnflag
+""", doc="percentile_approx (KLL-style sketch) accuracy-gated against "
+         "the exact percentile computed in the same Spark query: "
+         "approx_ok = (|approx_p50 - exact_p50| <= 5% of exact), "
+         "which the oracle asserts TRUE — the sketch's accuracy is "
+         "itself the checked value (same pattern as "
+         "agg_approx_distinct). At scale the sketch is one pass and "
+         "mergeable; the exact percentile needs a per-group sort.")
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"),
+                 F.expr("approx_percentile(l_extendedprice, 0.5, 1000)")
+                  .alias("_ap"),
+                 F.expr("percentile(l_extendedprice, 0.5)").alias("_ex"))
+            .select("l_returnflag", "n",
+                    (F.abs(F.col("_ap") - F.col("_ex"))
+                     <= 0.05 * F.abs(F.col("_ex"))).alias("approx_ok")))

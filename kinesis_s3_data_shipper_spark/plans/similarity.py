@@ -214,3 +214,64 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_bucket_stats(emb, id_col="vec_id", vec_col="embedding",
                             num_planes=8, dim=64)
+
+
+@register("kmeans_lloyd_iter", oracle=f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id < {_IVF_K}
+), asg AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {sql_cosine('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+  FROM embeddings e CROSS JOIN c
+), a AS (
+  SELECT vec_id, embedding, cid AS cluster FROM asg WHERE rn = 1
+), exp AS (
+  -- parallel unnests zip pairwise in DuckDB: (dim, value) per element
+  SELECT cluster,
+         unnest(generate_series(0, len(embedding) - 1)) AS dim,
+         unnest(embedding) AS x
+  FROM a
+)
+SELECT cluster, dim,
+       -- Explicit floor-quantization at 1e-7 before the exact integer
+       -- sum: floor() has no rounding-mode ambiguity (engines diverge
+       -- on decimal-cast HALF_UP vs HALF_EVEN ties; DuckDB's direct
+       -- float->decimal even rounds via the shortest float repr), and
+       -- the double multiply is the same IEEE op in both engines.
+       CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 10000000.0)
+                     AS DECIMAL(28,0))) AS DOUBLE)
+         / 10000000.0 / COUNT(*) AS c_val,
+       COUNT(*) AS n_members
+FROM exp GROUP BY cluster, dim
+""", doc="One Lloyd iteration of k-means over the embeddings: assign "
+         "every vector to its nearest-cosine centroid (the IVF "
+         "assignment — one shuffle-free projection with centroids as "
+         "plan literals), then recompute per-(cluster, dimension) "
+         "means. The mean floor-quantizes elements at 1e-7 then sums "
+         "exact integers - partition-order-independent and free of "
+         "decimal-cast rounding-mode ties across engines. Long format "
+         "(cluster, dim, c_val) keeps the oracle a plain unnest-"
+         "with-ordinality agg; production would loop this dataflow "
+         "with the new centroids re-collected as next-round literals "
+         "(the connected-components pattern: bounded driver state, "
+         "one shuffle per round).")
+def kmeans_lloyd_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_cluster
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [list(map(float, r.embedding)) for r in
+             emb.filter(F.col("vec_id") < _IVF_K)
+                .orderBy("vec_id").collect()]
+    assigned = emb.select(
+        "vec_id", "embedding",
+        ivf_cluster("embedding", cents).alias("cluster"))
+    return (assigned
+            .select("cluster", F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg((F.sum(F.floor(F.col("x").cast("double") * 10000000.0)
+                        .cast("decimal(28,0)")).cast("double")
+                  / 10000000.0 / F.count("*")).alias("c_val"),
+                 F.count("*").alias("n_members"))
+            .select("cluster", F.col("dim").cast("long").alias("dim"),
+                    "c_val", "n_members"))

@@ -265,3 +265,45 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((F.size(F.array_distinct(words)).cast("double")
                 / n_words) >= 0.2, 1).otherwise(0)
          .cast("long").alias("diversity_ok"))
+
+
+@register("text_repetition_filter", oracle="""
+WITH bg AS (
+  SELECT doc_id,
+         list_transform(
+             range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1),
+             i -> array_to_string(string_split(text, ' ')[i:i+1], ' '))
+           AS bigrams
+  FROM documents
+)
+SELECT doc_id,
+       len(bigrams) AS n_bigrams,
+       CAST(list_max(list_transform(list_distinct(bigrams),
+                b -> len(list_filter(bigrams, x -> x = b)))) AS DOUBLE)
+         / len(bigrams) AS top_bigram_frac,
+       CASE WHEN CAST(list_max(list_transform(list_distinct(bigrams),
+                     b -> len(list_filter(bigrams, x -> x = b)))) AS DOUBLE)
+                   / len(bigrams) <= 0.2
+            THEN 1 ELSE 0 END AS repetition_ok
+FROM bg
+""", doc="Gopher-style repetition signal: the fraction of all word "
+         "bigrams taken by the single most frequent bigram; boiler-"
+         "plate and looped generations score high and get gated. Pure "
+         "higher-order array expressions (let-bound so the bigram "
+         "build runs once per row), no shuffle, no Python.")
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import let
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = ("transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)),"
+               " i -> array_join(slice(split(text, ' '), i, 2), ' '))")
+    top_frac = let(
+        bigrams, "bg",
+        "CAST(array_max(transform(array_distinct(bg),"
+        " b -> size(filter(bg, x -> x = b)))) AS DOUBLE) / size(bg)")
+    return docs.select(
+        "doc_id",
+        F.expr(let(bigrams, "bg", "size(bg)")).cast("long")
+         .alias("n_bigrams"),
+        F.expr(top_frac).alias("top_bigram_frac"),
+        F.expr(f"CASE WHEN {top_frac} <= 0.2 THEN 1 ELSE 0 END")
+         .cast("long").alias("repetition_ok"))

@@ -17,6 +17,11 @@ from ..operators.dedup import (blocked_ngram_jaccard_pairs, minhash_lsh_pairs,
 from ..sources.tables import load_table
 from .base import register
 
+#: Embedding near-dup threshold — just under the corpus's max
+#: within-bucket cosine (~0.43-0.45 at every sf) so the dup set is
+#: non-empty; matches embedding_cosine_pairs' calibration.
+_EMB_DUP_TAU = 0.35
+
 #: DuckDB spelling of distinct word-3-gram shingles of `text`.
 _SQL_SHINGLES = ("list_distinct(list_transform("
                  " range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),"
@@ -154,6 +159,54 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("simhash32")
             .agg(F.count("*").alias("n_docs"),
                  F.min("doc_id").alias("keeper_doc_id")))
+
+
+def _emb_dedup_oracle() -> str:
+    from ..functions.vectors import sql_cosine
+    from ..operators.similarity import hyperplanes, sql_lsh_bucket
+    bucket = sql_lsh_bucket("embedding", hyperplanes(8, 64))
+    cos = sql_cosine("a.embedding", "b2.embedding")
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+  WHERE {cos} >= {_EMB_DUP_TAU}
+), k AS (
+  SELECT id_b, MIN(id_a) AS min_dup FROM pairs GROUP BY id_b
+)
+SELECT e.vec_id, COALESCE(k.min_dup, e.vec_id) AS keeper_vec_id,
+       CAST(CASE WHEN k.min_dup IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS is_near_dup
+FROM embeddings e LEFT JOIN k ON e.vec_id = k.id_b
+"""
+
+
+@register("dedup_embedding_cosine", oracle=_emb_dedup_oracle(),
+          doc="Embedding-cosine near-dup dedup (the brief's fifth dedup "
+              "mode): sign-LSH buckets block the corpus, within-bucket "
+              "pairs with cosine >= tau are near-dups, and every vector "
+              "maps to its earliest (lowest-id) near-duplicate as keeper "
+              "— 1-hop keeper assignment; transitive closure is "
+              "dedup_clusters_cc's job. Scale: the only quadratic work "
+              "is within-bucket (n/2^bits per bucket), the keeper agg "
+              "shuffles bare id pairs, and the left join back to the "
+              "corpus broadcasts the (tiny) dup map.")
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_pairs, hyperplanes, lsh_bucket
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.withColumn(
+        "bucket", lsh_bucket("embedding", hyperplanes(8, 64)))
+    pairs = cosine_pairs(bucketed, id_col="vec_id", vec_col="embedding",
+                         block_col="bucket", threshold=_EMB_DUP_TAU)
+    dup_map = pairs.groupBy("id_b").agg(F.min("id_a").alias("min_dup"))
+    return (emb.join(F.broadcast(dup_map),
+                     emb.vec_id == dup_map.id_b, "left")
+            .select(emb.vec_id,
+                    F.coalesce("min_dup", "vec_id").alias("keeper_vec_id"),
+                    F.when(F.col("min_dup").isNull(), F.lit(0))
+                     .otherwise(F.lit(1)).cast("long").alias("is_near_dup")))
 
 
 @register("dedup_ngram_jaccard", oracle="""

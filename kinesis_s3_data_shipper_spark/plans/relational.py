@@ -1151,3 +1151,133 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("l_returnflag", "n",
                     (F.abs(F.col("_ap") - F.col("_ex"))
                      <= 0.05 * F.abs(F.col("_ex"))).alias("approx_ok")))
+
+
+@register("join_full_outer", oracle="""
+WITH f AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_date, COUNT(*) AS n_f
+  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+), o AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_date, COUNT(*) AS n_o
+  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1
+)
+SELECT COALESCE(f.order_date, o.order_date) AS order_date,
+       COALESCE(f.n_f, 0) AS n_f, COALESCE(o.n_o, 0) AS n_o
+FROM f FULL OUTER JOIN o ON f.order_date = o.order_date
+""", doc="FULL OUTER join (the declared join type the ledger lacked): "
+         "per-day order counts for status F vs status O, full-outer on "
+         "the date so days with only one status survive with a 0 on "
+         "the other side. At ~2 orders/day the sides genuinely "
+         "mismatch, so both null-extension directions are exercised. "
+         "Scale: both sides pre-aggregate before the join, so the "
+         "join input is bounded by distinct dates, not row count.")
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date")
+    f = (orders.filter(F.col("o_orderstatus") == "F")
+         .groupBy(day).agg(F.count("*").alias("n_f")))
+    o = (orders.filter(F.col("o_orderstatus") == "O")
+         .groupBy(day).agg(F.count("*").alias("n_o")))
+    return (f.join(o, ["order_date"], "full")
+            .select("order_date",
+                    F.coalesce("n_f", F.lit(0)).alias("n_f"),
+                    F.coalesce("n_o", F.lit(0)).alias("n_o")))
+
+
+@register("q12_priority_by_status", oracle="""
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+""", doc="TPC-H q12 shape (shipmode column absent -> line status): "
+         "orders x lineitem equi-join with a date-window scan filter, "
+         "conditional CASE counts per group. The filter prunes "
+         "lineitem at the parquet scan; the join shuffles only "
+         "surviving rows.")
+def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1997-01-01"))
+          .select("l_orderkey", "l_linestatus"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (orders.join(li, orders.o_orderkey == li.l_orderkey)
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count")))
+
+
+@register("q14_promo_revenue_share", oracle="""
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                THEN CAST(l_extendedprice AS DECIMAL(12,4))
+                     * (1 - CAST(l_discount AS DECIMAL(8,6)))
+                ELSE CAST(0 AS DECIMAL(20,10)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                  * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE)
+         AS promo_share,
+       COUNT(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-09-01'
+""", doc="TPC-H q14 shape: promo revenue share over a 6-month window. "
+         "part is the broadcast dimension; both sums are exact "
+         "decimals (order-independent) and only the final ratio is "
+         "one double division, so the share is bit-deterministic.")
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= "1996-03-01")
+                  & (F.col("l_shipdate") < "1996-09-01"))
+          .select("l_partkey", "l_extendedprice", "l_discount"))
+    rev = (F.col("l_extendedprice").cast(MONEY)
+           * (F.lit(1) - F.col("l_discount").cast(RATE)))
+    promo = F.when(F.col("p_type") == "PROMO", rev) \
+             .otherwise(F.lit(0).cast("decimal(20,10)"))
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .agg((F.sum(promo).cast("double")
+                  / F.sum(rev).cast("double")).alias("promo_share"),
+                 F.count("*").alias("n_rows")))
+
+
+@register("q19_disjunctive_revenue", oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand IN ('Brand#11', 'Brand#12', 'Brand#13')
+       AND p_size <= 15 AND l_quantity <= 15)
+   OR (p_brand IN ('Brand#21', 'Brand#22', 'Brand#23')
+       AND p_size <= 25 AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand IN ('Brand#31', 'Brand#32', 'Brand#34')
+       AND p_size <= 35 AND l_quantity BETWEEN 20 AND 35)
+""", doc="TPC-H q19 shape: disjunction of three conjunct groups mixing "
+         "build-side (p_brand, p_size) and probe-side (l_quantity) "
+         "predicates. Catalyst extracts the common single-side "
+         "conjuncts below the join where possible; the residual OR "
+         "evaluates post-join inside codegen. The classic 'does the "
+         "optimizer handle ORs' probe.")
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    cond = (
+        (F.col("p_brand").isin("Brand#11", "Brand#12", "Brand#13")
+         & (F.col("p_size") <= 15) & (F.col("l_quantity") <= 15))
+        | (F.col("p_brand").isin("Brand#21", "Brand#22", "Brand#23")
+           & (F.col("p_size") <= 25) & F.col("l_quantity").between(10, 25))
+        | (F.col("p_brand").isin("Brand#31", "Brand#32", "Brand#34")
+           & (F.col("p_size") <= 35) & F.col("l_quantity").between(20, 35)))
+    rev = (F.col("l_extendedprice").cast(MONEY)
+           * (F.lit(1) - F.col("l_discount").cast(RATE)))
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .filter(cond)
+            .agg(F.sum(rev).cast("double").alias("revenue"),
+                 F.count("*").alias("n_rows")))

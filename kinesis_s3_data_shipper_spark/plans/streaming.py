@@ -13,7 +13,6 @@ events table: streaming/batch parity is itself the assertion.
 from __future__ import annotations
 
 import os
-import shutil
 import tempfile
 import uuid
 
@@ -35,7 +34,9 @@ def _stage_landing(sf_dir: str, copies: int = 1) -> tuple[str, str]:
     landing = os.path.join(work, "landing")
     os.makedirs(landing)
     for i in range(copies):
-        shutil.copy(events_path, os.path.join(landing, f"events_{i}.parquet"))
+        # Symlink, not copy: the file source only reads, and at sf0.1
+        # the copy is pure staging overhead per query call.
+        os.symlink(events_path, os.path.join(landing, f"events_{i}.parquet"))
     return landing, os.path.join(work, "ckpt")
 
 

@@ -76,6 +76,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "URL's structured-ingest endpoint through a "
                         "per-executor pooled transport (the reference's "
                         "HTTP sink, with idempotency keys + retry)")
+    p.add_argument("--declarative", action="store_true",
+                   help="batch mode: scan blocks via the custom 'shipper' "
+                        "DataSource (spark.read.format('shipper')) instead "
+                        "of binaryFile + splitter. Tracking keys become "
+                        "plain OS paths rather than file: URIs — keep one "
+                        "mode per --processed-dir")
     p.add_argument("--debug", action="store_true")
     return p
 
@@ -97,16 +103,28 @@ def _read_processed(spark, processed_dir: str) -> DataFrame | None:
 
 
 def run_batch(spark, ns) -> int:
-    raw = (spark.read.format("binaryFile")
-           .option("recursiveFileLookup", "true")
-           .load(ns.input)
-           .select("path", "content"))
-    if ns.prefix:
-        raw = raw.filter(F.col("path").startswith(ns.prefix))
+    if ns.declarative:
+        from .sources.shipper_format import _list_files
+        from .sources.shipper_format import register as register_shipper
+        register_shipper(spark)
+        # Listing happens driver-side (the DataSource planner does the
+        # same walk), so empty files still enter the worklist and get
+        # tracked/warned even though they yield zero block rows.
+        listing = spark.createDataFrame(
+            [(p,) for p in _list_files(ns.input, ns.prefix)], "path string")
+        raw = None
+    else:
+        raw = (spark.read.format("binaryFile")
+               .option("recursiveFileLookup", "true")
+               .load(ns.input)
+               .select("path", "content"))
+        if ns.prefix:
+            raw = raw.filter(F.col("path").startswith(ns.prefix))
+        listing = raw.select("path")
     if ns.processed_dir:
         processed = _read_processed(spark, ns.processed_dir)
         if processed is not None:
-            raw = filter_unprocessed(raw, processed, key_col="path")
+            listing = filter_unprocessed(listing, processed, key_col="path")
 
     # Materialize the work list ONCE (sorted — the reference's
     # lexicographic work-list order, K:292) and pin the whole run to
@@ -115,14 +133,22 @@ def run_batch(spark, ns) -> int:
     # gets recorded as processed without its events ever being written.
     # Driver memory: path strings only — the same order of magnitude
     # Spark's own InMemoryFileIndex already holds for this listing.
-    worklist = sorted(r.path for r in raw.select("path").collect())
+    worklist = sorted(r.path for r in listing.collect())
     # Empty-input short-circuit (reference parity, K:284-286).
     if not worklist:
         print("no unprocessed input files matched; nothing to do",
               file=sys.stderr)
         return 0
     work_df = spark.createDataFrame([(p,) for p in worklist], "path string")
-    raw = raw.join(F.broadcast(work_df), "path", "left_semi")
+    if ns.declarative:
+        reader = spark.read.format("shipper")
+        if ns.prefix:
+            reader = reader.option("prefix", ns.prefix)
+        blocks = (reader.load(ns.input)
+                  .join(F.broadcast(work_df), "path", "left_semi"))
+    else:
+        raw = raw.join(F.broadcast(work_df), "path", "left_semi")
+        blocks = split_blocks(raw)
 
     # Observability (reference logs block/event counts, K:114-117, 133,
     # 170): df.observe attaches the metric to the job itself — no
@@ -132,7 +158,7 @@ def run_batch(spark, ns) -> int:
     # "0 message blocks" path (K:114-115).
     from pyspark.sql import Observation
     obs = Observation("shipper")
-    events = (flatten_events(parse_blocks(split_blocks(raw)))
+    events = (flatten_events(parse_blocks(blocks))
               .observe(obs, F.count(F.lit(1)).alias("n_events"),
                        F.collect_set("file").alias("files_with_events")))
     events.write.mode("append").parquet(ns.output)

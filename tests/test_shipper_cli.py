@@ -133,3 +133,34 @@ def test_stream_run(spark, landing, tmp_path):
     assert main(["--input", landing, "--output", out,
                  "--stream", "--checkpoint", ckpt]) == 0
     assert spark.read.parquet(out).count() == n
+
+
+def test_batch_declarative_matches_imperative(spark, landing, tmp_path,
+                                              capsys):
+    """--declarative (custom DataSource scan) must produce the exact
+    event set of the default binaryFile+splitter path, and keep the
+    tracking/zero-block-warning behavior."""
+    out_imp = str(tmp_path / "ev_imp")
+    out_dec = str(tmp_path / "ev_dec")
+    processed = str(tmp_path / "processed_dec")
+
+    assert main(["--input", landing, "--output", out_imp]) == 0
+    assert main(["--input", landing, "--output", out_dec, "--declarative",
+                 "--processed-dir", processed]) == 0
+    err = capsys.readouterr().err
+    assert "warning: 0 message blocks in" in err and "empty.dat" in err
+
+    key = ["file", "block_index", "event_id"]
+
+    def canon(path):
+        return {tuple(os.path.basename(r.file).split("__")[-1:] +
+                      [r.block_index, r.event_id])
+                for r in spark.read.parquet(path).select(*key).collect()}
+
+    got_imp, got_dec = canon(out_imp), canon(out_dec)
+    assert got_dec == got_imp and len(got_dec) > 0
+
+    # Incremental skip works on OS-path tracking keys too.
+    assert main(["--input", landing, "--output", out_dec, "--declarative",
+                 "--processed-dir", processed]) == 0
+    assert "nothing to do" in capsys.readouterr().err

@@ -130,3 +130,32 @@ def test_pii_scrub_stays_jvm(spark):
     plan = plan_of(spark, "text_pii_scrub")
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_q14_q19_broadcast_part_dim(spark):
+    for name in ("q14_promo_revenue_share", "q19_disjunctive_revenue"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        # lineitem is never shuffled for these joins: the only
+        # hash-partition exchange allowed would be the final 1-row agg.
+        assert plan.count("Exchange hashpartitioning") == 0, name
+
+
+def test_full_outer_preaggregates_before_join(spark):
+    plan = plan_of(spark, "join_full_outer")
+    assert "FullOuter" in plan
+    # Both sides aggregate BEFORE the join (4 HashAggregates: partial+
+    # final per side) so the join input is distinct dates, not rows.
+    assert plan.count("HashAggregate") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_dedup_shape(spark):
+    plan = plan_of(spark, "dedup_embedding_cosine")
+    # The dup map rides a broadcast back onto the corpus; the bucket
+    # self-join is the only quadratic work and stays JVM-side.
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

@@ -61,3 +61,49 @@ def extract_features(media: DataFrame) -> DataFrame:
             })
 
     return media.select("doc_id", "payload").mapInPandas(op, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = ("doc_id LONG, sample_idx LONG, frame_offset LONG,"
+                " frame_md5 STRING")
+
+
+def sample_frames(media: DataFrame, *, frame_bytes: int = 16,
+                  max_samples: int = 4) -> DataFrame:
+    """Deterministic frame sampling over binary payloads (1 -> many).
+
+    The video-pipeline shape: each payload splits into fixed-size
+    "frames" (byte windows standing in for decoded frames — no codec
+    libs here), and an evenly-strided subset of at most ``max_samples``
+    frames is emitted per document. Arrow-batched ``mapInPandas``; the
+    explode happens inside the Python worker so one input batch yields
+    one output batch, never a per-row call.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        for pdf in batches:
+            ids: list[int] = []
+            ks: list[int] = []
+            offs: list[int] = []
+            digests: list[str] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                stride = max(n_frames // max_samples, 1)
+                for k in range(max_samples):
+                    if k * stride >= n_frames:
+                        break
+                    off = k * stride * frame_bytes
+                    ids.append(int(doc_id))
+                    ks.append(k)
+                    offs.append(off)
+                    digests.append(
+                        hashlib.md5(b[off:off + frame_bytes]).hexdigest())
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "sample_idx": pd.Series(ks, dtype="int64"),
+                "frame_offset": pd.Series(offs, dtype="int64"),
+                "frame_md5": pd.Series(digests, dtype="object"),
+            })
+
+    return media.select("doc_id", "payload").mapInPandas(op, FRAME_SCHEMA)

@@ -211,3 +211,27 @@ def scalar_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.map_keys(F.from_json("props", "map<string,string>")))
          .cast("long").alias("n_keys"))
         .filter(F.col("k_value") % 7 == 0))
+
+
+@register("scalar_variant_json", oracle="""
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+""", doc="Spark 4 VariantType path for semi-structured data: "
+         "parse_json encodes props into the binary variant format "
+         "once, variant_get extracts a typed field with path "
+         "semantics — the open-schema storage layout (shredded "
+         "variant at rest) a 100 TB attribute bag wants, vs the "
+         "per-access string re-parse of get_json_object. The oracle "
+         "extracts the same field via DuckDB's JSON path.")
+def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"),
+                 F.min("k").alias("min_k"), F.max("k").alias("max_k")))

@@ -117,3 +117,24 @@ def streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_enriched_counts(
         spark, landing, os.path.join(sf_dir, "customer.parquet"),
         checkpoint=checkpoint, query_name=name)
+
+
+@register("streaming_interval_join", oracle="""
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       (epoch_ns(p.ts) // 1000000) - (epoch_ns(c.ts) // 1000000)
+         AS lag_ms
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND (epoch_ns(p.ts) // 1000) BETWEEN (epoch_ns(c.ts) // 1000)
+     AND (epoch_ns(c.ts) // 1000) + 1800000000
+""", doc="Stream-stream interval join (funnel/attribution): clicks "
+         "join same-user purchases within 30 minutes, both sides "
+         "watermarked so join state stays bounded. Checked against "
+         "the equivalent batch interval join — exact pair parity at "
+         "micros precision.")
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import streaming_interval_join as run
+    landing, checkpoint = _stage_landing(sf_dir)
+    name = f"sjoin_{uuid.uuid4().hex[:8]}"
+    return run(spark, landing, checkpoint=checkpoint, query_name=name)

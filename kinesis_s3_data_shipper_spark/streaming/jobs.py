@@ -237,3 +237,44 @@ def streaming_enriched_counts(spark: SparkSession, events_dir: str,
              .trigger(availableNow=True).start())
     query.awaitTermination()
     return spark.table(query_name)
+
+
+def streaming_interval_join(spark: SparkSession, events_dir: str, *,
+                            checkpoint: str, query_name: str,
+                            window: str = "30 minutes") -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    each click joins the purchases of the same user landing within
+    [click, click + window]. BOTH sides are watermarked and the range
+    rides the join condition, so Spark bounds each side's join state
+    to watermark + interval — the canonical funnel/attribution join at
+    scale (vs buffering either stream forever). Inner join => matches
+    emit as found; availableNow drains the full fixture
+    deterministically."""
+    def side(event_type: str, id_alias: str, time_alias: str,
+             user_alias: str) -> DataFrame:
+        return (_events_stream(spark, events_dir)
+                .filter(F.col("event_type") == event_type)
+                .select(F.col("event_id").alias(id_alias),
+                        F.col("user_id").alias(user_alias),
+                        F.timestamp_micros(F.expr("ts div 1000"))
+                         .alias(time_alias))
+                .withWatermark(time_alias, "1 hour"))
+
+    clicks = side("click", "click_id", "click_time", "user_id")
+    purchases = side("purchase", "purchase_id", "purchase_time", "p_user")
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_time") >= F.col("click_time"))
+        & (F.col("purchase_time")
+           <= F.col("click_time") + F.expr(f"INTERVAL {window}")))
+    out = joined.select(
+        "user_id", "click_id", "purchase_id",
+        (F.unix_millis("purchase_time") - F.unix_millis("click_time"))
+        .alias("lag_ms"))
+    query = (out.writeStream.outputMode("append")
+             .format("memory").queryName(query_name)
+             .option("checkpointLocation", checkpoint)
+             .trigger(availableNow=True).start())
+    query.awaitTermination()
+    return spark.table(query_name)

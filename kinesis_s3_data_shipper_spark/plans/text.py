@@ -307,3 +307,36 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(top_frac).alias("top_bigram_frac"),
         F.expr(f"CASE WHEN {top_frac} <= 0.2 THEN 1 ELSE 0 END")
          .cast("long").alias("repetition_ok"))
+
+
+@register("text_chunk_udtf", oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), s AS (
+  SELECT doc_id, words, n,
+         unnest(range(0, (greatest(n - 1, 0) // 24) + 1)) AS chunk_idx
+  FROM w
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(len(words[chunk_idx * 24 + 1 : chunk_idx * 24 + 32]) AS BIGINT)
+         AS n_tokens,
+       md5(array_to_string(
+           words[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' '))
+         AS chunk_md5
+FROM s
+""", doc="Context chunking via a real Python UDTF + SQL LATERAL join "
+         "(PySpark 4 @udtf): each document explodes into 32-token "
+         "windows at stride 24 (8-token overlap), emitting index, "
+         "token count and chunk digest. The oracle rebuilds identical "
+         "windows with list slices. Chunks leave the Python worker as "
+         "digests, not expanded text, so output volume stays bounded.")
+def text_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chunking import register_chunker
+    register_chunker(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_chunk_docs")
+    return spark.sql(
+        "SELECT doc_id, chunk_idx, n_tokens, chunk_md5 "
+        "FROM _chunk_docs, LATERAL chunk_doc(text)")

@@ -38,8 +38,13 @@ HEADLINE = [
     "ann_ivf_probe",
     "text_quality",
     "text_tfidf_top_terms",
+    "text_chunk_udtf",
     "sample_hash_stratified",
     "q6_forecast_revenue",
+    "q14_promo_revenue_share",
+    "q19_disjunctive_revenue",
+    "dedup_embedding_cosine",
+    "multimodal_frame_sample",
     "ingest_pipeline",
 ]
 

@@ -235,3 +235,47 @@ def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("event_type")
             .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"),
                  F.min("k").alias("min_k"), F.max("k").alias("max_k")))
+
+
+@register("events_gap_fill", oracle="""
+WITH hourly AS (
+  SELECT user_id, epoch_ns(ts) // 3600000000000 AS hr,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+  FROM events GROUP BY 1, 2
+), spine AS (
+  SELECT user_id, unnest(range(min(hr), max(hr) + 1)) AS hr
+  FROM hourly GROUP BY user_id
+)
+SELECT s.user_id, s.hr * 3600000 AS hour_ms,
+       COALESCE(h.n, 0) AS n,
+       last_value(h.sum_v IGNORE NULLS)
+         OVER (PARTITION BY s.user_id ORDER BY s.hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_v
+FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hr = h.hr
+""", doc="Time-series densification: per-user hourly spine generated "
+         "with sequence+explode between each user's own min and max "
+         "hour, left-joined to the hourly aggregate, gaps forward-"
+         "filled with last(ignorenulls) — the resample/ffill shape. "
+         "Spine size is bounded per user (own activity span, never a "
+         "global calendar), the explode is narrow, and the fill "
+         "window shares the per-user partitioning.")
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.select("user_id",
+                        F.expr("ts div 3600000000000").alias("hr"),
+                        F.col("value").cast("decimal(18,6)").alias("v"))
+              .groupBy("user_id", "hr")
+              .agg(F.count("*").alias("n"),
+                   F.sum("v").cast("double").alias("sum_v")))
+    spine = (hourly.groupBy("user_id")
+             .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+             .select("user_id",
+                     F.explode(F.sequence("lo", "hi")).alias("hr")))
+    w = (W.partitionBy("user_id").orderBy("hr")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (spine.join(hourly, ["user_id", "hr"], "left")
+            .select("user_id", (F.col("hr") * 3600000).alias("hour_ms"),
+                    F.coalesce("n", F.lit(0)).alias("n"),
+                    F.last("sum_v", ignorenulls=True).over(w)
+                     .alias("filled_v")))

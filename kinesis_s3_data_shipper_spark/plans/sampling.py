@@ -89,3 +89,69 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_docs"),
                  F.min("doc_id").alias("min_doc_id"),
                  F.max("doc_id").alias("max_doc_id")))
+
+
+def _pipeline_oracle() -> str:
+    from .text import _SW_SQL
+    gate = f"""len(string_split(text, ' ')) BETWEEN 30 AND 100000
+    AND CAST(length(replace(text, ' ', '')) AS DOUBLE)
+          / len(string_split(text, ' ')) BETWEEN 3 AND 10
+    AND len(list_filter(string_split(text, ' '),
+                        w -> w IN ({_SW_SQL}))) >= 2
+    AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+          / len(string_split(text, ' ')) >= 0.2"""
+    return f"""
+WITH gated AS (
+  SELECT doc_id, text FROM documents
+  WHERE {gate}
+), ranked AS (
+  SELECT doc_id, text,
+         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM gated
+), kept AS (
+  SELECT doc_id, text FROM ranked WHERE rn = 1
+)
+SELECT CASE WHEN {_u100_duck("CAST(doc_id AS VARCHAR)")} < 90 THEN 'train'
+            WHEN {_u100_duck("CAST(doc_id AS VARCHAR)")} < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+FROM kept GROUP BY 1
+"""
+
+
+@register("pipeline_training_data", oracle=_pipeline_oracle(),
+          doc="The end-to-end training-data pipeline as ONE dataflow: "
+              "Gopher-style quality gate (scan-side projection+filter, "
+              "no shuffle) -> exact dedup keeping the lowest doc_id per "
+              "text (one window/agg shuffle) -> deterministic hash "
+              "split -> per-split doc and token counts. The composition "
+              "query: every stage is an operator the registry also "
+              "verifies in isolation, chained the way a real corpus "
+              "build chains them.")
+def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    from .text import STOPWORDS
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    gated = docs.filter(
+        n_words.between(30, 100000)
+        & (F.length(F.regexp_replace("text", " ", "")).cast("double")
+           / n_words).between(3, 10)
+        & (F.expr(f"size(filter(split(text, ' '),"
+                  f" w -> w IN ({sw})))") >= 2)
+        & ((F.size(F.array_distinct(words)).cast("double") / n_words)
+           >= 0.2))
+    w = W.partitionBy("text").orderBy("doc_id")
+    kept = (gated.select("doc_id", "text",
+                         F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") == 1))
+    u = F.expr(_u100_spark("CAST(doc_id AS STRING)"))
+    split = (F.when(u < 90, "train").when(u < 95, "val")
+             .otherwise("test").alias("split"))
+    return (kept.select(split, F.size(F.split("text", " ")).alias("n_w"))
+            .groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_w").alias("n_tokens")))

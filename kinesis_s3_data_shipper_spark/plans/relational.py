@@ -1281,3 +1281,30 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(cond)
             .agg(F.sum(rev).cast("double").alias("revenue"),
                  F.count("*").alias("n_rows")))
+
+
+@register("agg_collect_sorted", oracle="""
+SELECT c_nationkey,
+       CAST(len(list(c_custkey)) AS BIGINT) AS n_cust,
+       array_to_string(list_transform(
+           (list(c_custkey ORDER BY c_acctbal DESC, c_custkey))[1:5],
+           x -> CAST(x AS VARCHAR)), '|') AS top5_custkeys
+FROM customer GROUP BY c_nationkey
+""", doc="Nested-array aggregation: collect each nation's customers "
+         "into an array ordered by (acctbal DESC, custkey), keep the "
+         "top 5 as a pipe-joined string. Spark has no ORDER BY inside "
+         "collect_list, so the deterministic spelling is collect "
+         "structs -> array_sort -> slice -> transform, all inside one "
+         "hash-agg + projection. Group payload is bounded by group "
+         "size — the collect belongs on bounded keys (it IS the "
+         "per-group materialization the pandas-UDF notes warn about; "
+         "here the output slice caps what survives the projection).")
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return (cust.groupBy("c_nationkey")
+            .agg(F.count("*").cast("long").alias("n_cust"),
+                 F.expr("""
+                   concat_ws('|', transform(
+                     slice(array_sort(collect_list(
+                       struct(-c_acctbal AS nb, c_custkey AS ck))), 1, 5),
+                     x -> CAST(x.ck AS STRING)))""").alias("top5_custkeys")))

@@ -159,3 +159,23 @@ def test_embedding_dedup_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_gap_fill_window_reuses_partitioning(spark):
+    plan = plan_of(spark, "events_gap_fill")
+    # Spine explode is narrow; the fill window runs per user. No
+    # cartesian, no Python, and the explode (Generate) sits below the
+    # join rather than forcing an extra exchange of its own.
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_training_pipeline_single_dedup_shuffle(spark):
+    plan = plan_of(spark, "pipeline_training_data")
+    # The quality gate must evaluate scan-side (a Filter directly over
+    # the file scan), the dedup window partitions by text once, and
+    # nothing falls back to Python.
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan

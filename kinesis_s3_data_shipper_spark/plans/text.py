@@ -340,3 +340,43 @@ def text_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT doc_id, chunk_idx, n_tokens, chunk_md5 "
         "FROM _chunk_docs, LATERAL chunk_doc(text)")
+
+
+#: Benchmark-set selector shared by Spark and oracle: every 7th doc,
+#: hard-capped at 32 docs so the broadcast side is constant at any sf.
+_BENCH_PRED = "doc_id % 7 = 0 AND doc_id < 224"
+
+
+@register("text_decontaminate", oracle=f"""
+WITH g AS (
+  SELECT doc_id, list_distinct(list_transform(
+      range(1, greatest(len(string_split(text, ' ')) - 7, 1) + 1),
+      i -> array_to_string(string_split(text, ' ')[i:i+7], ' ')))
+    AS grams
+  FROM documents
+), b AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE {_BENCH_PRED}
+), t AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g WHERE NOT ({_BENCH_PRED})
+)
+SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+FROM t JOIN b USING (gram) GROUP BY t.doc_id
+""", doc="Benchmark decontamination (the eval-leak check every corpus "
+         "build runs): training docs sharing any word-8-gram with the "
+         "held-out benchmark set are flagged with their shared-gram "
+         "count. The benchmark gram set is bounded (<=32 docs at any "
+         "sf) and rides a broadcast, so the corpus-side work is one "
+         "scan + explode + map-side join — no corpus shuffle until "
+         "the tiny per-doc count agg. Shingles reuse the minhash "
+         "machinery (let-bound split, distinct 8-grams).")
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import word_shingles
+    docs = load_table(spark, sf_dir, "documents")
+    grams = word_shingles("text", 8)
+    bench = (docs.filter(F.expr(_BENCH_PRED))
+             .select(F.explode(grams).alias("gram")).distinct())
+    train = docs.filter(~F.expr(f"({_BENCH_PRED})"))
+    return (train.select("doc_id", F.explode(grams).alias("gram"))
+            .join(F.broadcast(bench), "gram")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_shared_grams")))

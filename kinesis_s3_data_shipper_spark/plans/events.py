@@ -279,3 +279,29 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("n", F.lit(0)).alias("n"),
                     F.last("sum_v", ignorenulls=True).over(w)
                      .alias("filled_v")))
+
+
+@register("agg_histogram", oracle="""
+SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(bin * 25.0 AS DOUBLE) AS bin_lo
+FROM (
+  SELECT event_type,
+         CAST(least(floor(value / 25.0), 19) AS BIGINT) AS bin
+  FROM events
+)
+GROUP BY event_type, bin
+""", doc="Equi-width histogram: 20 fixed bins of width 25 over the "
+         "value measure, per event type, overflow clamped into the "
+         "top bin. Fixed literal bounds make it ONE pass (a data-"
+         "driven min/max would need a second scan or a two-pass "
+         "plan); floor on the same IEEE double divide is engine-"
+         "reproducible. The profile op behind any numeric-column "
+         "dashboard at scale: shuffle volume = types x bins.")
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bin_ = F.least(F.floor(F.col("value") / 25.0), F.lit(19)).cast("long")
+    return (ev.select("event_type", bin_.alias("bin"))
+            .groupBy("event_type", "bin")
+            .agg(F.count("*").alias("n"))
+            .select("event_type", "bin", "n",
+                    (F.col("bin") * 25.0).cast("double").alias("bin_lo")))

@@ -1308,3 +1308,53 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
                      slice(array_sort(collect_list(
                        struct(-c_acctbal AS nb, c_custkey AS ck))), 1, 5),
                      x -> CAST(x.ck AS STRING)))""").alias("top5_custkeys")))
+
+
+@register("agg_corr_covar", oracle="""
+WITH s AS (
+  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))
+             * CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))
+             * CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS syy,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))
+             * CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n,
+       (n * sxy - sx * sy)
+         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+         AS corr_qty_price,
+       (sxy - sx * sy / n) / (n - 1) AS covar_samp_qty_price
+FROM s
+""", doc="Statistical aggregates done deterministically: corr and "
+         "covar_samp are NOT order-independent as floating-point "
+         "one-pass aggs, so both engines compute the five moment sums "
+         "as exact decimals (order-free) and apply the closed-form "
+         "double formula once per group. One operand of each decimal "
+         "product is widened past 18 digits to force int128 in DuckDB "
+         "(decimal(18,6)^2 silently overflows int64 otherwise). Same "
+         "partial/final hash-agg shape as any sum.")
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qd, qn = (F.col("l_quantity").cast(t)
+              for t in ("decimal(20,6)", "decimal(18,6)"))
+    pw, pn = (F.col("l_extendedprice").cast(t)
+              for t in ("decimal(20,6)", "decimal(18,6)"))
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(qd).cast("double").alias("sx"),
+        F.sum(pw).cast("double").alias("sy"),
+        F.sum(qd * qn).cast("double").alias("sxx"),
+        F.sum(pw * pn).cast("double").alias("syy"),
+        F.sum(qd * pn).cast("double").alias("sxy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag", "n",
+        ((n * sxy - sx * sy)
+         / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)))
+        .alias("corr_qty_price"),
+        ((sxy - sx * sy / n) / (n - 1)).alias("covar_samp_qty_price"))

@@ -305,3 +305,39 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"))
             .select("event_type", "bin", "n",
                     (F.col("bin") * 25.0).cast("double").alias("bin_lo")))
+
+
+@register("events_anomaly_zscore", oracle="""
+WITH s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value AS DECIMAL(20,6))
+                  * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+  FROM events GROUP BY 1
+)
+SELECT event_id, e.event_type, value,
+       (value - sx / n)
+         / sqrt((sxx - sx * sx / n) / (n - 1)) AS zscore
+FROM events e JOIN s ON e.event_type = s.event_type
+WHERE abs((value - sx / n)
+          / sqrt((sxx - sx * sx / n) / (n - 1))) > 2.5
+""", doc="Z-score anomaly flags: per-type mean/std derived from exact "
+         "decimal moment sums (order-free — see agg_corr_covar), the "
+         "tiny stats table broadcast back onto the stream, rows with "
+         "|z| > 2.5 surfaced. The outlier-detection shape: stats agg "
+         "shuffles only group cardinality; the scoring pass is scan-"
+         "side with no second shuffle.")
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    vw = F.col("value").cast("decimal(20,6)")
+    vn = F.col("value").cast("decimal(18,6)")
+    s = (ev.groupBy(F.col("event_type").alias("s_type"))
+         .agg(F.count("*").alias("n"),
+              F.sum(vw).cast("double").alias("sx"),
+              F.sum(vw * vn).cast("double").alias("sxx")))
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    z = ((F.col("value") - sx / n)
+         / F.sqrt((sxx - sx * sx / n) / (n - 1)))
+    return (ev.join(F.broadcast(s), ev.event_type == F.col("s_type"))
+            .select("event_id", "event_type", "value", z.alias("zscore"))
+            .filter(F.abs("zscore") > 2.5))

@@ -1358,3 +1358,116 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
          / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)))
         .alias("corr_qty_price"),
         ((sxy - sx * sy / n) / (n - 1)).alias("covar_samp_qty_price"))
+
+
+@register("q10_returned_revenue", oracle="""
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE)
+         AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""", doc="TPC-H q10 shape: revenue lost to returns per customer over "
+         "one quarter — a 4-way star join (orders date-pruned at the "
+         "scan, lineitem filtered on returnflag, customer+nation ride "
+         "broadcasts), then top-20 by exact-decimal revenue with a "
+         "custkey tiebreak (TakeOrderedAndProject, no global sort).")
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= "1996-01-01")
+                      & (F.col("o_orderdate") < "1996-04-01"))
+              .select("o_orderkey", "o_custkey"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    rev = (F.col("l_extendedprice").cast(MONEY)
+           * (F.lit(1) - F.col("l_discount").cast(RATE)))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation),
+                  cust.c_nationkey == nation.n_nationkey)
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.sum(rev).cast("double").alias("revenue"))
+            .orderBy(F.desc("revenue"), "c_custkey")
+            .limit(20))
+
+
+@register("q8_market_share", oracle="""
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol
+                ELSE CAST(0 AS DECIMAL(20,10)) END) AS DOUBLE)
+         / CAST(SUM(vol) AS DOUBLE) AS mkt_share,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(12,4))
+           * (1 - CAST(l_discount AS DECIMAL(8,6))) AS vol,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+)
+GROUP BY o_year
+""", doc="TPC-H q8 shape: one supplier nation's share of STANDARD-part "
+         "revenue sold into EUROPE, per order year — the deepest join "
+         "tree in the registry (7 joins, nation joined twice under "
+         "different roles). Every dimension broadcasts; lineitem never "
+         "shuffles for a join. Share = exact-decimal conditional sum "
+         "over exact-decimal total, one double division per year.")
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey",
+        "l_extendedprice", "l_discount")
+    part = (load_table(spark, sf_dir, "part")
+            .filter(F.col("p_type") == "STANDARD").select("p_partkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_regionkey").alias("n1_region"))
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("supp_nation"))
+    region = (load_table(spark, sf_dir, "region")
+              .filter(F.col("r_name") == "EUROPE").select("r_regionkey"))
+    vol = (F.col("l_extendedprice").cast(MONEY)
+           * (F.lit(1) - F.col("l_discount").cast(RATE)))
+    base = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
+            .join(F.broadcast(region),
+                  F.col("n1_region") == region.r_regionkey)
+            .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
+            .select(F.year("o_orderdate").cast("long").alias("o_year"),
+                    vol.alias("vol"), "supp_nation"))
+    nation_vol = F.when(F.col("supp_nation") == "NATION_3",
+                        F.col("vol")).otherwise(
+                            F.lit(0).cast("decimal(20,10)"))
+    return (base.groupBy("o_year")
+            .agg((F.sum(nation_vol).cast("double")
+                  / F.sum("vol").cast("double")).alias("mkt_share"),
+                 F.count("*").alias("n_rows")))

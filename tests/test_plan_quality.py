@@ -179,3 +179,26 @@ def test_training_pipeline_single_dedup_shuffle(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q8_all_dims_broadcast(spark):
+    plan = plan_of(spark, "q8_market_share")
+    # Seven joins; every dimension (part, supplier, customer, nation x2,
+    # region) rides a broadcast — lineitem is never shuffled for a join.
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_topk_without_global_sort(spark):
+    plan = plan_of(spark, "q10_returned_revenue")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zscore_stats_broadcast_back(spark):
+    plan = plan_of(spark, "events_anomaly_zscore")
+    # The per-type stats join back onto the scan as a broadcast; the
+    # only hash-partition exchange is the stats aggregation itself.
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1

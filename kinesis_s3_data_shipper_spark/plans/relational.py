@@ -1471,3 +1471,26 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg((F.sum(nation_vol).cast("double")
                   / F.sum("vol").cast("double")).alias("mkt_share"),
                  F.count("*").alias("n_rows")))
+
+
+@register("join_right_agg", oracle="""
+SELECT p_brand,
+       CAST(COUNT(l_orderkey) AS BIGINT) AS n_lineitems,
+       CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_unreferenced_parts
+FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""", doc="RIGHT OUTER join (closing the declared join-type checklist): "
+         "every part survives, parts no lineitem references count into "
+         "n_unreferenced_parts via the null-extended probe side. Spark "
+         "plans it as the mirrored left-outer broadcast; semantics "
+         "checked against DuckDB's native RIGHT JOIN.")
+def join_right_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (li.join(part, li.l_partkey == part.p_partkey, "right")
+            .groupBy("p_brand")
+            .agg(F.count("l_orderkey").alias("n_lineitems"),
+                 F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0))
+                  .cast("long").alias("n_unreferenced_parts")))

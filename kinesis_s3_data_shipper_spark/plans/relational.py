@@ -1494,3 +1494,237 @@ def join_right_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("l_orderkey").alias("n_lineitems"),
                  F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0))
                   .cast("long").alias("n_unreferenced_parts")))
+
+
+# ------------------------------------------------- TPC-H shapes without partsupp
+# The testdata has no partsupp table, so the q2/q9/q11/q16/q20 shapes
+# derive the part<->supplier relation from lineitem's (l_partkey,
+# l_suppkey) pairs — same plan skeletons (correlated MIN, NOT IN,
+# nested IN + HAVING), different base relation. Cited shapes:
+# TPC-H spec §2.4; reference has no analog (kinesis-to-humio.py is
+# ETL-only), these are the ⊕ declared analytics surface.
+
+@register("q2_min_cost_supplier", oracle="""
+WITH offer AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(l_extendedprice AS DECIMAL(12,4))) AS cost
+  FROM lineitem GROUP BY 1, 2),
+ro AS (
+  SELECT l_partkey, cost, s_acctbal, s_name, n_name
+  FROM offer
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+m AS (
+  SELECT *, MIN(cost) OVER (PARTITION BY l_partkey) AS min_cost FROM ro)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       CAST(cost AS DOUBLE) AS cost
+FROM m JOIN part ON p_partkey = l_partkey
+WHERE cost = min_cost AND p_size = 15
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""", doc="TPC-H q2 shape: correlated-MIN subquery (min-cost supplier "
+         "per part within a region), re-expressed as a window MIN — "
+         "one shuffle on l_partkey instead of a self-join; the "
+         "region/nation/supplier/part dims all broadcast. The "
+         "part-supplier offers come from lineitem (no partsupp in "
+         "the schema); MIN over exact decimals keeps both engines "
+         "bit-identical.")
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = (load_table(spark, sf_dir, "region")
+              .filter(F.col("r_name") == "EUROPE").select("r_regionkey"))
+    part = (load_table(spark, sf_dir, "part")
+            .filter(F.col("p_size") == 15).select("p_partkey", "p_name"))
+    offer = (li.groupBy("l_partkey", "l_suppkey")
+             .agg(F.min(F.col("l_extendedprice").cast(MONEY)).alias("cost")))
+    regional = (offer
+                .join(F.broadcast(supp), offer.l_suppkey == supp.s_suppkey)
+                .join(F.broadcast(nation),
+                      supp.s_nationkey == nation.n_nationkey)
+                .join(F.broadcast(region),
+                      nation.n_regionkey == region.r_regionkey)
+                .select("l_partkey", "cost", "s_acctbal", "s_name", "n_name"))
+    w = W.partitionBy("l_partkey")
+    return (regional
+            .withColumn("min_cost", F.min("cost").over(w))
+            .filter(F.col("cost") == F.col("min_cost"))
+            .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+            .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+                    F.col("cost").cast("double").alias("cost"))
+            .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+            .limit(100))
+
+
+@register("q9_product_profit", oracle="""
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                  * (1 - CAST(l_discount AS DECIMAL(8,6)))
+                - CAST(p_retailprice AS DECIMAL(12,4))
+                  * CAST(0.6 AS DECIMAL(2,1))
+                  * CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE)
+         AS sum_profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+""", doc="TPC-H q9 shape: 5-way star join with a LIKE filter on the "
+         "part dim and profit arithmetic (revenue minus a 0.6 * "
+         "retailprice * qty cost proxy — the schema has no "
+         "ps_supplycost). All dims broadcast; the one shuffle is "
+         "lineitem-orders, then a 2-key hash agg. Decimal widths "
+         "chosen so both engines stay in exact int128 arithmetic.")
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (load_table(spark, sf_dir, "part")
+            .filter(F.col("p_name").like("%widget%"))
+            .select("p_partkey", "p_retailprice"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate")
+    amount = (F.col("l_extendedprice").cast(MONEY)
+              * (F.lit(1) - F.col("l_discount").cast(RATE))
+              - F.col("p_retailprice").cast(MONEY)
+                * F.lit(0.6).cast("decimal(2,1)")
+                * F.col("l_quantity").cast(MONEY))
+    return (li
+            .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg(F.sum(amount).cast("double").alias("sum_profit")))
+
+
+@register("q11_important_stock", oracle="""
+WITH value_by_part AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_1', 'NATION_5', 'NATION_9')
+  GROUP BY l_partkey)
+SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) AS part_value
+FROM value_by_part
+WHERE CAST(val AS DOUBLE)
+      > (SELECT CAST(SUM(val) AS DOUBLE) FROM value_by_part) * 0.001
+""", doc="TPC-H q11 shape: HAVING-style threshold against a scalar "
+         "subquery over the same aggregate (parts worth >0.1% of the "
+         "tracked nations' total). Spark computes the per-part agg "
+         "once, derives the 1-row total from it, and broadcasts the "
+         "threshold — no second scan of lineitem. The comparison is "
+         "double-vs-double derived from exact decimal sums, identical "
+         "in both engines.")
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    nation = (load_table(spark, sf_dir, "nation")
+              .filter(F.col("n_name").isin("NATION_1", "NATION_5", "NATION_9"))
+              .select("n_nationkey"))
+    vbp = (li
+           .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+           .join(F.broadcast(nation),
+                 supp.s_nationkey == nation.n_nationkey)
+           .groupBy("l_partkey")
+           .agg(F.sum(F.col("l_extendedprice").cast(MONEY)).alias("val")))
+    total = vbp.agg((F.sum("val").cast("double") * F.lit(0.001))
+                    .alias("_threshold"))
+    return (vbp.join(F.broadcast(total),
+                     F.col("val").cast("double") > F.col("_threshold"))
+            .select(F.col("l_partkey").alias("p_partkey"),
+                    F.col("val").cast("double").alias("part_value")))
+
+
+@register("q16_supplier_cnt", oracle="""
+SELECT p_brand, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+GROUP BY p_brand, p_size
+""", doc="TPC-H q16 shape: NOT IN anti-join against a filtered dim "
+         "(suppliers below an account-balance floor stand in for the "
+         "spec's complaint suppliers) followed by COUNT(DISTINCT) on "
+         "a 2-key group. The anti side and the part dim broadcast; "
+         "the distinct shuffles (brand,size,suppkey) triples only — "
+         "bytes, not rows.")
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey")
+    part = (load_table(spark, sf_dir, "part")
+            .filter((F.col("p_brand") != "Brand#13")
+                    & F.col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45))
+            .select("p_partkey", "p_brand", "p_size"))
+    bad = (load_table(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 1000).select("s_suppkey"))
+    return (li
+            .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            # s_suppkey is never null, so NOT IN == left_anti exactly.
+            .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey,
+                  "left_anti")
+            .groupBy("p_brand", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+@register("q20_excess_suppliers", oracle="""
+WITH shipped AS (
+  SELECT l_suppkey, l_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,6))) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2),
+w AS (
+  SELECT l_suppkey, l_partkey, qty,
+         SUM(qty) OVER (PARTITION BY l_partkey) AS part_total
+  FROM shipped)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN
+      (SELECT l_suppkey FROM w JOIN part ON p_partkey = l_partkey
+       WHERE p_name LIKE 'red%'
+         AND CAST(qty AS DOUBLE) > CAST(part_total AS DOUBLE) * 0.3)
+""", doc="TPC-H q20 shape: nested IN subqueries (suppliers who shipped "
+         ">30% of a red part's 1996 volume). The spec's correlated "
+         "half-of-stock subquery becomes a window SUM over the "
+         "(suppkey,partkey) aggregate — one extra shuffle on partkey, "
+         "no self-join — then a semi join into supplier. Quantities "
+         "aggregate as exact decimals; only the final 30% comparison "
+         "is double.")
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_quantity", "l_shipdate")
+    part = (load_table(spark, sf_dir, "part")
+            .filter(F.col("p_name").like("red%")).select("p_partkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name")
+    shipped = (li.filter((F.col("l_shipdate") >= "1996-01-01")
+                         & (F.col("l_shipdate") < "1997-01-01"))
+               .groupBy("l_suppkey", "l_partkey")
+               .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+                    .alias("qty")))
+    w = W.partitionBy("l_partkey")
+    excess = (shipped
+              .join(F.broadcast(part),
+                    shipped.l_partkey == part.p_partkey)
+              .withColumn("part_total", F.sum("qty").over(w))
+              .filter(F.col("qty").cast("double")
+                      > F.col("part_total").cast("double") * 0.3)
+              .select("l_suppkey"))
+    return supp.join(excess, supp.s_suppkey == excess.l_suppkey,
+                     "left_semi")

@@ -202,3 +202,43 @@ def test_zscore_stats_broadcast_back(spark):
     # only hash-partition exchange is the stats aggregation itself.
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_q2_window_min_not_self_join(spark):
+    # The correlated-MIN is a window over one partkey shuffle — the
+    # offer aggregate must NOT be joined against itself.
+    plan = plan_of(spark, "q2_min_cost_supplier")
+    assert "Window" in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q9_single_fact_shuffle(spark):
+    # part/supplier/nation broadcast; lineitem-orders is the only
+    # join shuffle, then the 2-key agg.
+    plan = plan_of(spark, "q9_product_profit")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_threshold_broadcast_back(spark):
+    # The 1-row threshold joins back via broadcast-nested-loop (it's a
+    # non-equi comparison), never a shuffled join.
+    plan = plan_of(spark, "q11_important_stock")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q16_not_in_is_broadcast_anti(spark):
+    plan = plan_of(spark, "q16_supplier_cnt")
+    assert "BroadcastHashJoin" in plan
+    # NOT IN on a non-null key plans as LeftAnti, not a full join.
+    assert "LeftAnti" in plan
+
+
+def test_q20_semi_join_and_window(spark):
+    plan = plan_of(spark, "q20_excess_suppliers")
+    assert "LeftSemi" in plan
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan

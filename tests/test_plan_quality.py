@@ -242,3 +242,24 @@ def test_q20_semi_join_and_window(spark):
     assert "LeftSemi" in plan
     assert "Window" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_funnel_reuses_user_partitioning(spark):
+    # The three funnel steps all key on user_id; the step joins must
+    # ride the aggregation's partitioning, and the final 1-row count
+    # combine is broadcast — never a shuffled or cartesian join of
+    # event rows.
+    plan = plan_of(spark, "events_funnel")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # v/c step aggregates are persisted so each feeds two consumers
+    # from memory instead of recomputing the events scan.
+    assert "InMemoryTableScan" in plan
+
+
+def test_retention_cohort_two_aggs_one_key(spark):
+    plan = plan_of(spark, "events_retention_cohort")
+    assert "CartesianProduct" not in plan
+    # first-seen agg, distinct, join, final agg — all but the final
+    # (cohort,offset) agg share the user_id partitioning.
+    assert plan.count("Exchange hashpartitioning") <= 4

@@ -432,3 +432,32 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
                      (F.col("act_week") - F.col("cohort_week"))
                      .alias("week_offset"))
             .agg(F.count("*").alias("n_users")))
+
+
+@register("agg_mode_per_user", oracle="""
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY user_id, event_type),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY n DESC, event_type) AS rn
+  FROM c)
+SELECT user_id, event_type AS mode_event_type, n
+FROM r WHERE rn = 1
+""", doc="Deterministic per-entity MODE (most frequent event type per "
+         "user, alphabetical tiebreak). Built as count-then-rank "
+         "rather than the built-in mode() aggregate because the "
+         "built-in breaks ties arbitrarily — not reproducible across "
+         "engines or runs. The window partitions on user_id (entity "
+         "key, cardinality grows with the data), and it ranks the "
+         "per-(user,type) COUNTS — at most |event_types| rows per "
+         "user — never raw events.")
+def agg_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = (ev.groupBy("user_id", "event_type")
+              .agg(F.count("*").alias("n")))
+    w = W.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+    return (counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id",
+                    F.col("event_type").alias("mode_event_type"), "n"))

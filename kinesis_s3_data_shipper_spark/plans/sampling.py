@@ -155,3 +155,46 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("split")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_w").alias("n_tokens")))
+
+
+def _u1e6_spark(key_sql: str) -> str:
+    """Uniform [0,1e6) int from a key expression (finer-grained gate)."""
+    return (f"pmod(CAST(conv(substring(md5({key_sql}), 1, 15), 16, 10)"
+            f" AS BIGINT), 1000000)")
+
+
+def _u1e6_duck(key_sql: str) -> str:
+    return f"(CAST('0x' || substr(md5({key_sql}), 1, 15) AS BIGINT) % 1000000)"
+
+
+@register("sample_balance_classes", oracle=f"""
+WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+m AS (SELECT MIN(n) AS min_n FROM cnt),
+gated AS (
+  SELECT d.lang
+  FROM documents d
+  JOIN cnt USING (lang) CROSS JOIN m
+  WHERE {_u1e6_duck('CAST(doc_id AS VARCHAR)')} < (1000000 * min_n) // n)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM gated GROUP BY lang
+""", doc="Class rebalancing: downsample every language class toward "
+         "the smallest class's size with a per-class hash-rate gate "
+         "(rate = min_count/class_count, applied as exact integer "
+         "arithmetic on an md5-derived uniform int). One scan plus a "
+         "broadcast of per-class rates — NO per-class window/sort, so "
+         "a 100 TB majority class never funnels into one partition; "
+         "the trade is exact-in-expectation (binomial noise around "
+         "min_count) rather than exactly-min_count, which a "
+         "rank-based cut would buy at the cost of that funnel.")
+def sample_balance_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    m = cnt.agg(F.min("n").alias("min_n"))
+    rates = cnt.join(F.broadcast(m)).select(
+        "lang", F.expr("(1000000 * min_n) div n").alias("keep_below"))
+    u = F.expr(_u1e6_spark("CAST(doc_id AS STRING)"))
+    return (docs.select("lang", u.alias("u"))
+            .join(F.broadcast(rates), "lang")
+            .filter(F.col("u") < F.col("keep_below"))
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_kept")))

@@ -380,3 +380,37 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(bench), "gram")
             .groupBy("doc_id")
             .agg(F.count("*").cast("long").alias("n_shared_grams")))
+
+
+@register("text_fuzzy_match", oracle="""
+WITH en AS (
+  SELECT doc_id, substr(text, 1, 40) AS prefix, n_chars // 50 AS blk
+  FROM documents WHERE lang = 'en')
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist
+FROM en a JOIN en b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.prefix, b.prefix) <= 20
+""", doc="Fuzzy (edit-distance) matching: near-identical document "
+         "prefixes found with levenshtein <= 20 over 40-char ASCII "
+         "prefixes. The quadratic comparison is bounded to "
+         "(lang, length-bucket) blocks — the same blocking discipline "
+         "as dedup_ngram_jaccard — so pair count grows with "
+         "max-block-size^2, not corpus^2. Restricted to lang='en' "
+         "because the two engines count edit ops in code points and "
+         "multi-byte text could diverge; prefixes keep the per-pair "
+         "cost O(40^2) regardless of document length.")
+def text_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    en = (docs.filter(F.col("lang") == "en")
+          .select("doc_id",
+                  F.substring("text", 1, 40).alias("prefix"),
+                  F.expr("n_chars div 50").alias("blk")))
+    a = en.select(F.col("doc_id").alias("doc_a"),
+                  F.col("prefix").alias("pa"), "blk")
+    b = en.select(F.col("doc_id").alias("doc_b"),
+                  F.col("prefix").alias("pb"), "blk")
+    dist = F.levenshtein("pa", "pb")
+    return (a.join(b, "blk")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .filter(dist <= 20)
+            .select("doc_a", "doc_b", dist.cast("long").alias("dist")))

@@ -263,3 +263,32 @@ def test_retention_cohort_two_aggs_one_key(spark):
     # first-seen agg, distinct, join, final agg — all but the final
     # (cohort,offset) agg share the user_id partitioning.
     assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_balance_classes_no_class_window(spark):
+    # The rebalance gate must be a broadcast of per-class rates + a
+    # scan-side filter — never a rank/window over the class partition
+    # (a 100 TB majority class would funnel into one partition).
+    plan = plan_of(spark, "sample_balance_classes")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_mode_ranks_counts_not_rows(spark):
+    # The mode window must sit ABOVE the (user,type) count aggregate:
+    # aggregate first, then rank <=5 rows per user.
+    plan = plan_of(spark, "agg_mode_per_user")
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    # executedPlan prints top-down: Window appears before (above) the
+    # aggregate feeding it.
+    assert win_pos < agg_pos
+
+
+def test_fuzzy_match_blocked_join(spark):
+    # The quadratic compare must ride the length-bucket equi-join —
+    # no cartesian product of the whole corpus.
+    plan = plan_of(spark, "text_fuzzy_match")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

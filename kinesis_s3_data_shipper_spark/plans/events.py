@@ -342,122 +342,3 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "event_type", "value", z.alias("zscore"))
             .filter(F.abs("zscore") > 2.5))
 
-
-NS_PER_WEEK = 604_800_000_000_000
-US_PER_WEEK = 604_800_000_000
-
-
-@register("events_funnel", oracle="""
-WITH v AS (
-  SELECT user_id, MIN(epoch_us(ts)) AS v_us
-  FROM events WHERE event_type = 'view' GROUP BY user_id),
-c AS (
-  SELECT e.user_id, MIN(epoch_us(ts)) AS c_us
-  FROM events e JOIN v ON e.user_id = v.user_id
-  WHERE event_type = 'click' AND epoch_us(ts) > v_us
-  GROUP BY e.user_id),
-p AS (
-  SELECT e.user_id, MIN(epoch_us(ts)) AS p_us
-  FROM events e JOIN c ON e.user_id = c.user_id
-  WHERE event_type = 'purchase' AND epoch_us(ts) > c_us
-  GROUP BY e.user_id)
-SELECT (SELECT COUNT(*) FROM v) AS n_view,
-       (SELECT COUNT(*) FROM c) AS n_view_click,
-       (SELECT COUNT(*) FROM p) AS n_view_click_purchase
-""", doc="Ordered 3-step conversion funnel (view -> click -> purchase, "
-         "strictly increasing event time per user). Each step is a "
-         "conditional MIN keyed on user_id; the step join reuses the "
-         "same user_id hash partitioning, so the funnel depth adds "
-         "aggregations, not full-data reshuffles. Timestamps compare "
-         "at microsecond resolution on BOTH sides (ts div 1000) "
-         "because the oracle engine reads TIMESTAMP_NS truncated to "
-         "micros — nano-resolution '>' could disagree at ties.")
-def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = (load_table(spark, sf_dir, "events")
-          .select("user_id", "event_type",
-                  F.expr("ts div 1000").alias("ts_us")))
-    # v and c each feed TWO consumers (their own count + the next
-    # step); persist the tiny one-row-per-user aggregates so the
-    # events scan behind them runs once, not twice.
-    v = (ev.filter(F.col("event_type") == "view")
-         .groupBy("user_id").agg(F.min("ts_us").alias("v_us"))
-         .persist())
-    c = (ev.filter(F.col("event_type") == "click")
-         .join(v, "user_id")
-         .filter(F.col("ts_us") > F.col("v_us"))
-         .groupBy("user_id").agg(F.min("ts_us").alias("c_us"))
-         .persist())
-    p = (ev.filter(F.col("event_type") == "purchase")
-         .join(c, "user_id")
-         .filter(F.col("ts_us") > F.col("c_us"))
-         .groupBy("user_id").agg(F.min("ts_us").alias("p_us")))
-    nv = v.agg(F.count("*").alias("n_view"))
-    nc = c.agg(F.count("*").alias("n_view_click"))
-    np_ = p.agg(F.count("*").alias("n_view_click_purchase"))
-    # Three 1-row aggregates combine via broadcast-nested-loop — no
-    # shuffle, no driver collect.
-    return nv.join(F.broadcast(nc)).join(F.broadcast(np_))
-
-
-@register("events_retention_cohort", oracle=f"""
-WITH first_seen AS (
-  SELECT user_id, MIN(epoch_us(ts) // {US_PER_WEEK}) AS cohort_week
-  FROM events GROUP BY user_id),
-activity AS (
-  SELECT DISTINCT user_id, epoch_us(ts) // {US_PER_WEEK} AS act_week
-  FROM events)
-SELECT cohort_week,
-       act_week - cohort_week AS week_offset,
-       COUNT(*) AS n_users
-FROM activity JOIN first_seen USING (user_id)
-GROUP BY 1, 2
-""", doc="Weekly retention cohorts: users bucketed by first-seen week, "
-         "counted per (cohort, weeks-since-first) cell — the classic "
-         "retention triangle. Both the first-seen MIN and the "
-         "distinct-activity set hash-partition on user_id, the join "
-         "reuses that partitioning, and only (user, week) pairs — "
-         "not events — survive past the first aggregation. Week "
-         "bucketing is exact integer floor-division on microseconds "
-         "(micros on both sides: the oracle engine truncates "
-         "TIMESTAMP_NS to micros).")
-def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = (load_table(spark, sf_dir, "events")
-          .select("user_id",
-                  F.expr(f"(ts div 1000) div {US_PER_WEEK}").alias("week")))
-    first_seen = (ev.groupBy("user_id")
-                  .agg(F.min("week").alias("cohort_week")))
-    activity = ev.distinct().withColumnRenamed("week", "act_week")
-    return (activity.join(first_seen, "user_id")
-            .groupBy("cohort_week",
-                     (F.col("act_week") - F.col("cohort_week"))
-                     .alias("week_offset"))
-            .agg(F.count("*").alias("n_users")))
-
-
-@register("agg_mode_per_user", oracle="""
-WITH c AS (
-  SELECT user_id, event_type, COUNT(*) AS n
-  FROM events GROUP BY user_id, event_type),
-r AS (
-  SELECT *, row_number() OVER (PARTITION BY user_id
-                               ORDER BY n DESC, event_type) AS rn
-  FROM c)
-SELECT user_id, event_type AS mode_event_type, n
-FROM r WHERE rn = 1
-""", doc="Deterministic per-entity MODE (most frequent event type per "
-         "user, alphabetical tiebreak). Built as count-then-rank "
-         "rather than the built-in mode() aggregate because the "
-         "built-in breaks ties arbitrarily — not reproducible across "
-         "engines or runs. The window partitions on user_id (entity "
-         "key, cardinality grows with the data), and it ranks the "
-         "per-(user,type) COUNTS — at most |event_types| rows per "
-         "user — never raw events.")
-def agg_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    counts = (ev.groupBy("user_id", "event_type")
-              .agg(F.count("*").alias("n")))
-    w = W.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
-    return (counts.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("user_id",
-                    F.col("event_type").alias("mode_event_type"), "n"))

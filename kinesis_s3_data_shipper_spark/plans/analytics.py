@@ -135,3 +135,51 @@ def agg_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("user_id",
                     F.col("event_type").alias("mode_event_type"), "n"))
+
+
+@register("graph_pagerank_iter", oracle="""
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+outdeg AS (
+  SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+contrib AS (
+  SELECT dst, 1000000000000 // d AS c
+  FROM edges JOIN outdeg USING (src))
+SELECT dst AS node,
+       CAST(150000000000 + (85 * SUM(c)) // 100 AS BIGINT)
+         AS pagerank_scaled
+FROM contrib
+GROUP BY dst
+""", doc="One PageRank power iteration (damping 0.85) over the "
+         "customer->supplier graph derived from orders x lineitem, "
+         "computed ENTIRELY in scaled integer arithmetic: each "
+         "source's contribution is floor(1e12/outdegree), summed "
+         "exactly as int64, then damped with integer ops — no "
+         "floating-point message passing, so the result is "
+         "bit-identical across engines, partitionings, and retries. "
+         "Scale shape: edge dedup + outdegree + contribution sum are "
+         "three hash shuffles on node keys; iterating = re-running "
+         "the last two stages, same as dedup_clusters_cc's loop. "
+         "Sums stay far under int64: max 85 * |edges| * 1e12 / 1 "
+         "bounded by indegree * 1e12 ~ 1e17 per node.")
+def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey")
+    edges = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+             .select(F.col("o_custkey").alias("src"),
+                     F.col("l_suppkey").alias("dst"))
+             .distinct())
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    contrib = (edges.join(outdeg, "src")
+               .select("dst", F.expr("1000000000000 div d").alias("c")))
+    # The contribution sum accumulates as DECIMAL(38,0) (the oracle
+    # engine widens to int128 the same way): a hub node with 1e6+
+    # in-edges would overflow int64 under the 85x damping multiply.
+    return (contrib.groupBy(F.col("dst").alias("node"))
+            .agg(F.expr("CAST(150000000000 + "
+                        "(85 * sum(CAST(c AS DECIMAL(38,0)))) div 100 "
+                        "AS BIGINT)")
+                 .alias("pagerank_scaled")))

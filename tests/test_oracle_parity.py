@@ -45,4 +45,4 @@ def test_every_oracle_key_has_query():
     assert set(o) <= set(q)
     # Regression guard: the registry holds 107 queries as of round 2;
     # a module failing to import would silently shrink it.
-    assert len(q) >= 117
+    assert len(q) >= 118

@@ -292,3 +292,12 @@ def test_fuzzy_match_blocked_join(spark):
     plan = plan_of(spark, "text_fuzzy_match")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_three_node_shuffles(spark):
+    # Edge dedup, outdegree, and the contribution sum are the only
+    # hash shuffles; the outdegree join rides the edge partitioning
+    # or a broadcast — never a cartesian.
+    plan = plan_of(spark, "graph_pagerank_iter")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x2 at least

@@ -46,6 +46,11 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "multimodal_frame_sample",
     "ingest_pipeline",
+    "q9_product_profit",
+    "events_funnel",
+    "events_retention_cohort",
+    "graph_pagerank_iter",
+    "sample_balance_classes",
 ]
 
 

@@ -269,3 +269,32 @@ def blocked_ngram_jaccard_pairs(docs: DataFrame, *, id_col: str,
             (F.size(F.array_intersect("a._grams", "b._grams")).cast("double")
              / F.size(F.array_union("a._grams", "b._grams"))).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold))
+
+
+def minhash_lsh_candidates(docs: DataFrame, *, id_col: str, text_col: str,
+                           shingle_k: int = 3, num_hashes: int = 16,
+                           num_bands: int = 4) -> DataFrame:
+    """Candidate pairs (doc_a, doc_b) sharing >=1 LSH band bucket.
+
+    The candidate-generation half of minhash_lsh_pairs, exposed for
+    verifies other than Jaccard (e.g. edit distance): any pairwise
+    predicate applied to this set costs O(candidates), not O(n^2).
+    """
+    band_size = num_hashes // num_bands
+    banded = (docs
+              .select(F.col(id_col).alias("_id"),
+                      word_shingles(text_col, shingle_k).alias("_shingles"))
+              .withColumn("_sig", minhash_signature("_shingles", num_hashes))
+              .withColumn("_bands", lsh_bands("_sig", num_bands, band_size))
+              .select("_id", F.posexplode("_bands").alias("band_idx",
+                                                          "bucket"))
+              # Both sides of the self-join read this; persist so the
+              # signature build runs once.
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                      & (F.col("a.bucket") == F.col("b.bucket"))
+                      & (F.col("a._id") < F.col("b._id")))
+            .select(F.col("a._id").alias("doc_a"),
+                    F.col("b._id").alias("doc_b"))
+            .distinct())

@@ -233,3 +233,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocked_ngram_jaccard_pairs(
         docs, id_col="doc_id", text_col="text",
         block_cols=["lang", "len_bucket"], ngram_n=5, threshold=0.6)
+
+
+def sql_minhash_cand_ctes(source: str = "documents") -> str:
+    """The sh/sigs/bands/cand CTE block over an arbitrary source
+    relation — the oracle twin of operators.dedup.minhash_lsh_candidates
+    (same shingles, same salted md5 min-hashes, same 4x4 banding)."""
+    return f"""sh AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM {source}
+), sigs AS (
+  SELECT doc_id, list_transform(range(0, 16), j -> list_min(list_transform(
+             shingles, s -> md5(s || '#' || CAST(j AS VARCHAR))))) AS sig
+  FROM sh
+), bands AS (
+  SELECT doc_id, t.b AS band_idx,
+         md5(array_to_string(sig[t.b*4+1 : t.b*4+4], '|')) AS bucket
+  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+   AND a.doc_id < b.doc_id
+)"""

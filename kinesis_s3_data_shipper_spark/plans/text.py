@@ -9,8 +9,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.dedup import minhash_lsh_candidates
 from ..sources.tables import load_table
 from .base import register
+from .dedup import sql_minhash_cand_ctes
 
 #: Stopword list used by the quality heuristic (ASCII, lowercase).
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
@@ -382,35 +384,33 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n_shared_grams")))
 
 
-@register("text_fuzzy_match", oracle="""
-WITH en AS (
-  SELECT doc_id, substr(text, 1, 40) AS prefix, n_chars // 50 AS blk
-  FROM documents WHERE lang = 'en')
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist
-FROM en a JOIN en b ON a.blk = b.blk AND a.doc_id < b.doc_id
-WHERE levenshtein(a.prefix, b.prefix) <= 20
-""", doc="Fuzzy (edit-distance) matching: near-identical document "
-         "prefixes found with levenshtein <= 20 over 40-char ASCII "
-         "prefixes. The quadratic comparison is bounded to "
-         "(lang, length-bucket) blocks — the same blocking discipline "
-         "as dedup_ngram_jaccard — so pair count grows with "
-         "max-block-size^2, not corpus^2. Restricted to lang='en' "
-         "because the two engines count edit ops in code points and "
-         "multi-byte text could diverge; prefixes keep the per-pair "
-         "cost O(40^2) regardless of document length.")
+@register("text_fuzzy_match", oracle=f"""
+WITH {sql_minhash_cand_ctes("(SELECT * FROM documents WHERE lang = 'en')")}
+SELECT doc_a, doc_b,
+       CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist
+FROM cand
+JOIN documents ta ON ta.doc_id = doc_a
+JOIN documents tb ON tb.doc_id = doc_b
+WHERE levenshtein(ta.text, tb.text) <= 10
+""", doc="Fuzzy (edit-distance) matching at scale: MinHash-LSH "
+         "generates the candidate pairs (same salted-md5 banding as "
+         "dedup_minhash_lsh), then full-text levenshtein <= 10 "
+         "verifies them. Pairwise cost is O(candidates), which LSH "
+         "keeps near-linear in the corpus — a fixed-count blocking "
+         "scheme (the naive alternative) goes quadratic because block "
+         "sizes grow with the data. Restricted to lang='en' because "
+         "the engines count edit ops in code points and multi-byte "
+         "text could diverge; per-pair cost is O(len_a * len_b), "
+         "bounded by the documents' length cap.")
 def text_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    en = (docs.filter(F.col("lang") == "en")
-          .select("doc_id",
-                  F.substring("text", 1, 40).alias("prefix"),
-                  F.expr("n_chars div 50").alias("blk")))
-    a = en.select(F.col("doc_id").alias("doc_a"),
-                  F.col("prefix").alias("pa"), "blk")
-    b = en.select(F.col("doc_id").alias("doc_b"),
-                  F.col("prefix").alias("pb"), "blk")
-    dist = F.levenshtein("pa", "pb")
-    return (a.join(b, "blk")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .filter(dist <= 20)
+    en = docs.filter(F.col("lang") == "en")
+    cand = minhash_lsh_candidates(en, id_col="doc_id", text_col="text")
+    ta = en.select(F.col("doc_id").alias("doc_a"),
+                   F.col("text").alias("_text_a"))
+    tb = en.select(F.col("doc_id").alias("doc_b"),
+                   F.col("text").alias("_text_b"))
+    dist = F.levenshtein("_text_a", "_text_b")
+    return (cand.join(ta, "doc_a").join(tb, "doc_b")
+            .filter(dist <= 10)
             .select("doc_a", "doc_b", dist.cast("long").alias("dist")))

@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Local full-registry correctness sweep.
+
+The external driver verifies a bounded prefix of the query registry
+(the first 50 in registration order).  This script runs the SAME
+spark-vs-DuckDB comparison over EVERY registered query and writes
+``CORRECTNESS_LOCAL.json`` in the driver's record format, so the
+out-of-window queries carry committed correctness evidence too.
+
+Usage::
+
+    python correctness_local.py [--sf-dir /root/testdata/sf0.01]
+
+One SparkSession for the whole sweep (startup is ~10 s); streaming
+queries run their bounded micro-batch drains inside it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+import traceback
+
+from pyspark.sql import SparkSession
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default="CORRECTNESS_LOCAL.json")
+    ap.add_argument("--cpus", default="32")
+    args = ap.parse_args()
+
+    spark = (SparkSession.builder.master(f"local[{args.cpus}]")
+             .config("spark.sql.shuffle.partitions", args.cpus)
+             .config("spark.ui.enabled", "false")
+             .appName("correctness-local").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from kinesis_s3_data_shipper_spark.plans import REGISTRY, all_queries
+    from tests.oracle_harness import duckdb_connection, run_pair
+
+    all_queries()
+    t0 = time.time()
+    out: dict[str, dict] = {}
+    n_pass = n_fail = 0
+    for name, spec in REGISTRY.items():
+        rec: dict = {"rows_match": None, "schema_match": None,
+                     "hash_match": None, "spark_rows": None,
+                     "oracle_rows": None, "err": None}
+        try:
+            if spec.oracle is None:
+                rec["spark_rows"] = spec.spark(spark, args.sf_dir).count()
+                rec["rows_only"] = True
+            else:
+                run_pair(spark, args.sf_dir, name, spec.spark, spec.oracle)
+                sdf = spec.spark(spark, args.sf_dir)
+                rec["spark_rows"] = sdf.count()
+                con = duckdb_connection(args.sf_dir)
+                rec["oracle_rows"] = len(con.sql(spec.oracle).df())
+                rec.update(rows_match=True, schema_match=True,
+                           hash_match=True)
+            n_pass += 1
+        except Exception:
+            rec["err"] = traceback.format_exc(limit=3).splitlines()[-1][:400]
+            rec.update(rows_match=False, schema_match=False,
+                       hash_match=False)
+            n_fail += 1
+        out[name] = rec
+        status = "ok" if rec["err"] is None else "FAIL"
+        print(f"  {name}: {status}", file=sys.stderr)
+
+    meta = {"_meta": {"sf_dir": args.sf_dir, "n_queries": len(out),
+                      "n_pass": n_pass, "n_fail": n_fail,
+                      "wall_sec": round(time.time() - t0, 1)}}
+    with open(args.out, "w") as f:
+        json.dump({**meta, **out}, f, indent=1, sort_keys=False)
+    print(json.dumps(meta))
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -46,6 +46,8 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "multimodal_frame_sample",
     "ingest_pipeline",
+    "dedup_substring_spans",
+    "merge_upsert_customers",
     "q9_product_profit",
     "events_funnel",
     "events_retention_cohort",

@@ -298,3 +298,30 @@ def minhash_lsh_candidates(docs: DataFrame, *, id_col: str, text_col: str,
             .select(F.col("a._id").alias("doc_a"),
                     F.col("b._id").alias("doc_b"))
             .distinct())
+
+
+def token_window_spans(docs: DataFrame, *, id_col: str, text_col: str,
+                       window: int = 20) -> DataFrame:
+    """Every contiguous ``window``-token span of every document, one row
+    per (doc, position): columns (doc_id, span).
+
+    The substring-dedup primitive: grouping these spans by content
+    finds verbatim passages repeated ACROSS documents — duplication
+    that document-level dedup (exact or near) cannot see, e.g. boiler-
+    plate headers or licence blocks embedded in otherwise-unique pages.
+    A suffix-array finds arbitrary-length repeats; the fixed-window
+    rolling form is the shuffle-friendly equivalent (any repeat of
+    length >= window is caught by at least one of its windows).
+
+    The token split is let-bound so it runs once per row, not once per
+    span. Output size is (n_tokens - window + 1) rows/doc — linear in
+    corpus size, the same blow-up as the shingle explode in MinHash.
+    """
+    spans = let(
+        f"split({text_col}, ' ')", "toks",
+        f"transform(sequence(1, size(toks) - {window - 1}),"
+        f" i -> array_join(slice(toks, i, {window}), ' '))")
+    return (docs
+            .filter(F.expr(f"size(split({text_col}, ' ')) >= {window}"))
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode(F.expr(spans)).alias("span")))

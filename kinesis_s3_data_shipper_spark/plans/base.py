@@ -64,6 +64,7 @@ def _load_all() -> None:
     from . import text  # noqa: F401
     from . import sampling  # noqa: F401
     from . import analytics  # noqa: F401
+    from . import warehouse  # noqa: F401
     from . import relational  # noqa: F401
     from . import events  # noqa: F401
 

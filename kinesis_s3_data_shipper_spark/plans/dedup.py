@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (blocked_ngram_jaccard_pairs, minhash_lsh_pairs,
-                               simhash_bits)
+                               simhash_bits, token_window_spans)
 from ..sources.tables import load_table
 from .base import register
 
@@ -52,6 +52,43 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (docs.groupBy(F.sha2("text", 256).alias("text_sha256"))
             .agg(F.count("*").alias("n_copies"),
                  F.min("doc_id").alias("keeper_doc_id")))
+
+
+@register("dedup_substring_spans", oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+  WHERE len(string_split(text, ' ')) >= 20
+), spans AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(words) - 18),
+         i -> array_to_string(words[i:i+19], ' '))) AS span
+  FROM w
+)
+SELECT md5(span) AS span_hash, MIN(span) AS span,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       MIN(doc_id) AS first_doc_id
+FROM spans GROUP BY md5(span)
+HAVING COUNT(DISTINCT doc_id) >= 2
+""", doc="Substring-level dedup: verbatim 20-token spans repeated across "
+         ">=2 distinct documents — the rolling-window form of suffix-"
+         "array training-data dedup (any repeat >= window length is "
+         "caught by one of its windows). Catches boilerplate embedded "
+         "in otherwise-unique documents, invisible to document-level "
+         "dedup. One explode (linear blow-up, same as the MinHash "
+         "shingle explode) + one hash-agg keyed on the 16-byte md5 "
+         "digest; the span text rides along via MIN(span) for "
+         "reporting and would be dropped in the pure-prune path.")
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    spans = token_window_spans(docs, id_col="doc_id", text_col="text",
+                               window=20)
+    return (spans
+            .groupBy(F.md5("span").alias("span_hash"))
+            .agg(F.min("span").alias("span"),
+                 F.countDistinct("doc_id").alias("n_docs"),
+                 F.count("*").alias("n_occurrences"),
+                 F.min("doc_id").alias("first_doc_id"))
+            .filter(F.col("n_docs") >= 2))
 
 
 #: The minhash-LSH verified-pairs pipeline as a CTE block, shared by the

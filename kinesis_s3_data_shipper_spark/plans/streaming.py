@@ -100,6 +100,78 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      query_name=name)
 
 
+def _stage_split_landing(sf_dir: str) -> tuple[str, str]:
+    """Three-file landing fixture for watermark late-data drop, picked
+    up oldest-mtime-first, one file per micro-batch:
+
+    1. on-time: every event after the first hour;
+    2. sentinel: one far-future row (user -1, the streaming_sessions
+       trick) that advances the watermark past every real window;
+    3. late: the first hour's rows — by now below the watermark.
+
+    The sentinel batch sits between on-time and late because the
+    late-row filter uses the PREVIOUS batch's watermark (Spark's
+    two-watermark policy, SPARK-24634): a file arriving one batch
+    after the data that out-times it is NOT yet dropped; two batches
+    after, it is."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..streaming.jobs import SENTINEL_TS_NS, SENTINEL_USER
+
+    work = tempfile.mkdtemp(prefix="ksds_late_")
+    landing = os.path.join(work, "landing")
+    os.makedirs(landing)
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    ns = pc.cast(t["ts"], "int64")
+    cutoff = (pc.min(ns).as_py() // NS_PER_HOUR + 1) * NS_PER_HOUR
+    on_time = pc.greater_equal(ns, cutoff)
+    sentinel = pa.table(
+        {"event_id": [-1], "ts": [SENTINEL_TS_NS], "user_id": [SENTINEL_USER],
+         "event_type": ["sentinel"], "value": [0.0], "props": ["{}"]}
+    ).cast(t.schema)
+    paths = [os.path.join(landing, f) for f in
+             ("a_ontime.parquet", "b_sentinel.parquet", "c_late.parquet")]
+    pq.write_table(t.filter(on_time), paths[0])
+    pq.write_table(sentinel, paths[1])
+    pq.write_table(t.filter(pc.invert(on_time)), paths[2])
+    now = time.time()
+    for i, p in enumerate(paths):
+        os.utime(p, (now - 240 + i * 120, now - 240 + i * 120))
+    return landing, os.path.join(work, "ckpt")
+
+
+@register("streaming_late_data", oracle=f"""
+WITH e AS (
+  SELECT epoch_ns(ts) AS ns, event_type FROM events
+), c AS (
+  SELECT ((MIN(ns) // {NS_PER_HOUR}) + 1) * {NS_PER_HOUR} AS cutoff FROM e
+)
+SELECT (ns // {NS_PER_HOUR}) * 3600000 AS hour_ms, event_type,
+       COUNT(*) AS n
+FROM e, c WHERE ns >= cutoff
+GROUP BY 1, 2
+""", doc="Watermark late-data semantics, oracle-checked: the first "
+         "hour's rows arrive two micro-batches after the rest of the "
+         "stream (and a sentinel) advanced the 2-hour watermark, so "
+         "they are DROPPED, while append mode emits every finalized "
+         "on-time window — the oracle is the hourly counts over the "
+         "on-time rows only. The sentinel's own window never "
+         "finalizes, so it self-excludes. This is the state-eviction "
+         "contract that keeps streaming aggregation memory bounded at "
+         "scale; the fixture also pins Spark's two-watermark policy "
+         "(late filter = previous batch's watermark).")
+def streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import streaming_late_data_counts
+    landing, checkpoint = _stage_split_landing(sf_dir)
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    return streaming_late_data_counts(spark, landing, checkpoint=checkpoint,
+                                      query_name=name)
+
+
 @register("streaming_enrich", oracle="""
 SELECT c_mktsegment, event_type, COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

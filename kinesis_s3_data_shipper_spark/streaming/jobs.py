@@ -175,6 +175,38 @@ def streaming_running_user_counts(spark: SparkSession, events_dir: str, *,
             .groupBy("user_id").agg(F.max("total").alias("total")))
 
 
+def streaming_late_data_counts(spark: SparkSession, events_dir: str, *,
+                               checkpoint: str, query_name: str,
+                               watermark: str = "2 hours") -> DataFrame:
+    """Hourly counts in APPEND mode with real late-data semantics.
+
+    The landing dir must hold the on-time file (older mtime) and the
+    late file (newer mtime); maxFilesPerTrigger=1 makes them separate
+    micro-batches in mtime order. After batch 1 the watermark advances
+    to max(event_time) - delay, so batch 2's late rows — all in
+    already-finalized windows — are DROPPED, and append mode emits
+    exactly the windows whose end <= final watermark. This is the
+    eviction/drop behavior that bounds aggregation state at scale;
+    complete-mode queries (streaming_hourly) never discard state.
+    """
+    events = _events_stream(spark, events_dir, max_files=1)
+    agg = (
+        events.withColumn("event_time",
+                          F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n")))
+    out = agg.select(
+        F.unix_millis(F.col("window.start")).alias("hour_ms"),
+        "event_type", "n")
+    query = (out.writeStream.outputMode("append")
+             .format("memory").queryName(query_name)
+             .option("checkpointLocation", checkpoint)
+             .trigger(availableNow=True).start())
+    query.awaitTermination()
+    return spark.table(query_name)
+
+
 def streaming_ingest(spark: SparkSession, landing_dir: str, *,
                      checkpoint: str, out_dir: str,
                      max_files_per_trigger: int = 64) -> None:

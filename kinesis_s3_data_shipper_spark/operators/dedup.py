@@ -61,34 +61,68 @@ def word_shingles(text_col: str, k: int = 3) -> Column:
     return F.expr(_shingles_sql(text_col, k))
 
 
-def _signature_sql(shingles_sql: str, num_hashes: int) -> str:
-    """MinHash signature over a shingles expression (let-bound: the
-    shingle array is computed once, not once per hash function).
-
-    String-min over md5 hex digests is a valid min-hash family (md5 is
-    uniform on hex strings); using j as a salt gives independent
-    permutations without precomputed coefficients."""
-    body = (f"transform(sequence(0, {num_hashes - 1}),"
-            f" j -> array_min(transform(sh,"
-            f" s -> md5(concat(s, '#', CAST(j AS STRING))))))")
-    return let(shingles_sql, "sh", body)
+#: Smallest prime above 2^32 — the modulus of the minhash permutation
+#: family. (a*h' + b) with a,b < 2^28 and h' < 2^32 peaks below 2^60,
+#: so the whole family is exact int64 arithmetic in ANY engine.
+MINHASH_PRIME = 4_294_967_311
 
 
-def minhash_signature(shingles_col: str, num_hashes: int = 16) -> Column:
-    """MinHash signature: per hash j, min over shingles of md5(s+'#'+j)."""
-    return F.expr(_signature_sql(shingles_col, num_hashes))
+def minhash_perm_params(num_hashes: int = 16) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) coefficients for the permutation family
+    h_j(x) = (a_j*x + b_j) mod MINHASH_PRIME — md5-derived so every
+    engine (Spark, the DuckDB oracle, anything else) regenerates the
+    identical family from the index alone. a_j is odd and below 2^28."""
+    import hashlib
+
+    def _c(tag: str, j: int) -> int:
+        return int(hashlib.md5(f"minhash-{tag}-{j}".encode())
+                   .hexdigest()[:7], 16)
+
+    return [(_c("a", j) | 1, _c("b", j)) for j in range(num_hashes)]
+
+
+def _signature_sql(hashes_sql: str, num_hashes: int) -> str:
+    """MinHash signature over a 60-bit shingle-hash array expression.
+
+    One md5 per shingle total: each permutation is pure int64
+    arithmetic over the low 32 bits of the shingle hash — the classic
+    (a*x + b) mod p universal family — instead of a salted md5 per
+    (shingle, hash) pair, which costs num_hashes× more hashing for the
+    same collision statistics. The hash array is let-bound so it is
+    computed once per row however Catalyst collapses the projections."""
+    mins = ", ".join(
+        f"array_min(transform(hs, h -> ({a} * (h % 4294967296) + {b})"
+        f" % {MINHASH_PRIME}))"
+        for a, b in minhash_perm_params(num_hashes))
+    return let(hashes_sql, "hs", f"array({mins})")
+
+
+def minhash_signature(hashes_col: str, num_hashes: int = 16) -> Column:
+    """MinHash signature: per permutation j, min over the shingle-hash
+    array of (a_j*h + b_j) mod p (see minhash_perm_params)."""
+    return F.expr(_signature_sql(hashes_col, num_hashes))
 
 
 def _bands_sql(sig_sql: str, num_bands: int, band_size: int) -> str:
     body = (f"transform(sequence(0, {num_bands - 1}),"
-            f" b -> md5(array_join(slice(sig, b * {band_size} + 1,"
-            f" {band_size}), '|')))")
+            f" b -> array_join(transform(slice(sig, b * {band_size} + 1,"
+            f" {band_size}), x -> CAST(x AS STRING)), '|'))")
     return let(sig_sql, "sig", body)
 
 
 def lsh_bands(sig_col: str, num_bands: int, band_size: int) -> Column:
-    """Band buckets: md5 of each band's joined signature slice."""
+    """Band buckets: each band's signature slice joined to a string.
+
+    The bucket only ever feeds an equality join, so the join key is the
+    raw '|'-joined int slice — hashing it again (the usual md5 step)
+    would burn a digest per (row, band) for zero extra selectivity."""
     return F.expr(_bands_sql(sig_col, num_bands, band_size))
+
+
+def _shingle_hashes_sql(shingles_sql: str) -> str:
+    return (f"transform({shingles_sql},"
+            f" s -> CAST(conv(substring(md5(s), 1, 15), 16, 10)"
+            f" AS BIGINT))")
 
 
 def shingle_hashes(shingles_col: str) -> Column:
@@ -99,11 +133,22 @@ def shingle_hashes(shingles_col: str) -> Column:
     joins cuts the shuffled array bytes to 8B/element regardless of
     shingle length. md5-derived (not xxhash64) so any engine — and the
     DuckDB oracle — reproduces identical values; a collision would hit
-    both sides identically.
+    both sides identically. The SAME 60-bit hash seeds the minhash
+    permutation family (its low 32 bits), so the whole LSH pipeline
+    costs exactly one md5 per shingle.
     """
-    return F.expr(f"transform({shingles_col},"
-                  f" s -> CAST(conv(substring(md5(s), 1, 15), 16, 10)"
-                  f" AS BIGINT))")
+    return F.expr(_shingle_hashes_sql(shingles_col))
+
+
+def _spread(docs: DataFrame) -> DataFrame:
+    """Round-robin the corpus across the cluster before the signature
+    build. That projection costs ~num_hashes ops per TOKEN — orders of
+    magnitude more than one linear shuffle of the raw rows — so its
+    stage parallelism must come from the cluster, not from however the
+    input happened to be laid out (single-row-group files, one giant
+    gzip, skewed file sizes all serialize it otherwise)."""
+    return docs.repartition(docs.sparkSession.sparkContext
+                            .defaultParallelism)
 
 
 def minhash_lsh_pairs(docs: DataFrame, *, id_col: str, text_col: str,
@@ -115,12 +160,12 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str, text_col: str,
     band bucket whose true shingle-Jaccard ≥ threshold.
     """
     band_size = num_hashes // num_bands
-    prepared = (docs
+    prepared = (_spread(docs)
                 .select(F.col(id_col).alias("_id"),
                         word_shingles(text_col, shingle_k).alias("_shingles"))
-                .withColumn("_sig", minhash_signature("_shingles", num_hashes))
-                .withColumn("_bands", lsh_bands("_sig", num_bands, band_size))
                 .withColumn("_hsh", shingle_hashes("_shingles"))
+                .withColumn("_bands", lsh_bands(
+                    _signature_sql("_hsh", num_hashes), num_bands, band_size))
                 # Only what downstream consumes is persisted: band
                 # buckets for the candidate join, 8-byte shingle hashes
                 # (not raw shingle strings, not the 32B/hash signature)
@@ -281,11 +326,13 @@ def minhash_lsh_candidates(docs: DataFrame, *, id_col: str, text_col: str,
     predicate applied to this set costs O(candidates), not O(n^2).
     """
     band_size = num_hashes // num_bands
-    banded = (docs
+    banded = (_spread(docs)
               .select(F.col(id_col).alias("_id"),
                       word_shingles(text_col, shingle_k).alias("_shingles"))
-              .withColumn("_sig", minhash_signature("_shingles", num_hashes))
-              .withColumn("_bands", lsh_bands("_sig", num_bands, band_size))
+              .withColumn("_bands", lsh_bands(
+                  _signature_sql(_shingle_hashes_sql("_shingles"),
+                                 num_hashes),
+                  num_bands, band_size))
               .select("_id", F.posexplode("_bands").alias("band_idx",
                                                           "bucket"))
               # Both sides of the self-join read this; persist so the

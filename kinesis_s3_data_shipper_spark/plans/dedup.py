@@ -91,6 +91,25 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n_docs") >= 2))
 
 
+def _sql_minhash_sig(num_hashes: int = 16) -> str:
+    """DuckDB spelling of the minhash signature over the 60-bit shingle
+    hashes — generated from the SAME coefficients as the Spark side
+    (operators.dedup.minhash_perm_params), so the two engines cannot
+    drift."""
+    from ..operators.dedup import MINHASH_PRIME, minhash_perm_params
+    mins = ", ".join(
+        f"list_min(list_transform(hsh, h -> ({a} * (h % 4294967296)"
+        f" + {b}) % {MINHASH_PRIME}))"
+        for a, b in minhash_perm_params(num_hashes))
+    return f"[{mins}]"
+
+
+#: DuckDB spelling of one band's bucket key: the '|'-joined signature
+#: slice (equality-join key only, so no digest on top).
+_SQL_BAND_BUCKET = ("array_to_string(list_transform("
+                    "sig[t.b*4+1 : t.b*4+4],"
+                    " x -> CAST(x AS VARCHAR)), '|')")
+
 #: The minhash-LSH verified-pairs pipeline as a CTE block, shared by the
 #: pairs oracle and the connected-components clusters oracle.
 _SQL_MINHASH_CTES = f"""sh AS (
@@ -100,13 +119,9 @@ _SQL_MINHASH_CTES = f"""sh AS (
          s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hsh
   FROM sh
 ), sigs AS (
-  SELECT doc_id, shingles,
-         list_transform(range(0, 16), j -> list_min(list_transform(
-             shingles, s -> md5(s || '#' || CAST(j AS VARCHAR))))) AS sig
-  FROM sh
+  SELECT doc_id, {_sql_minhash_sig(16)} AS sig FROM hs
 ), bands AS (
-  SELECT doc_id, t.b AS band_idx,
-         md5(array_to_string(sig[t.b*4+1 : t.b*4+4], '|')) AS bucket
+  SELECT doc_id, t.b AS band_idx, {_SQL_BAND_BUCKET} AS bucket
   FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -128,12 +143,15 @@ _SQL_MINHASH_CTES = f"""sh AS (
 @register("dedup_minhash_lsh", oracle=f"""
 WITH {_SQL_MINHASH_CTES}
 SELECT doc_a, doc_b, jaccard FROM pairs
-""", doc="MinHash-LSH near-dup pairs: 16 md5 min-hashes over word-3-gram "
-         "shingles, 4 bands × 4 rows, bucket join, exact-Jaccard verify "
-         "at τ=0.5. Signature build is shuffle-free; the bucket join is "
-         "the only shuffle and its width is bounded by collisions. The "
-         "verify joins shuffle 60-bit shingle HASHES (8B/element, md5-"
-         "derived so the oracle mirrors them), never raw shingle strings.")
+""", doc="MinHash-LSH near-dup pairs: ONE md5 per word-3-gram shingle, "
+         "16 permutations via (a*h+b) mod p int64 arithmetic, 4 bands "
+         "× 4 rows, bucket join, exact-Jaccard verify at τ=0.5. "
+         "Signature build is shuffle-free (input round-robined first "
+         "so its cost parallelizes regardless of file layout); the "
+         "bucket join is the only shuffle and its width is bounded by "
+         "collisions. The verify joins shuffle 60-bit shingle HASHES "
+         "(8B/element, md5-derived so the oracle mirrors them), never "
+         "raw shingle strings.")
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, id_col="doc_id", text_col="text",
@@ -278,13 +296,14 @@ def sql_minhash_cand_ctes(source: str = "documents") -> str:
     (same shingles, same salted md5 min-hashes, same 4x4 banding)."""
     return f"""sh AS (
   SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM {source}
-), sigs AS (
-  SELECT doc_id, list_transform(range(0, 16), j -> list_min(list_transform(
-             shingles, s -> md5(s || '#' || CAST(j AS VARCHAR))))) AS sig
+), hs0 AS (
+  SELECT doc_id, list_transform(shingles,
+         s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hsh
   FROM sh
+), sigs AS (
+  SELECT doc_id, {_sql_minhash_sig(16)} AS sig FROM hs0
 ), bands AS (
-  SELECT doc_id, t.b AS band_idx,
-         md5(array_to_string(sig[t.b*4+1 : t.b*4+4], '|')) AS bucket
+  SELECT doc_id, t.b AS band_idx, {_SQL_BAND_BUCKET} AS bucket
   FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -393,7 +393,7 @@ JOIN documents ta ON ta.doc_id = doc_a
 JOIN documents tb ON tb.doc_id = doc_b
 WHERE levenshtein(ta.text, tb.text) <= 10
 """, doc="Fuzzy (edit-distance) matching at scale: MinHash-LSH "
-         "generates the candidate pairs (same salted-md5 banding as "
+         "generates the candidate pairs (same permutation banding as "
          "dedup_minhash_lsh), then full-text levenshtein <= 10 "
          "verifies them. Pairwise cost is O(candidates), which LSH "
          "keeps near-linear in the corpus — a fixed-count blocking "

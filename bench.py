@@ -53,6 +53,10 @@ HEADLINE = [
     "events_retention_cohort",
     "graph_pagerank_iter",
     "sample_balance_classes",
+    "ann_pq_adc",
+    "semdedup_kmeans",
+    "dedup_bloom_membership",
+    "text_unigram_lm_score",
 ]
 
 

@@ -125,6 +125,57 @@ def ivf_cluster(vec_col: str, centroids: list[list[float]]) -> Column:
     return F.expr(let(norm_sql, "nv", body))
 
 
+# ------------------------------------------------------------------ PQ
+
+def pq_codebook(train: list[list[float]],
+                num_sub: int) -> list[list[list[float]]]:
+    """Product-quantization codebook from K training vectors:
+    cb[m][k] = subvector m of training vector k. Deterministic and
+    data-derived (the IVF-centroid pattern); production would k-means
+    each subspace — the encode/ADC machinery is unchanged either way."""
+    dim = len(train[0])
+    d = dim // num_sub
+    return [[list(map(float, v[m * d:(m + 1) * d])) for v in train]
+            for m in range(num_sub)]
+
+
+def pq_codes(vec_col: str, cb: list[list[list[float]]]) -> Column:
+    """PQ encoding as ONE shuffle-free projection: codes[m] = 1-based
+    argmin_k of the squared-L2 distance between the row's m-th
+    subvector and codeword k (ties → lowest k, matching an ORDER BY
+    dist, cid window pick). 8 subspaces × 1 small int = the 100 TB
+    memory story: the scan-resident index stores codes (bytes/vector),
+    not floats."""
+    from .dedup import let
+    d = len(cb[0][0])
+    codes = []
+    for m, words in enumerate(cb):
+        dists = ",".join(
+            f"aggregate(zip_with(slice({vec_col}, {m * d + 1}, {d}),"
+            f" {_plane_literal(w)},"
+            f" (x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),"
+            f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            for w in words)
+        codes.append(let(f"array({dists})", "ds",
+                         "array_position(ds, array_min(ds))"))
+    return F.expr("array(" + ",".join(codes) + ")")
+
+
+def pq_reconstruct(codes_col: str, cb: list[list[list[float]]]) -> Column:
+    """Decode PQ codes back to the quantized vector (codebook rows as
+    plan literals). dot(q, reconstruct(v)) is exactly the asymmetric-
+    distance (ADC) score sum_m dot(q_m, cb[m][code_m]) — production
+    caches the per-query K×M table; the algebra and result are
+    identical."""
+    parts = []
+    for m, words in enumerate(cb):
+        lit = "array(" + ",".join(_plane_literal(w) for w in words) + ")"
+        parts.append(
+            f"element_at({lit}, CAST(element_at({codes_col}, {m + 1})"
+            f" AS INT))")
+    return F.expr("flatten(array(" + ",".join(parts) + "))")
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
                 vec_col: str, k: int, round_dp: int = 6) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.

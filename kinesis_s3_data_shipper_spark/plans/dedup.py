@@ -290,6 +290,66 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_cols=["lang", "len_bucket"], ngram_n=5, threshold=0.6)
 
 
+#: Bloom-filter geometry: m bits, k=3 probe positions per document.
+#: The reference set is HARD-CAPPED (doc_id % 101 = 0 and < 101*256)
+#: so |ref| is a constant independent of corpus size.
+_BLOOM_M = 8192
+_BLOOM_REF_PRED = "doc_id % 101 = 0 AND doc_id < 25856"
+
+
+def _bloom_pos_spark(col: str) -> str:
+    return ",".join(
+        f"CAST(conv(substring(md5({col}), {j * 8 + 1}, 8), 16, 10)"
+        f" AS BIGINT) % {_BLOOM_M}" for j in range(3))
+
+
+def _bloom_pos_duck(col: str) -> str:
+    return ",".join(
+        f"CAST('0x' || substr(md5({col}), {j * 8 + 1}, 8) AS BIGINT)"
+        f" % {_BLOOM_M}" for j in range(3))
+
+
+@register("dedup_bloom_membership", oracle=f"""
+WITH ref AS (
+  SELECT text FROM documents WHERE {_BLOOM_REF_PRED}
+), pos AS (
+  SELECT DISTINCT unnest([{_bloom_pos_duck('text')}]) AS p FROM ref
+), cand AS (
+  SELECT doc_id, unnest([{_bloom_pos_duck('text')}]) AS p FROM documents
+)
+SELECT c.doc_id,
+       CAST(CASE WHEN COUNT(pos.p) = 3 THEN 1 ELSE 0 END AS BIGINT)
+         AS bloom_maybe_seen
+FROM cand c LEFT JOIN pos ON c.p = pos.p
+GROUP BY c.doc_id
+""", doc="Bloom-filter membership pre-filter — the cross-snapshot dedup "
+         "primitive (is this document PROBABLY in the already-ingested "
+         "set?): k=3 md5-derived bit positions per document over an "
+         "m=8192-bit filter built from a bounded reference set. The "
+         "distinct set-bit positions broadcast once (<= 3*|ref| ints, "
+         "the exact information content of the bitmap), every corpus "
+         "document probes its 3 positions map-side, and only all-hit "
+         "documents go on to exact verification — at 100 TB this "
+         "prunes the shuffle to the filter's false-positive rate "
+         "((1-e^(-kn/m))^k) instead of re-shuffling the whole corpus "
+         "against every prior snapshot. False positives are part of "
+         "the contract and the oracle reproduces them bit-for-bit.")
+def dedup_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pos = (docs.filter(F.expr(_BLOOM_REF_PRED))
+           .select(F.explode(F.expr(f"array({_bloom_pos_spark('text')})"))
+                   .alias("p"))
+           .distinct()
+           .withColumn("_m", F.lit(1)))
+    cand = docs.select(
+        "doc_id",
+        F.explode(F.expr(f"array({_bloom_pos_spark('text')})")).alias("p"))
+    return (cand.join(F.broadcast(pos), "p", "left")
+            .groupBy("doc_id")
+            .agg(F.when(F.count("_m") == 3, F.lit(1)).otherwise(F.lit(0))
+                 .cast("long").alias("bloom_maybe_seen")))
+
+
 def sql_minhash_cand_ctes(source: str = "documents") -> str:
     """The sh/sigs/bands/cand CTE block over an arbitrary source
     relation — the oracle twin of operators.dedup.minhash_lsh_candidates

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, sql_cosine
+from ..functions.vectors import cosine, sql_cosine, sql_dot, sql_norm
 from ..operators.similarity import (cosine_pairs, cosine_topk, hyperplanes,
                                     lsh_bucket, lsh_bucket_stats,
                                     sql_lsh_bucket)
@@ -214,6 +214,158 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_bucket_stats(emb, id_col="vec_id", vec_col="embedding",
                             num_planes=8, dim=64)
+
+
+#: PQ geometry: 8 subspaces over the 64-dim embeddings, 16 codewords
+#: per subspace (codebook = subvectors of the first 16 vectors — the
+#: IVF "deterministic data-derived" pattern).
+_PQ_M = 8
+_PQ_D = 8
+_PQ_K = 16
+
+
+def _pq_oracle() -> str:
+    sub_a = "e.embedding[md.m*8+1 : md.m*8+8]"
+    sub_c = "c.cv[md.m*8+1 : md.m*8+8]"
+    sq_l2 = (f"list_reduce(list_transform(list_zip({sub_a}, {sub_c}),"
+             f" p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+             f" * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),"
+             f" (acc, v) -> acc + v)")
+    return f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id < {_PQ_K}
+), md AS (SELECT unnest(range(0, {_PQ_M})) AS m),
+d AS (
+  SELECT e.vec_id, md.m, c.cid, {sub_c} AS cw, {sq_l2} AS dist
+  FROM embeddings e CROSS JOIN c CROSS JOIN md
+), asg AS (
+  SELECT vec_id, m, cw,
+         row_number() OVER (PARTITION BY vec_id, m
+                            ORDER BY dist, cid) AS rn
+  FROM d
+), rec AS (
+  SELECT vec_id, flatten(list(cw ORDER BY m)) AS rv
+  FROM asg WHERE rn = 1 GROUP BY vec_id
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE {_QUERY_PRED}
+), scored AS (
+  SELECT q.query_id, r.vec_id AS neighbor_id,
+         ROUND({sql_dot('q.qv', 'r.rv')}
+               / ({sql_norm('q.qv')} * {sql_norm('r.rv')}), 6) AS adc_cos
+  FROM rec r CROSS JOIN q
+  WHERE r.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, adc_cos, rank FROM (
+  SELECT query_id, neighbor_id, adc_cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+@register("ann_pq_adc", oracle=_pq_oracle(),
+          doc="Product-quantization ANN with asymmetric-distance "
+              "scoring (Jegou et al. 2011): each vector is encoded "
+              "once, in the scan, to 8 sub-codes (argmin squared-L2 "
+              "vs 16 codewords per subspace, codebook rows as plan "
+              "literals) — the index the corpus carries is bytes per "
+              "vector instead of 256 B of floats, the 100 TB memory "
+              "lever. Queries stay exact-precision and score against "
+              "the DECODED vectors; dot(q, decode(codes)) is "
+              "algebraically the ADC table-sum, so production's "
+              "per-query K*M lookup table yields the identical "
+              "result. The oracle re-derives the same codebook, "
+              "codes (window-argmin with the same tiebreak), and "
+              "fold-cosines in SQL, so ranks match exactly.")
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_codebook, pq_codes, pq_reconstruct
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = [list(map(float, r.embedding)) for r in
+             emb.filter(F.col("vec_id") < _PQ_K)
+                .orderBy("vec_id").collect()]
+    cb = pq_codebook(train, _PQ_M)
+    from ..functions.vectors import dot, norm
+    rec = (emb
+           .select("vec_id", pq_codes("embedding", cb).alias("codes"))
+           .select("vec_id", pq_reconstruct("codes", cb).alias("rv"))
+           .select("vec_id", "rv", norm("rv").alias("_n")))
+    q = (emb.filter(F.expr(_QUERY_PRED))
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qv"),
+                 norm("embedding").alias("_qn")))
+    scored = (rec.crossJoin(F.broadcast(q))
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      F.round(dot("qv", "rv")
+                              / (F.col("_qn") * F.col("_n")), 6)
+                       .alias("adc_cos")))
+    w = W.partitionBy("query_id").orderBy(F.desc("adc_cos"), "neighbor_id")
+    return (scored.select("query_id", "neighbor_id", "adc_cos",
+                          F.row_number().over(w).cast("long").alias("rank"))
+            .filter(F.col("rank") <= 3))
+
+
+#: SemDeDup keep/drop threshold — just under the corpus's max
+#: within-cluster cosine so the dup set is non-empty at every sf
+#: (same calibration as embedding_cosine_pairs / dedup_embedding_cosine).
+_SEMDEDUP_TAU = 0.35
+
+
+@register("semdedup_kmeans", oracle=f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id < {_IVF_K}
+), asg AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {sql_cosine('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+  FROM embeddings e CROSS JOIN c
+), a AS (
+  SELECT vec_id, embedding, cid AS cluster FROM asg WHERE rn = 1
+), pairs AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  WHERE {sql_cosine('x.embedding', 'y.embedding')} >= {_SEMDEDUP_TAU}
+), k AS (
+  SELECT id_b, MIN(id_a) AS keeper FROM pairs GROUP BY id_b
+)
+SELECT a.cluster, a.vec_id, COALESCE(k.keeper, a.vec_id) AS keeper_vec_id,
+       CAST(CASE WHEN k.keeper IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS is_semantic_dup
+FROM a LEFT JOIN k ON a.vec_id = k.id_b
+""", doc="SemDeDup-style semantic dedup (Abbas et al. 2023, "
+         "arXiv:2303.09540): k-means-cluster the embedding space (the "
+         "IVF coarse assignment — centroids as plan literals, one "
+         "shuffle-free projection), then inside each cluster mark "
+         "every vector whose cosine to an earlier vector exceeds tau "
+         "as a semantic duplicate of the earliest such vector. The "
+         "quadratic verify is bounded to within-cluster pairs (n/K "
+         "per cluster), the keeper agg shuffles bare id pairs, and "
+         "the dup map broadcasts back — the same scale shape as "
+         "dedup_embedding_cosine but blocked by learned clusters "
+         "instead of random hyperplanes, which is what lets SemDeDup "
+         "catch paraphrase-level duplicates that hash-based blocking "
+         "scatters.")
+def semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_cluster
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [list(map(float, r.embedding)) for r in
+             emb.filter(F.col("vec_id") < _IVF_K)
+                .orderBy("vec_id").collect()]
+    a = emb.select("vec_id", "embedding",
+                   ivf_cluster("embedding", cents).alias("cluster"))
+    pairs = cosine_pairs(a, id_col="vec_id", vec_col="embedding",
+                         block_col="cluster", threshold=_SEMDEDUP_TAU)
+    dup_map = pairs.groupBy("id_b").agg(F.min("id_a").alias("keeper"))
+    return (a.join(F.broadcast(dup_map), a.vec_id == dup_map.id_b, "left")
+            .select("cluster", a.vec_id,
+                    F.coalesce("keeper", "vec_id").alias("keeper_vec_id"),
+                    F.when(F.col("keeper").isNull(), F.lit(0))
+                     .otherwise(F.lit(1)).cast("long")
+                     .alias("is_semantic_dup")))
 
 
 @register("kmeans_lloyd_iter", oracle=f"""

@@ -210,3 +210,29 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     landing, checkpoint = _stage_landing(sf_dir)
     name = f"sjoin_{uuid.uuid4().hex[:8]}"
     return run(spark, landing, checkpoint=checkpoint, query_name=name)
+
+
+@register("streaming_outer_join", oracle="""
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       (epoch_ns(p.ts) // 1000000) - (epoch_ns(c.ts) // 1000000)
+         AS lag_ms
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND (epoch_ns(p.ts) // 1000) BETWEEN (epoch_ns(c.ts) // 1000)
+     AND (epoch_ns(c.ts) // 1000) + 1800000000
+""", doc="Stream-stream LEFT OUTER interval join: clicks emit matched "
+         "purchase pairs as they arrive, and unmatched clicks emit "
+         "exactly once with nulls — but only after the watermark "
+         "proves no in-window purchase can still arrive, which is the "
+         "semantics that lets Spark EVICT outer-join state instead of "
+         "buffering the stream forever. Far-future sentinel rows on "
+         "both sides (filtered from the result) drive the final "
+         "watermark past every real click's horizon, so availableNow "
+         "drains the complete outer result and the batch LEFT JOIN "
+         "oracle matches exactly, nulls included.")
+def streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import streaming_left_outer_join as run
+    landing, checkpoint = _stage_landing(sf_dir)
+    name = f"sojoin_{uuid.uuid4().hex[:8]}"
+    return run(spark, landing, checkpoint=checkpoint, query_name=name)

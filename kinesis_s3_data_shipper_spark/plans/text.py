@@ -414,3 +414,51 @@ def text_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cand.join(ta, "doc_a").join(tb, "doc_b")
             .filter(dist <= 10)
             .select("doc_a", "doc_b", dist.cast("long").alias("dist")))
+
+
+@register("text_unigram_lm_score", oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), cnt AS (
+  SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+), vocab AS (
+  SELECT w, c FROM (
+    SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rn FROM cnt
+  ) WHERE rn <= 1000
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(COALESCE(v.c, 0)) AS BIGINT) AS sum_freq,
+       CAST(SUM(COALESCE(v.c, 0)) AS DOUBLE) / COUNT(*) AS mean_tok_freq,
+       CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov
+FROM toks t LEFT JOIN vocab v ON t.w = v.w
+GROUP BY t.doc_id
+""", doc="Unigram language-model quality score (the CCNet/Gopher LM-"
+         "filter dataflow): build a capped vocabulary from the corpus "
+         "itself (top-1000 tokens by frequency — TakeOrderedAndProject, "
+         "never a single-partition global window), broadcast it, and "
+         "score every document by its tokens' mean corpus frequency "
+         "plus an out-of-vocabulary count. Production swaps the "
+         "frequency table for KenLM log-probs; the statistic here is "
+         "engine-portable (exact integer sums, one IEEE division) so "
+         "the oracle hash-matches, while the dataflow — corpus-derived "
+         "broadcast model + map-side token join + per-doc agg — is "
+         "identical at any scale.")
+def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vocab = (toks.groupBy("w").agg(F.count("*").alias("c"))
+             # top-k via sort+limit: TakeOrderedAndProject keeps the
+             # vocabulary selection distributed (partial top-k per
+             # partition), unlike a global row_number window.
+             .orderBy(F.desc("c"), "w").limit(1000))
+    return (toks.join(F.broadcast(vocab), "w", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.sum(F.coalesce("c", F.lit(0))).cast("long")
+                  .alias("sum_freq"),
+                 (F.sum(F.coalesce("c", F.lit(0))).cast("double")
+                  / F.count("*")).alias("mean_tok_freq"),
+                 F.sum(F.when(F.col("c").isNull(), 1).otherwise(0))
+                  .cast("long").alias("n_oov")))

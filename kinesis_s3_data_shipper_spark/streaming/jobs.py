@@ -207,6 +207,61 @@ def streaming_late_data_counts(spark: SparkSession, events_dir: str, *,
     return spark.table(query_name)
 
 
+def streaming_left_outer_join(spark: SparkSession, events_dir: str, *,
+                              checkpoint: str, query_name: str,
+                              window: str = "30 minutes") -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click emits — with
+    its matching same-user purchases inside [click, click + window],
+    or ONCE with nulls when the watermark proves no match can arrive.
+
+    The null-extension side is the hard part of streaming outer joins:
+    an unmatched click can only be emitted when event time has provably
+    passed click_time + window + watermark delay, so the output is
+    driven by watermark progress, not batch boundaries. Two far-future
+    sentinel rows (one per event_type, user -1, filtered from the
+    result) push the final watermark past every real click's horizon,
+    making availableNow drain the complete, deterministic outer result
+    that the batch LEFT JOIN oracle computes. State stays bounded to
+    watermark + interval on both sides — the same eviction contract as
+    the inner interval join."""
+    ensure_runtime_confs(spark)
+    sentinels = spark.createDataFrame(
+        [(int(-2), SENTINEL_TS_NS, SENTINEL_USER, "click", 0.0, "{}"),
+         (int(-3), SENTINEL_TS_NS, SENTINEL_USER, "purchase", 0.0, "{}")],
+        EVENTS_DDL)
+    sentinels.write.mode("append").parquet(events_dir)
+
+    def side(event_type: str, id_alias: str, time_alias: str,
+             user_alias: str) -> DataFrame:
+        return (_events_stream(spark, events_dir)
+                .filter(F.col("event_type") == event_type)
+                .select(F.col("event_id").alias(id_alias),
+                        F.col("user_id").alias(user_alias),
+                        F.timestamp_micros(F.expr("ts div 1000"))
+                         .alias(time_alias))
+                .withWatermark(time_alias, "1 hour"))
+
+    clicks = side("click", "click_id", "click_time", "user_id")
+    purchases = side("purchase", "purchase_id", "purchase_time", "p_user")
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_time") >= F.col("click_time"))
+        & (F.col("purchase_time")
+           <= F.col("click_time") + F.expr(f"INTERVAL {window}")),
+        "leftOuter")
+    out = joined.select(
+        "user_id", "click_id", "purchase_id",
+        (F.unix_millis("purchase_time") - F.unix_millis("click_time"))
+        .alias("lag_ms"))
+    query = (out.writeStream.outputMode("append")
+             .format("memory").queryName(query_name)
+             .option("checkpointLocation", checkpoint)
+             .trigger(availableNow=True).start())
+    query.awaitTermination()
+    return spark.table(query_name).filter(F.col("user_id") != SENTINEL_USER)
+
+
 def streaming_ingest(spark: SparkSession, landing_dir: str, *,
                      checkpoint: str, out_dir: str,
                      max_files_per_trigger: int = 64) -> None:

@@ -43,6 +43,6 @@ def test_every_oracle_key_has_query():
     import __spark_entry__ as e
     q, o = e.queries(), e.oracle_sql()
     assert set(o) <= set(q)
-    # Regression guard: the registry holds 122 queries as of round 2;
+    # Regression guard: the registry holds 127 queries as of round 2;
     # a module failing to import would silently shrink it.
-    assert len(q) >= 122
+    assert len(q) >= 127

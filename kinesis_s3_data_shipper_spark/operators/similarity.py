@@ -176,6 +176,54 @@ def pq_reconstruct(codes_col: str, cb: list[list[list[float]]]) -> Column:
     return F.expr("flatten(array(" + ",".join(parts) + "))")
 
 
+def pq_adc_lut(qv_col: str, cb: list[list[list[float]]]) -> Column:
+    """Per-QUERY ADC lookup table: lut[m][k] = dot(q_sub_m, cb[m][k]),
+    each a dim-order left fold. Computed once per query row (M*K*d
+    flops on the tiny query side); after the join every candidate
+    costs M lookups + M adds instead of a full-dimension dot — the
+    table-lookup half of Jegou et al.'s ADC."""
+    d = len(cb[0][0])
+    tables = []
+    for m, words in enumerate(cb):
+        dots = ",".join(
+            f"aggregate(zip_with(slice({qv_col}, {m * d + 1}, {d}),"
+            f" {_plane_literal(w)},"
+            f" (x, c) -> CAST(x AS DOUBLE) * c),"
+            f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            for w in words)
+        tables.append(f"array({dots})")
+    return F.expr("array(" + ",".join(tables) + ")")
+
+
+def pq_sumsq_literal(cb: list[list[list[float]]]) -> str:
+    """Literal M×K table of codeword squared norms (left-fold in
+    Python doubles — the fold_norm trick — so the values are exactly
+    what either engine computes from the same codewords). Lets each
+    candidate derive ‖reconstruct(codes)‖ from M lookups with no
+    per-pair flatten/decode."""
+    rows = []
+    for words in cb:
+        vals = []
+        for w in words:
+            acc = 0.0
+            for x in w:
+                acc = acc + float(x) * float(x)
+            vals.append(acc)
+        rows.append("array(" + ",".join(f"CAST({v!r} AS DOUBLE)"
+                                        for v in vals) + ")")
+    return "array(" + ",".join(rows) + ")"
+
+
+def pq_adc_score(lut_col: str, codes_col: str) -> Column:
+    """Per-pair ADC dot: fold over subspaces of lut[m][codes[m]] —
+    8 array lookups + 8 adds per candidate, association (((s1+s2)+…)
+    in subspace order on both engines."""
+    return F.expr(
+        f"aggregate(zip_with({lut_col}, {codes_col},"
+        f" (l, c) -> element_at(l, CAST(c AS INT))),"
+        f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
                 vec_col: str, k: int, round_dp: int = 6) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.

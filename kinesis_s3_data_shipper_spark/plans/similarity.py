@@ -227,10 +227,18 @@ _PQ_K = 16
 def _pq_oracle() -> str:
     sub_a = "e.embedding[md.m*8+1 : md.m*8+8]"
     sub_c = "c.cv[md.m*8+1 : md.m*8+8]"
+    sub_q = "q.qv[e.m*8+1 : e.m*8+8]"
     sq_l2 = (f"list_reduce(list_transform(list_zip({sub_a}, {sub_c}),"
              f" p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
              f" * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),"
              f" (acc, v) -> acc + v)")
+    sub_dot = (f"list_reduce(list_transform(list_zip({sub_q}, e.cw),"
+               f" p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),"
+               f" (acc, v) -> acc + v)")
+    sub_ssq = ("list_reduce(list_transform(cw,"
+               " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+               " (acc, v) -> acc + v)")
+    fold_m = "list_reduce(list({v} ORDER BY {m}), (acc, v) -> acc + v)"
     return f"""
 WITH c AS (
   SELECT vec_id AS cid, embedding AS cv FROM embeddings
@@ -239,23 +247,32 @@ WITH c AS (
 d AS (
   SELECT e.vec_id, md.m, c.cid, {sub_c} AS cw, {sq_l2} AS dist
   FROM embeddings e CROSS JOIN c CROSS JOIN md
-), asg AS (
-  SELECT vec_id, m, cw,
-         row_number() OVER (PARTITION BY vec_id, m
-                            ORDER BY dist, cid) AS rn
-  FROM d
-), rec AS (
-  SELECT vec_id, flatten(list(cw ORDER BY m)) AS rv
-  FROM asg WHERE rn = 1 GROUP BY vec_id
+), enc AS (
+  SELECT vec_id, m, cw FROM (
+    SELECT vec_id, m, cw,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY dist, cid) AS rn
+    FROM d
+  ) WHERE rn = 1
+), nrm AS (
+  SELECT vec_id,
+         sqrt({fold_m.format(v='sub', m='m')}) AS nv
+  FROM (SELECT vec_id, m, {sub_ssq} AS sub FROM enc)
+  GROUP BY vec_id
 ), q AS (
-  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-  WHERE {_QUERY_PRED}
+  SELECT vec_id AS query_id, embedding AS qv,
+         {sql_norm('embedding')} AS qn
+  FROM embeddings WHERE {_QUERY_PRED}
+), sc AS (
+  SELECT q.query_id, q.qn, e.vec_id AS neighbor_id,
+         {fold_m.format(v=sub_dot, m='e.m')} AS raw
+  FROM enc e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+  GROUP BY q.query_id, q.qn, e.vec_id
 ), scored AS (
-  SELECT q.query_id, r.vec_id AS neighbor_id,
-         ROUND({sql_dot('q.qv', 'r.rv')}
-               / ({sql_norm('q.qv')} * {sql_norm('r.rv')}), 6) AS adc_cos
-  FROM rec r CROSS JOIN q
-  WHERE r.vec_id <> q.query_id
+  SELECT sc.query_id, sc.neighbor_id,
+         ROUND(sc.raw / (sc.qn * n.nv), 6) AS adc_cos
+  FROM sc JOIN nrm n ON sc.neighbor_id = n.vec_id
 )
 SELECT query_id, neighbor_id, adc_cos, rank FROM (
   SELECT query_id, neighbor_id, adc_cos,
@@ -273,33 +290,41 @@ SELECT query_id, neighbor_id, adc_cos, rank FROM (
               "vs 16 codewords per subspace, codebook rows as plan "
               "literals) — the index the corpus carries is bytes per "
               "vector instead of 256 B of floats, the 100 TB memory "
-              "lever. Queries stay exact-precision and score against "
-              "the DECODED vectors; dot(q, decode(codes)) is "
-              "algebraically the ADC table-sum, so production's "
-              "per-query K*M lookup table yields the identical "
-              "result. The oracle re-derives the same codebook, "
-              "codes (window-argmin with the same tiebreak), and "
-              "fold-cosines in SQL, so ranks match exactly.")
+              "lever. Each query precomputes its K*M lookup table of "
+              "sub-dots ONCE (tiny query side); after the broadcast "
+              "join a candidate costs 8 table lookups + 8 adds — the "
+              "real ADC inner loop, never a full-dimension dot or a "
+              "decode per pair. Candidate norms come from a literal "
+              "codeword-sumsq table the same way. The oracle "
+              "re-derives codebook, codes (same argmin tiebreak), "
+              "and the same subspace-order fold, so ranks match "
+              "exactly.")
 def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import pq_codebook, pq_codes, pq_reconstruct
+    from ..operators.similarity import (pq_adc_lut, pq_adc_score,
+                                        pq_codebook, pq_codes,
+                                        pq_sumsq_literal)
     emb = load_table(spark, sf_dir, "embeddings")
     train = [list(map(float, r.embedding)) for r in
              emb.filter(F.col("vec_id") < _PQ_K)
                 .orderBy("vec_id").collect()]
     cb = pq_codebook(train, _PQ_M)
-    from ..functions.vectors import dot, norm
-    rec = (emb
+    from ..functions.vectors import norm
+    # The encode projection costs M*K*d flops/row — round-robin the
+    # corpus first so that stage's parallelism comes from the cluster,
+    # not the input file layout (same rationale as operators.dedup.
+    # _spread; a single-row-group parquet otherwise serializes it).
+    enc = (emb.repartition(spark.sparkContext.defaultParallelism)
            .select("vec_id", pq_codes("embedding", cb).alias("codes"))
-           .select("vec_id", pq_reconstruct("codes", cb).alias("rv"))
-           .select("vec_id", "rv", norm("rv").alias("_n")))
+           .withColumn("_n", F.sqrt(pq_adc_score(
+               pq_sumsq_literal(cb), "codes"))))
     q = (emb.filter(F.expr(_QUERY_PRED))
          .select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("qv"),
+                 pq_adc_lut("embedding", cb).alias("_lut"),
                  norm("embedding").alias("_qn")))
-    scored = (rec.crossJoin(F.broadcast(q))
+    scored = (enc.crossJoin(F.broadcast(q))
               .filter(F.col("vec_id") != F.col("query_id"))
               .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                      F.round(dot("qv", "rv")
+                      F.round(pq_adc_score("_lut", "codes")
                               / (F.col("_qn") * F.col("_n")), 6)
                        .alias("adc_cos")))
     w = W.partitionBy("query_id").orderBy(F.desc("adc_cos"), "neighbor_id")

@@ -69,31 +69,39 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = queries[name]
         best = None
         # Two runs, report the min: steady-state cost, not JVM/codegen
         # warmup or GC noise from the preceding query. Cache cleared
         # per run so persisted intermediates (minhash signatures) are
-        # honestly recomputed, not replayed.
-        for _ in range(2):
-            spark.catalog.clearCache()
-            start = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            elapsed = time.perf_counter() - start
-            assert n >= 0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
+        # honestly recomputed, not replayed. One failing query must not
+        # sink the whole bench: record the error and keep going.
+        try:
+            for _ in range(2):
+                spark.catalog.clearCache()
+                start = time.perf_counter()
+                df = fn(spark, sf_dir)
+                n = df.count()
+                elapsed = time.perf_counter() - start
+                assert n >= 0
+                best = elapsed if best is None else min(best, elapsed)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    record = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    if errors:
+        record["errors"] = errors
+    print(json.dumps(record))
     spark.stop()
 
 

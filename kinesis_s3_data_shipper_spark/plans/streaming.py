@@ -126,11 +126,17 @@ def _stage_split_landing(sf_dir: str) -> tuple[str, str]:
     landing = os.path.join(work, "landing")
     os.makedirs(landing)
     t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
-    ns = pc.cast(t["ts"], "int64")
+    # `ts` physical type varies by driver data generation (int64 ns /
+    # timestamp[ns] / timestamp[us]); normalize the int64 view to ns.
+    ts_type = t.schema.field("ts").type
+    per_unit = {"s": 10**9, "ms": 10**6, "us": 10**3, "ns": 1}
+    scale = per_unit[ts_type.unit] if pa.types.is_timestamp(ts_type) else 1
+    ns = pc.multiply(pc.cast(t["ts"], "int64"), scale)
     cutoff = (pc.min(ns).as_py() // NS_PER_HOUR + 1) * NS_PER_HOUR
     on_time = pc.greater_equal(ns, cutoff)
     sentinel = pa.table(
-        {"event_id": [-1], "ts": [SENTINEL_TS_NS], "user_id": [SENTINEL_USER],
+        {"event_id": [-1], "ts": [SENTINEL_TS_NS // scale],
+         "user_id": [SENTINEL_USER],
          "event_type": ["sentinel"], "value": [0.0], "props": ["{}"]}
     ).cast(t.schema)
     paths = [os.path.join(landing, f) for f in

@@ -1,9 +1,15 @@
 """Parquet table loaders for the driver's TPC-H-ish + LLM-pipeline tables.
 
 The tables (see /root/repo/TESTDATA.md) live as one parquet file each
-under an sf directory. ``events.ts`` is parquet TIMESTAMP(NANOS) —
-loaded as epoch-nanos LongType via the ``nanosAsLong`` conf (applied
-defensively here), because Spark has no nanosecond TimestampType.
+under an sf directory. ``events.ts`` has shipped as BOTH parquet
+TIMESTAMP(NANOS) (readable only as epoch-nanos LongType via the
+``nanosAsLong`` conf) and plain TIMESTAMP(MICROS) across driver data
+generations, so :func:`load_table` normalizes it to ONE internal
+convention — epoch-nanos LongType — regardless of the physical type.
+The normalization is a single projection (no shuffle, column pruning
+and predicate pushdown on every other column are unaffected), and the
+DuckDB oracles use ``epoch_ns(ts)``, which is exact for either
+physical type.
 
 At 100 TB these would be multi-file partitioned datasets; everything
 downstream reads through ``spark.read.parquet`` so partition pruning,
@@ -15,6 +21,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..session import ensure_runtime_confs
 
@@ -26,12 +33,31 @@ TABLE_NAMES: tuple[str, ...] = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Map ``ts`` to epoch-nanos LongType whatever the physical type.
+
+    TIMESTAMP(NANOS) parquet arrives as LongType already (nanosAsLong);
+    TIMESTAMP(MICROS) arrives as timestamp/timestamp_ntz and converts
+    exactly (micros * 1000 never overflows for any date < year 2262).
+    The session time zone is pinned to UTC (RUNTIME_CONFS), so the
+    ntz→timestamp cast reads the naive value as a UTC instant.
+    """
+    dtype = dict(df.dtypes).get("ts")
+    if dtype in ("timestamp", "timestamp_ntz"):
+        ns = (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000))
+        df = df.withColumn("ts", ns.cast("long"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one named table from an sf directory."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     ensure_runtime_confs(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = _normalize_event_ts(df)
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str,

@@ -16,6 +16,10 @@ tests, and identically as continuous micro-batch jobs in production.
 
 from __future__ import annotations
 
+import datetime
+import glob
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -23,16 +27,57 @@ from ..ingest.pipeline import flatten_events, parse_blocks
 from ..ingest.splitter import split_blocks
 from ..session import ensure_runtime_confs
 
-EVENTS_DDL = ("event_id LONG, ts LONG, user_id LONG, event_type STRING,"
-              " value DOUBLE, props STRING")
+#: The driver's events table has shipped as both TIMESTAMP(NANOS)
+#: parquet (readable only as epoch-nanos LongType, `nanosAsLong`) and
+#: plain TIMESTAMP(MICROS); streaming sources need an explicit schema,
+#: so the DDL is picked per landing dir by sniffing one file's footer.
+EVENTS_DDL_LONG = ("event_id LONG, ts LONG, user_id LONG,"
+                   " event_type STRING, value DOUBLE, props STRING")
+EVENTS_DDL_TS = ("event_id LONG, ts TIMESTAMP_NTZ, user_id LONG,"
+                 " event_type STRING, value DOUBLE, props STRING")
 
 NS_PER_HOUR = 3_600_000_000_000
+
+
+def _events_ddl(events_dir: str) -> str:
+    """Sniff one staged parquet footer and return the matching DDL."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(events_dir, "*.parquet")))
+    ts_type = pq.read_schema(files[0]).field("ts").type
+    if pa.types.is_timestamp(ts_type) and ts_type.unit != "ns":
+        return EVENTS_DDL_TS
+    return EVENTS_DDL_LONG
+
+
+def _event_time(df: DataFrame):
+    """Event-time Column from `ts`, whichever physical form it has.
+
+    The session time zone is pinned UTC, so the ntz→timestamp cast
+    reads the naive value as a UTC instant; the long branch truncates
+    nanos to micros exactly like the batch queries' `ts div 1000`.
+    """
+    if dict(df.dtypes)["ts"] in ("timestamp", "timestamp_ntz"):
+        return F.col("ts").cast("timestamp")
+    return F.timestamp_micros(F.expr("ts div 1000"))
+
+
+def _sentinel_df(spark: SparkSession, events_dir: str,
+                 rows: list[tuple[int, str]]) -> DataFrame:
+    """Far-future sentinel rows matching the landing dir's schema."""
+    ddl = _events_ddl(events_dir)
+    ts_val = (datetime.datetime(2100, 1, 1) if ddl is EVENTS_DDL_TS
+              else SENTINEL_TS_NS)
+    data = [(event_id, ts_val, SENTINEL_USER, event_type, 0.0, "{}")
+            for event_id, event_type in rows]
+    return spark.createDataFrame(data, ddl)
 
 
 def _events_stream(spark: SparkSession, events_dir: str,
                    max_files: int | None = None) -> DataFrame:
     ensure_runtime_confs(spark)
-    reader = (spark.readStream.schema(EVENTS_DDL)
+    reader = (spark.readStream.schema(_events_ddl(events_dir))
               .option("latestFirst", "false"))
     if max_files:
         reader = reader.option("maxFilesPerTrigger", str(max_files))
@@ -50,9 +95,8 @@ def streaming_hourly_counts(spark: SparkSession, events_dir: str, *,
     as the batch query's `ts div NS_PER_HOUR` arithmetic.
     """
     events = _events_stream(spark, events_dir)
-    ts = F.timestamp_micros(F.expr("ts div 1000"))
     agg = (
-        events.withColumn("event_time", ts)
+        events.withColumn("event_time", _event_time(events))
         .withWatermark("event_time", watermark)
         .groupBy(F.window("event_time", "1 hour"), "event_type")
         .agg(F.count("*").alias("n"),
@@ -78,7 +122,7 @@ def streaming_dedup_counts(spark: SparkSession, events_dir: str, *,
     so feeding duplicated input must reproduce single-copy counts."""
     events = _events_stream(spark, events_dir)
     deduped = (
-        events.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        events.withColumn("event_time", _event_time(events))
         .withWatermark("event_time", watermark)
         .dropDuplicatesWithinWatermark(["event_id"])
         .groupBy("event_type").agg(F.count("*").alias("n")))
@@ -111,14 +155,12 @@ def streaming_session_windows(spark: SparkSession, events_dir: str, *,
     exactly `gap` opens a NEW session (>= convention, vs the batch
     sessionize query's >)."""
     ensure_runtime_confs(spark)
-    sentinel = spark.createDataFrame(
-        [(int(-1), SENTINEL_TS_NS, SENTINEL_USER, "sentinel", 0.0, "{}")],
-        EVENTS_DDL)
+    sentinel = _sentinel_df(spark, events_dir, [(-1, "sentinel")])
     sentinel.write.mode("append").parquet(events_dir)
 
     events = _events_stream(spark, events_dir)
     sessions = (
-        events.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        events.withColumn("event_time", _event_time(events))
         .withWatermark("event_time", "0 seconds")
         .groupBy(F.session_window("event_time", gap), "user_id")
         .agg(F.count("*").alias("n_events"))
@@ -191,8 +233,7 @@ def streaming_late_data_counts(spark: SparkSession, events_dir: str, *,
     """
     events = _events_stream(spark, events_dir, max_files=1)
     agg = (
-        events.withColumn("event_time",
-                          F.timestamp_micros(F.expr("ts div 1000")))
+        events.withColumn("event_time", _event_time(events))
         .withWatermark("event_time", watermark)
         .groupBy(F.window("event_time", "1 hour"), "event_type")
         .agg(F.count("*").alias("n")))
@@ -225,20 +266,18 @@ def streaming_left_outer_join(spark: SparkSession, events_dir: str, *,
     watermark + interval on both sides — the same eviction contract as
     the inner interval join."""
     ensure_runtime_confs(spark)
-    sentinels = spark.createDataFrame(
-        [(int(-2), SENTINEL_TS_NS, SENTINEL_USER, "click", 0.0, "{}"),
-         (int(-3), SENTINEL_TS_NS, SENTINEL_USER, "purchase", 0.0, "{}")],
-        EVENTS_DDL)
+    sentinels = _sentinel_df(spark, events_dir,
+                             [(-2, "click"), (-3, "purchase")])
     sentinels.write.mode("append").parquet(events_dir)
 
     def side(event_type: str, id_alias: str, time_alias: str,
              user_alias: str) -> DataFrame:
-        return (_events_stream(spark, events_dir)
+        stream = _events_stream(spark, events_dir)
+        return (stream
                 .filter(F.col("event_type") == event_type)
                 .select(F.col("event_id").alias(id_alias),
                         F.col("user_id").alias(user_alias),
-                        F.timestamp_micros(F.expr("ts div 1000"))
-                         .alias(time_alias))
+                        _event_time(stream).alias(time_alias))
                 .withWatermark(time_alias, "1 hour"))
 
     clicks = side("click", "click_id", "click_time", "user_id")
@@ -339,12 +378,12 @@ def streaming_interval_join(spark: SparkSession, events_dir: str, *,
     deterministically."""
     def side(event_type: str, id_alias: str, time_alias: str,
              user_alias: str) -> DataFrame:
-        return (_events_stream(spark, events_dir)
+        stream = _events_stream(spark, events_dir)
+        return (stream
                 .filter(F.col("event_type") == event_type)
                 .select(F.col("event_id").alias(id_alias),
                         F.col("user_id").alias(user_alias),
-                        F.timestamp_micros(F.expr("ts div 1000"))
-                         .alias(time_alias))
+                        _event_time(stream).alias(time_alias))
                 .withWatermark(time_alias, "1 hour"))
 
     clicks = side("click", "click_id", "click_time", "user_id")

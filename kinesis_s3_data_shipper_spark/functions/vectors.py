@@ -18,8 +18,23 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def dot(a: str, b: str) -> Column:
-    """Sequential-fold double dot product of two float-array columns."""
+def dot(a: str, b: str, dim: int | None = None) -> Column:
+    """Sequential-fold double dot product of two float-array columns.
+
+    With ``dim`` (a statically known vector length, e.g. the embeddings
+    table's 64) the fold is UNROLLED into left-associated arithmetic:
+    ``((0 + a[0]*b[0]) + a[1]*b[1]) + …`` — the exact same IEEE op
+    sequence as the higher-order ``aggregate`` fold (bit-identical
+    result), but inside WholeStageCodegen instead of the interpreted
+    per-element lambda evaluator, which is ~2× faster in the pair-
+    scoring hot loops. Never pass ``dim`` larger than the real array
+    length (ANSI mode makes out-of-bounds indexing an error).
+    """
+    if dim is not None:
+        terms = " + ".join(
+            f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+            for i in range(dim))
+        return F.expr(f"(CAST(0 AS DOUBLE) + {terms})")
     return F.expr(
         f"aggregate(zip_with({a}, {b},"
         f"  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
@@ -27,17 +42,22 @@ def dot(a: str, b: str) -> Column:
     )
 
 
-def norm(a: str) -> Column:
-    """L2 norm via the same sequential fold."""
+def norm(a: str, dim: int | None = None) -> Column:
+    """L2 norm via the same sequential fold (see dot() re: ``dim``)."""
+    if dim is not None:
+        terms = " + ".join(
+            f"CAST({a}[{i}] AS DOUBLE) * CAST({a}[{i}] AS DOUBLE)"
+            for i in range(dim))
+        return F.sqrt(F.expr(f"(CAST(0 AS DOUBLE) + {terms})"))
     return F.sqrt(F.expr(
         f"aggregate({a}, CAST(0 AS DOUBLE),"
         f"  (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
     ))
 
 
-def cosine(a: str, b: str) -> Column:
+def cosine(a: str, b: str, dim: int | None = None) -> Column:
     """Cosine similarity, engine-reproducible."""
-    return dot(a, b) / (norm(a) * norm(b))
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
 # DuckDB spellings of the SAME folds (list_zip structs are indexed

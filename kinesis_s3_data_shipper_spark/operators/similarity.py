@@ -54,7 +54,14 @@ def _plane_literal(weights: list[float]) -> str:
 
 
 def lsh_bucket(vec_col: str, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket string for a float-array column."""
+    """Sign-bit bucket string for a float-array column.
+
+    Kept as HOF folds: A/B-measured, the 8-plane × 64-term unrolled
+    form is ~2× SLOWER here (one projection with 512 arithmetic terms
+    + 8 CASEs pays more in codegen size/compile than the interpreted
+    lambda costs — bucket assignment is once per row, not per pair).
+    Only the per-PAIR scoring dots unroll (functions.vectors.dot).
+    """
     bits = []
     for weights in planes:
         lit = _plane_literal(weights)
@@ -105,6 +112,11 @@ def ivf_cluster(vec_col: str, centroids: list[list[float]]) -> Column:
     (operators.dedup.let) so each fold runs once per row however
     Catalyst collapses the projections.
     """
+    # HOF folds on purpose: the K×d cosine array sits inside let()
+    # lambdas, which codegen cannot split — unrolling it blows janino's
+    # 64 KB method limit and measured ~5× slower via compile-fallback
+    # churn. (The pair-scoring hot loops outside lambdas DO unroll —
+    # functions.vectors.dot(dim=...).)
     from .dedup import let
     cos_exprs = []
     for c in centroids:
@@ -147,6 +159,11 @@ def pq_codes(vec_col: str, cb: list[list[list[float]]]) -> Column:
     memory story: the scan-resident index stores codes (bytes/vector),
     not floats."""
     from .dedup import let
+    # NOT unrolled: the 16-codeword × 8-dim distance array sits inside
+    # a let() lambda, which whole-stage codegen cannot split — the
+    # unrolled form blows janino's 64 KB method limit and forces an
+    # expensive compile-then-fallback. The HOF fold is interpreted
+    # either way, and encode is a once-per-corpus-row cost.
     d = len(cb[0][0])
     codes = []
     for m, words in enumerate(cb):
@@ -182,6 +199,9 @@ def pq_adc_lut(qv_col: str, cb: list[list[list[float]]]) -> Column:
     flops on the tiny query side); after the join every candidate
     costs M lookups + M adds instead of a full-dimension dot — the
     table-lookup half of Jegou et al.'s ADC."""
+    # HOF folds on purpose: computed once per QUERY row (tiny side);
+    # the unrolled 16×8-per-subspace form bloats generated code for no
+    # hot-loop benefit (see pq_codes).
     d = len(cb[0][0])
     tables = []
     for m, words in enumerate(cb):
@@ -214,10 +234,18 @@ def pq_sumsq_literal(cb: list[list[list[float]]]) -> str:
     return "array(" + ",".join(rows) + ")"
 
 
-def pq_adc_score(lut_col: str, codes_col: str) -> Column:
+def pq_adc_score(lut_col: str, codes_col: str,
+                 num_sub: int | None = None) -> Column:
     """Per-pair ADC dot: fold over subspaces of lut[m][codes[m]] —
     8 array lookups + 8 adds per candidate, association (((s1+s2)+…)
-    in subspace order on both engines."""
+    in subspace order on both engines. With ``num_sub`` the fold is
+    unrolled into codegen-able arithmetic (same order, same result)."""
+    if num_sub is not None:
+        terms = " + ".join(
+            f"element_at(({lut_col})[{m}],"
+            f" CAST(({codes_col})[{m}] AS INT))"
+            for m in range(num_sub))
+        return F.expr(f"(CAST(0 AS DOUBLE) + {terms})")
     return F.expr(
         f"aggregate(zip_with({lut_col}, {codes_col},"
         f" (l, c) -> element_at(l, CAST(c AS INT))),"
@@ -225,7 +253,8 @@ def pq_adc_score(lut_col: str, codes_col: str) -> Column:
 
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
-                vec_col: str, k: int, round_dp: int = 6) -> DataFrame:
+                vec_col: str, k: int, round_dp: int = 6,
+                dim: int | None = None) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Output: query_id, neighbor_id, cos (rounded), rank. Ordering uses
@@ -239,15 +268,16 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
     # dot/(‖a‖·‖b‖) on identical operands.)
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("_qv"),
-                       norm(vec_col).alias("_qn"))
+                       norm(vec_col, dim).alias("_qn"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("_cv"),
-                      norm(vec_col).alias("_cn"))
+                      norm(vec_col, dim).alias("_cn"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id",
-                F.round(dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn")),
+                F.round(dot("_qv", "_cv", dim)
+                        / (F.col("_qn") * F.col("_cn")),
                         round_dp).alias("cos")))
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (scored.select("query_id", "neighbor_id", "cos",
@@ -256,7 +286,8 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, *, id_col: str,
 
 
 def cosine_pairs(vectors: DataFrame, *, id_col: str, vec_col: str,
-                 block_col: str, threshold: float) -> DataFrame:
+                 block_col: str, threshold: float,
+                 dim: int | None = None) -> DataFrame:
     """Embedding near-duplicate pairs (cos ≥ threshold) within blocks.
 
     Blocking (label, or an LSH bucket at scale) bounds the quadratic
@@ -267,14 +298,15 @@ def cosine_pairs(vectors: DataFrame, *, id_col: str, vec_col: str,
     v = vectors.select(F.col(id_col).alias("_id"),
                        F.col(block_col).alias("_blk"),
                        F.col(vec_col).alias("_v"),
-                       norm(vec_col).alias("_n"))
+                       norm(vec_col, dim).alias("_n"))
     a, b = v.alias("a"), v.alias("b")
     return (
         a.join(b, (F.col("a._blk") == F.col("b._blk"))
                   & (F.col("a._id") < F.col("b._id")))
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
                 F.col("a._blk").alias("block"),
-                (dot("a._v", "b._v") / (F.col("a._n") * F.col("b._n")))
+                (dot("a._v", "b._v", dim)
+                 / (F.col("a._n") * F.col("b._n")))
                 .alias("_cos_raw"))
         .filter(F.col("_cos_raw") >= threshold)
         .select("id_a", "id_b", "block",

@@ -24,6 +24,11 @@ from .base import register
 #: brute force stays O(256·n), not O(n²/97), at any scale factor.
 _QUERY_PRED = "vec_id % 97 = 0 AND vec_id < 24832"
 
+#: Embedding dimensionality of the driver's embeddings table. Passing
+#: it to the vector ops unrolls the folds into codegen arithmetic
+#: (functions.vectors.dot) — same sequential-fold result, ~2× faster.
+_DIM = 64
+
 
 @register("ann_bruteforce_topk", oracle=f"""
 WITH q AS (
@@ -48,7 +53,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.expr(_QUERY_PRED))
     return cosine_topk(emb, queries, id_col="vec_id", vec_col="embedding",
-                       k=5, round_dp=6)
+                       k=5, round_dp=6, dim=_DIM)
 
 
 @register("embedding_cosine_pairs", oracle=f"""
@@ -65,7 +70,7 @@ WHERE {sql_cosine('a.embedding', 'b.embedding')} >= 0.35
 def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_pairs(emb, id_col="vec_id", vec_col="embedding",
-                        block_col="label", threshold=0.35)
+                        block_col="label", threshold=0.35, dim=_DIM)
 
 
 def _lsh_oracle() -> str:
@@ -112,7 +117,7 @@ def ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = hyperplanes(8, 64)
     # Norms projected per row before the bucket join (one dot per pair).
     b = emb.select(F.col("vec_id"), F.col("embedding"),
-                   norm("embedding").alias("_n"),
+                   norm("embedding", _DIM).alias("_n"),
                    lsh_bucket("embedding", planes).alias("bucket"))
     q = (b.filter(F.expr(_QUERY_PRED))
          .select(F.col("vec_id").alias("query_id"),
@@ -121,7 +126,7 @@ def ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (b.join(F.broadcast(q), "bucket")
               .filter(F.col("vec_id") != F.col("query_id"))
               .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                      F.round(dot("qv", "embedding")
+                      F.round(dot("qv", "embedding", _DIM)
                               / (F.col("_qn") * F.col("_n")), 6)
                        .alias("cos")))
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
@@ -188,7 +193,7 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
              emb.filter(F.col("vec_id") < _IVF_K)
                 .orderBy("vec_id").collect()]
     b = emb.select("vec_id", "embedding",
-                   norm("embedding").alias("_n"),
+                   norm("embedding", _DIM).alias("_n"),
                    ivf_cluster("embedding", cents).alias("cluster"))
     q = (b.filter(F.expr(_QUERY_PRED))
          .select(F.col("vec_id").alias("query_id"),
@@ -197,7 +202,7 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (b.join(F.broadcast(q), "cluster")
               .filter(F.col("vec_id") != F.col("query_id"))
               .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                      F.round(dot("qv", "embedding")
+                      F.round(dot("qv", "embedding", _DIM)
                               / (F.col("_qn") * F.col("_n")), 6)
                        .alias("cos")))
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
@@ -316,15 +321,15 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = (emb.repartition(spark.sparkContext.defaultParallelism)
            .select("vec_id", pq_codes("embedding", cb).alias("codes"))
            .withColumn("_n", F.sqrt(pq_adc_score(
-               pq_sumsq_literal(cb), "codes"))))
+               pq_sumsq_literal(cb), "codes", _PQ_M))))
     q = (emb.filter(F.expr(_QUERY_PRED))
          .select(F.col("vec_id").alias("query_id"),
                  pq_adc_lut("embedding", cb).alias("_lut"),
-                 norm("embedding").alias("_qn")))
+                 norm("embedding", _DIM).alias("_qn")))
     scored = (enc.crossJoin(F.broadcast(q))
               .filter(F.col("vec_id") != F.col("query_id"))
               .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                      F.round(pq_adc_score("_lut", "codes")
+                      F.round(pq_adc_score("_lut", "codes", _PQ_M)
                               / (F.col("_qn") * F.col("_n")), 6)
                        .alias("adc_cos")))
     w = W.partitionBy("query_id").orderBy(F.desc("adc_cos"), "neighbor_id")
@@ -383,7 +388,8 @@ def semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = emb.select("vec_id", "embedding",
                    ivf_cluster("embedding", cents).alias("cluster"))
     pairs = cosine_pairs(a, id_col="vec_id", vec_col="embedding",
-                         block_col="cluster", threshold=_SEMDEDUP_TAU)
+                         block_col="cluster", threshold=_SEMDEDUP_TAU,
+                         dim=_DIM)
     dup_map = pairs.groupBy("id_b").agg(F.min("id_a").alias("keeper"))
     return (a.join(F.broadcast(dup_map), a.vec_id == dup_map.id_b, "left")
             .select("cluster", a.vec_id,

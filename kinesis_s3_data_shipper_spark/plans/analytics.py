@@ -137,6 +137,39 @@ def agg_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("event_type").alias("mode_event_type"), "n"))
 
 
+@register("agg_sketch_merge_hll", oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS approx_ok
+FROM events GROUP BY event_type
+""", doc="Mergeable-sketch rollup — the 100 TB pre-aggregation "
+         "pattern: per-(hour, type) HLL sketches built in one pass "
+         "(hll_sketch_agg, Apache DataSketches), then MERGED across "
+         "hours per type (hll_union_agg) instead of re-scanning raw "
+         "events. This is what makes incremental/hierarchical rollups "
+         "possible at scale: hourly sketch partials are tiny, "
+         "mergeable in any order, and never re-read the fact table. "
+         "Accuracy is itself the checked value: the merged estimate "
+         "must sit within 5% of the exact distinct (emitted as "
+         "approx_ok = TRUE, asserted by the oracle).")
+def agg_sketch_merge_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.select(F.expr("ts div 3600000000000").alias("hr"),
+                        "event_type", "user_id")
+              .groupBy("hr", "event_type")
+              .agg(F.hll_sketch_agg("user_id").alias("sk"),
+                   F.count("*").alias("_n")))
+    merged = (hourly.groupBy("event_type")
+              .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                    .alias("_approx")))
+    exact = (ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("exact_users")))
+    return (exact.join(merged, "event_type")
+            .select("event_type", "exact_users",
+                    (F.abs(F.col("_approx") - F.col("exact_users"))
+                     < 0.05 * F.col("exact_users")).alias("approx_ok")))
+
+
 @register("graph_pagerank_iter", oracle="""
 WITH edges AS (
   SELECT DISTINCT o_custkey AS src, l_suppkey AS dst

@@ -56,6 +56,29 @@ def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    query_name=name)
 
 
+@register("streaming_sliding", oracle="""
+SELECT (((epoch_ns(ts) // 1000000) // 1800000) - hops.k) * 1800000
+         AS win_ms,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) hops
+GROUP BY 1, 2
+""", doc="Structured Streaming SLIDING window (1-hour window, 30-min "
+         "slide): every event belongs to exactly two overlapping "
+         "windows, so the oracle replays each event into both hops "
+         "(start = floor(ms/slide)*slide - k*slide, k in {0,1}) and "
+         "must reproduce the streaming counts and decimal-safe sums "
+         "exactly. Covers the hopping-window surface the tumbling "
+         "streaming_hourly query cannot express.")
+def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import streaming_sliding_counts
+    landing, checkpoint = _stage_landing(sf_dir)
+    name = f"slide_{uuid.uuid4().hex[:8]}"
+    return streaming_sliding_counts(spark, landing, checkpoint=checkpoint,
+                                    query_name=name)
+
+
 @register("streaming_dedup", oracle="""
 SELECT event_type, COUNT(*) AS n
 FROM events GROUP BY event_type

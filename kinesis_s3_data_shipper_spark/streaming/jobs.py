@@ -113,6 +113,38 @@ def streaming_hourly_counts(spark: SparkSession, events_dir: str, *,
     return spark.table(query_name)
 
 
+def streaming_sliding_counts(spark: SparkSession, events_dir: str, *,
+                             checkpoint: str, query_name: str,
+                             watermark: str = "1 hour") -> DataFrame:
+    """Event-time SLIDING (hopping) 1-hour window, 30-minute slide:
+    every event lands in exactly two overlapping windows. Complete
+    mode into a memory sink, drained with availableNow.
+
+    The sliding window is the standard rate/trend surface (\"events per
+    hour, refreshed every 30 min\"); state per key is windows-per-hop ×
+    groups, bounded by the watermark exactly like the tumbling case —
+    the overlap multiplies output rows, not retained state beyond the
+    extra in-flight hop."""
+    events = _events_stream(spark, events_dir)
+    agg = (
+        events.withColumn("event_time", _event_time(events))
+        .withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", "1 hour", "30 minutes"),
+                 "event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+              .alias("sum_value")))
+    out = agg.select(
+        F.unix_millis(F.col("window.start")).alias("win_ms"),
+        "event_type", "n", "sum_value")
+    query = (out.writeStream.outputMode("complete")
+             .format("memory").queryName(query_name)
+             .option("checkpointLocation", checkpoint)
+             .trigger(availableNow=True).start())
+    query.awaitTermination()
+    return spark.table(query_name)
+
+
 def streaming_dedup_counts(spark: SparkSession, events_dir: str, *,
                            checkpoint: str, query_name: str,
                            watermark: str = "2 hours") -> DataFrame:

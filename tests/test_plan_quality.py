@@ -301,3 +301,46 @@ def test_pagerank_three_node_shuffles(spark):
     plan = plan_of(spark, "graph_pagerank_iter")
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 4  # partial+final x2 at least
+
+
+def test_lsh_probe_is_bucket_equijoin(spark):
+    # The probe must be an equi-join on the bucket key (broadcast of
+    # the capped query side) — never a cross join of the corpus.
+    plan = plan_of(spark, "ann_lsh_probe")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_ivf_probe_is_cluster_equijoin(spark):
+    plan = plan_of(spark, "ann_ivf_probe")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_adc_broadcasts_query_luts(spark):
+    # ADC scoring joins the corpus codes against the broadcast per-
+    # query lookup tables; the corpus is never shuffled for the join.
+    plan = plan_of(spark, "ann_pq_adc")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semdedup_blocked_pairs(spark):
+    # Within-cluster pair verify rides the cluster equi-join; the dup
+    # map broadcasts back onto the corpus.
+    plan = plan_of(spark, "semdedup_kmeans")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_sketch_merge_rolls_up_partials(spark):
+    # Sketch build (hour,type) + merge (type) + exact distinct: all
+    # hash aggregates with partial/final split; the estimate joins
+    # back via broadcast, never a shuffled join of raw events.
+    plan = plan_of(spark, "agg_sketch_merge_hll")
+    assert plan.count("HashAggregate") >= 4
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -79,6 +79,15 @@ def get_session(app_name: str = "kinesis_s3_data_shipper_spark", *,
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Generated-class cache (static conf, default 100 entries): the
+        # vector queries carry wide codegen'd expressions (unrolled
+        # 64-dim dots, 512-term LSH sign folds) whose janino compiles
+        # cost seconds. A mixed workload of ~40 queries × several
+        # stages overflows 100 entries, and every eviction re-pays the
+        # compile — measured 2× on the whole bench (67.8s → 34.1s at
+        # sf0.1). Any long-lived session serving many distinct queries
+        # wants this raised; memory cost is just class metadata.
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
     )
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)

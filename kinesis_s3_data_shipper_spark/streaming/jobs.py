@@ -436,3 +436,92 @@ def streaming_interval_join(spark: SparkSession, events_dir: str, *,
              .trigger(availableNow=True).start())
     query.awaitTermination()
     return spark.table(query_name)
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas drives its state server over
+    protobuf/gRPC; absent those wheels the Python runner cannot start.
+    Gate callers (and the unit test) so environments without protobuf
+    fall back to applyInPandasWithState (streaming_running_user_counts
+    — same semantics, previous-generation API)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def streaming_user_stats_tws(spark: SparkSession, events_dir: str, *,
+                             checkpoint: str, query_name: str,
+                             max_files_per_trigger: int = 1) -> DataFrame:
+    """Per-user running (count, exact sum) via transformWithStateInPandas
+    — the Spark 4 arbitrary-stateful API (StatefulProcessor + typed
+    ValueState) that supersedes applyInPandasWithState: state is a
+    named, schema'd handle the processor reads/writes explicitly, which
+    is what multi-state operators (CEP, enrichment caches, per-key
+    models) need. RocksDB-backed (session default), so state size is
+    bounded by disk, not heap, at 100 TB key cardinalities.
+
+    Determinism: `value` is fixed-pointed to int64 micros BEFORE it
+    enters state (cast decimal(18,6) × 1e6), so the cross-batch sum is
+    exact integer arithmetic — the streaming twin of the engine-wide
+    decimal-safe SUM convention — and the final double equals the
+    batch oracle's CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+    bit-for-bit.
+
+    Emits the running totals on every batch a user appears in; the
+    final emission per user (max n — monotone) equals the batch
+    groupBy, which the test checks.
+
+    Requires protobuf at runtime (see :func:`tws_available`); in
+    environments without it, streaming_running_user_counts covers the
+    same contract on the applyInPandasWithState API.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "n LONG, sum_micros LONG")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, s = 0, 0
+            for pdf in rows:
+                n += len(pdf)
+                s += int(pdf["value_micros"].sum())
+            if self._agg.exists():
+                prev_n, prev_s = self._agg.get()
+                n, s = n + prev_n, s + prev_s
+            self._agg.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "sum_micros": [s]})
+
+        def close(self) -> None:
+            pass
+
+    events = _events_stream(spark, events_dir,
+                            max_files=max_files_per_trigger)
+    ev = events.select(
+        "user_id",
+        (F.col("value").cast("decimal(18,6)") * 1_000_000)
+        .cast("long").alias("value_micros"))
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        UserStats(),
+        outputStructType="user_id LONG, n LONG, sum_micros LONG",
+        outputMode="Update",
+        timeMode="None")
+    query = (out.writeStream.outputMode("update")
+             .format("memory").queryName(query_name)
+             .option("checkpointLocation", checkpoint)
+             .trigger(availableNow=True).start())
+    query.awaitTermination()
+    # Update-mode memory sink keeps every emission; n is strictly
+    # monotone per user, so max(struct(n, sum)) is the final state.
+    final = (spark.table(query_name)
+             .groupBy("user_id")
+             .agg(F.max(F.struct("n", "sum_micros")).alias("_f")))
+    return final.select(
+        "user_id", F.col("_f.n").alias("n"),
+        (F.col("_f.sum_micros") / F.lit(1_000_000.0)).alias("sum_value"))

@@ -170,6 +170,102 @@ def agg_sketch_merge_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
                      < 0.05 * F.col("exact_users")).alias("approx_ok")))
 
 
+@register("agg_sketch_merge_kll", oracle="""
+SELECT event_type, COUNT(*) AS exact_n, TRUE AS rank_ok
+FROM events GROUP BY event_type
+""", doc="Mergeable QUANTILE-sketch rollup (KLL, Apache DataSketches) "
+         "— the companion to agg_sketch_merge_hll for order "
+         "statistics: per-(hour, type) KLL sketches of `value` built "
+         "in one scan pass, merged across hours per type "
+         "(kll_sketch_merge_double), median estimated from the merged "
+         "sketch. Exact distributed medians need a per-group sort of "
+         "the fact table; merged KLL partials answer any quantile "
+         "from kilobytes, incrementally. Accuracy is the checked "
+         "value: the estimate's true rank (one broadcast join + avg "
+         "over the events scan) must sit within 2.5% of 0.5 — KLL's "
+         "k=200 normalized rank-error bound — emitted as rank_ok = "
+         "TRUE and asserted by the oracle.")
+def agg_sketch_merge_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.select(F.expr("ts div 3600000000000").alias("hr"),
+                        "event_type", "value")
+              .groupBy("hr", "event_type")
+              .agg(F.kll_sketch_agg_double("value").alias("sk")))
+    # kll_sketch_merge is a two-sketch scalar (no union aggregate à la
+    # hll_union_agg), so collect the per-hour partials — kilobytes per
+    # group, bounded by hours-per-type — and fold them with a
+    # higher-order aggregate.
+    merged = (hourly.groupBy("event_type")
+              .agg(F.collect_list("sk").alias("_sks"))
+              .select("event_type", F.kll_sketch_get_quantile_double(
+                  F.aggregate(
+                      F.slice(F.col("_sks"), 2,
+                              F.greatest(F.size("_sks") - 1, F.lit(0))),
+                      F.element_at("_sks", 1),
+                      lambda acc, x: F.kll_sketch_merge_double(acc, x)),
+                  F.lit(0.5)).alias("_med_est")))
+    return (ev.join(F.broadcast(merged), "event_type")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("exact_n"),
+                 F.avg((F.col("value") <= F.col("_med_est"))
+                       .cast("double")).alias("_rank"))
+            .select("event_type", "exact_n",
+                    (F.abs(F.col("_rank") - 0.5) < 0.025).alias("rank_ok")))
+
+
+@register("agg_sketch_theta_setops", oracle="""
+WITH cu AS (SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'click'),
+pu AS (SELECT DISTINCT user_id FROM events
+       WHERE event_type = 'purchase')
+SELECT (SELECT COUNT(*) FROM cu JOIN pu USING (user_id)) AS exact_both,
+       (SELECT COUNT(*) FROM cu
+        WHERE user_id NOT IN (SELECT user_id FROM pu))
+         AS exact_click_only,
+       TRUE AS inter_ok, TRUE AS diff_ok
+""", doc="Theta-sketch set algebra (Apache DataSketches) — the "
+         "audience-overlap question HLL cannot answer: distinct "
+         "counts of INTERSECTION (users who clicked AND purchased) "
+         "and DIFFERENCE (clicked, never purchased) computed from "
+         "per-(hour, type) sketch partials unioned per type — no "
+         "re-scan, no distinct-join of raw events. At 100 TB the "
+         "exact path is two distincts plus a join per question; "
+         "theta partials answer every overlap combination from "
+         "kilobytes and stay mergeable for incremental rollup. "
+         "Estimates are gated within 5% of the exact counts "
+         "(inter_ok/diff_ok = TRUE, asserted by the oracle).")
+def agg_sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.filter(F.col("event_type").isin("click", "purchase"))
+              .select(F.expr("ts div 3600000000000").alias("hr"),
+                      "event_type", "user_id")
+              .groupBy("hr", "event_type")
+              .agg(F.theta_sketch_agg("user_id").alias("sk")))
+    sks = (hourly.groupBy("event_type")
+           .agg(F.theta_union_agg("sk").alias("sk"))
+           .groupBy().pivot("event_type", ["click", "purchase"])
+           .agg(F.first("sk")))
+    est = sks.select(
+        F.theta_sketch_estimate(
+            F.theta_intersection("click", "purchase")).alias("_est_both"),
+        F.theta_sketch_estimate(
+            F.theta_difference("click", "purchase")).alias("_est_diff"))
+    cu = (ev.filter(F.col("event_type") == "click")
+          .select("user_id").distinct())
+    pu = (ev.filter(F.col("event_type") == "purchase")
+          .select("user_id").distinct())
+    exact_both = cu.join(pu, "user_id").agg(
+        F.count("*").alias("exact_both"))
+    exact_only = cu.join(pu, "user_id", "left_anti").agg(
+        F.count("*").alias("exact_click_only"))
+    return (exact_both.crossJoin(exact_only).crossJoin(est)
+            .select("exact_both", "exact_click_only",
+                    (F.abs(F.col("_est_both") - F.col("exact_both"))
+                     <= 0.05 * F.col("exact_both")).alias("inter_ok"),
+                    (F.abs(F.col("_est_diff") - F.col("exact_click_only"))
+                     <= 0.05 * F.col("exact_click_only")).alias("diff_ok")))
+
+
 @register("graph_pagerank_iter", oracle="""
 WITH edges AS (
   SELECT DISTINCT o_custkey AS src, l_suppkey AS dst

@@ -26,7 +26,8 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    DataSourceStreamReader, InputPartition)
 
 from ..ingest.splitter import gunzip_recursive, split_marker_blocks
 
@@ -75,17 +76,63 @@ class ShipperDataSourceReader(DataSourceReader):
         # listing still yields one task with partition=None — emit nothing.
         if partition is None:
             return
-        with open(partition.path, "rb") as fh:
-            data = fh.read()
-        data = gunzip_recursive(data)
-        for i, block in enumerate(split_marker_blocks(data)):
-            yield (partition.path,
-                   block.decode("utf-8", errors="replace"),
-                   i)
+        yield from _read_file_blocks(partition.path)
+
+
+def _read_file_blocks(path: str):
+    """Executor-side block rows for one file (shared batch/stream)."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    data = gunzip_recursive(data)
+    for i, block in enumerate(split_marker_blocks(data)):
+        yield (path, block.decode("utf-8", errors="replace"), i)
+
+
+class ShipperStreamReader(DataSourceStreamReader):
+    """Streaming flavor: `spark.readStream.format("shipper")`.
+
+    Offsets are the sorted file listing itself (`{"seen": [...]}`), a
+    pure function of the landing dir — so `partitions(start, end)` is
+    deterministic on replay (the committed end-offset pins exactly
+    which files a batch owns, Structured Streaming's exactly-once
+    contract; this is the role the reference's SQLite seen-files table
+    played, K:48-68, with the batch-loss flaw fixed by the checkpoint
+    log). A micro-batch's partitions are the newly-listed files, one
+    per file (gzip is non-splittable). Listing-as-offset is O(files)
+    driver state, same asymptotics as Spark's own FileStreamSource
+    seen-files map; a production S3 deployment would swap the walk for
+    a LIST and compact old entries the way FileStreamSource does.
+    """
+
+    def __init__(self, options: dict):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("shipper source requires a path: "
+                             ".load('/landing/dir')")
+        self.prefix = options.get("prefix")
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def latestOffset(self) -> dict:
+        return {"seen": _list_files(self.root, self.prefix)}
+
+    def partitions(self, start: dict, end: dict):
+        new = sorted(set(end["seen"]) - set(start["seen"]))
+        return [ShipperInputPartition(p) for p in new]
+
+    def read(self, partition: ShipperInputPartition):
+        yield from _read_file_blocks(partition.path)
+
+    def commit(self, end: dict) -> None:
+        # Processed-file state lives entirely in the checkpoint's
+        # offset log; nothing source-side to clean up.
+        pass
 
 
 class ShipperDataSource(DataSource):
-    """spark.read.format("shipper").option("prefix", ...).load(dir)"""
+    """spark.read.format("shipper").option("prefix", ...).load(dir) —
+    and the same format/options under spark.readStream."""
 
     @classmethod
     def name(cls) -> str:
@@ -96,6 +143,9 @@ class ShipperDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return ShipperDataSourceReader(self.options)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return ShipperStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -57,6 +57,9 @@ HEADLINE = [
     "semdedup_kmeans",
     "dedup_bloom_membership",
     "text_unigram_lm_score",
+    "agg_sketch_merge_hll",
+    "agg_sketch_merge_kll",
+    "agg_sketch_theta_setops",
 ]
 
 

@@ -1,0 +1,55 @@
+"""Table-maintenance operators: small-file compaction with optional
+range clustering.
+
+Streaming sinks and highly-parallel writers leave lakes littered with
+small files; at 100 TB the scan cost is dominated by per-file open/
+footer overhead and the listing itself. Compaction is the standard
+OPTIMIZE dataflow: read, ONE round-robin (or range) repartition sized
+so output files land near a target size, rewrite. Range clustering
+(`cluster_by`) additionally sorts the data so each output file owns a
+disjoint key range — min/max footer stats then prune whole files for
+range predicates, the poor-man's Z-order for a single key.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for dirpath, _dirs, names in os.walk(path):
+        for n in names:
+            if not n.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(dirpath, n))
+    return total
+
+
+def compact_parquet_dir(spark: SparkSession, src_dir: str, dest_dir: str, *,
+                        target_file_bytes: int = 128 * 1024 * 1024,
+                        cluster_by: list[str] | None = None) -> int:
+    """Rewrite `src_dir` into ~target-sized parquet files at `dest_dir`.
+
+    Output file count = ceil(current on-disk bytes / target) — sized
+    from the COMPRESSED footprint, so the rewrite inherits the same
+    codec's ratio. Returns the file count. With `cluster_by`, uses a
+    range repartition + within-partition sort so every output file
+    covers a disjoint key range (file-level min/max pruning becomes
+    effective for that key); without it, a plain round-robin shuffle.
+
+    Driver-side work is just the listing; the data moves through one
+    shuffle, the same cost any OPTIMIZE pays. A cluster deployment
+    swaps the os.walk for an object-store LIST.
+    """
+    n_files = max(1, math.ceil(_dir_bytes(src_dir) / target_file_bytes))
+    df: DataFrame = spark.read.parquet(src_dir)
+    if cluster_by:
+        out = (df.repartitionByRange(n_files, *cluster_by)
+               .sortWithinPartitions(*cluster_by))
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(dest_dir)
+    return n_files

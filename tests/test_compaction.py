@@ -1,0 +1,66 @@
+"""Small-file compaction: many-file input rewritten to the computed
+target count, content-identical; range clustering must leave each
+output file with a DISJOINT key range (file-level min/max pruning)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+
+from kinesis_s3_data_shipper_spark.operators.maintenance import (
+    compact_parquet_dir)
+
+
+def _data_files(path):
+    return glob.glob(f"{path}/*.parquet")
+
+
+def _total_bytes(path):
+    return sum(os.path.getsize(p) for p in _data_files(path))
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path, sf_small):
+    src = str(tmp_path / "scattered")
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    ev.repartition(64).write.parquet(src)
+    assert len(_data_files(src)) == 64
+
+    dest = str(tmp_path / "compacted")
+    n = compact_parquet_dir(spark, src, dest,
+                            target_file_bytes=max(_total_bytes(src) // 4, 1))
+    files = _data_files(dest)
+    assert len(files) == n <= 8
+    got = spark.read.parquet(dest)
+    assert got.count() == ev.count()
+    assert sorted(got.columns) == sorted(ev.columns)
+
+
+def test_range_clustering_gives_disjoint_file_ranges(spark, tmp_path,
+                                                     sf_small):
+    src = str(tmp_path / "scattered2")
+    (spark.read.parquet(f"{sf_small}/events.parquet")
+     .repartition(32).write.parquet(src))
+
+    dest = str(tmp_path / "clustered")
+    n = compact_parquet_dir(spark, src, dest,
+                            target_file_bytes=max(_total_bytes(src) // 6, 1),
+                            cluster_by=["user_id"])
+    assert n >= 4
+    # Every output file's [min, max] user_id range must be disjoint
+    # (a shared boundary value is fine): that's what makes footer-
+    # stats pruning effective for range predicates on the key.
+    ranges = []
+    for p in _data_files(dest):
+        md = pq.ParquetFile(p).metadata
+        idx = {md.schema.column(i).name: i
+               for i in range(len(md.schema))}["user_id"]
+        stats = [md.row_group(rg).column(idx).statistics
+                 for rg in range(md.num_row_groups)]
+        if stats:
+            ranges.append((min(s.min for s in stats),
+                           max(s.max for s in stats)))
+    ranges.sort()
+    for (_lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {ranges}"

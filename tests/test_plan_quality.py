@@ -344,3 +344,37 @@ def test_sketch_merge_rolls_up_partials(spark):
     assert plan.count("HashAggregate") >= 4
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_small):
+    """Catalyst's runtime bloom-filter injection: a selective non-
+    broadcast join must plant a bloom_filter_agg on the build side and
+    a might_contain probe filter on the fact scan side — rows that
+    can't join die before the shuffle. At 100 TB this is the runtime
+    twin of DPP for non-partition keys; the thresholds only gate it by
+    size, so pin the plan shape with them relaxed."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+        orders = (spark.read.parquet(f"{sf_small}/orders.parquet")
+                  .filter(F.col("o_orderpriority") == "1-URGENT"))
+        j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .select("l_extendedprice"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        assert j.count() > 0
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

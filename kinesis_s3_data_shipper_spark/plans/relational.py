@@ -339,6 +339,60 @@ def join_range_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Bin width (days) for the binned interval join. Intervals span ≤ 29
+#: days, so each explodes to ≤ ceil(29/7)+1 = 5 bins.
+_IV_BIN_DAYS = 7
+
+
+@register("join_interval_binned", oracle=f"""
+WITH iv AS (
+  SELECT o_orderkey AS iv_id,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           AS start_d,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           + o_orderkey % 30 AS end_d
+  FROM orders WHERE o_orderkey < 200
+)
+SELECT iv_id, COUNT(*) AS n, {sql_dsum('l_extendedprice', 'sum_price')}
+FROM lineitem JOIN iv
+  ON date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+     BETWEEN start_d AND end_d
+GROUP BY iv_id
+""", doc="PURE interval-containment join (no equi key): per reporting "
+         "window, lineitems whose ship date falls inside it. Naive "
+         "Spark plans this as a nested-loop evaluating every "
+         "(row, interval) pair — O(n·m) at any cluster size. The "
+         "binned rewrite makes it an EQUI-join: intervals explode to "
+         "the ≤5 week-bins they overlap, each point owns exactly one "
+         "bin, so a (point, interval) pair meets exactly once and the "
+         "residual BETWEEN keeps semantics identical (the oracle runs "
+         "the naive join — same result proves it). At 100 TB the bin "
+         "key shuffles/broadcasts like any join key and per-row work "
+         "is intervals-per-bin, not total intervals. Bin width trades "
+         "interval duplication (len/width copies) against residual "
+         "selectivity — pick ~median interval length.")
+def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select(F.unix_date(F.to_date("l_shipdate")).alias("ship_d"),
+                  "l_extendedprice"))
+    iv = (load_table(spark, sf_dir, "orders")
+          .filter(F.col("o_orderkey") < 200)
+          .select(F.col("o_orderkey").alias("iv_id"),
+                  F.unix_date(F.to_date("o_orderdate")).alias("start_d")))
+    iv = iv.withColumn("end_d", F.col("start_d") + F.col("iv_id") % 30)
+    iv_b = iv.withColumn(
+        "bin", F.explode(F.sequence(
+            F.expr(f"start_d div {_IV_BIN_DAYS}"),
+            F.expr(f"end_d div {_IV_BIN_DAYS}"))))
+    li_b = li.withColumn("bin", F.expr(f"ship_d div {_IV_BIN_DAYS}"))
+    return (li_b.join(F.broadcast(iv_b), "bin")
+            .filter(F.col("ship_d").between(F.col("start_d"),
+                                            F.col("end_d")))
+            .groupBy("iv_id")
+            .agg(F.count("*").alias("n"),
+                 dsum("l_extendedprice", "sum_price")))
+
+
 @register("join_salted_skew", oracle=f"""
 SELECT o_orderpriority,
        COUNT(*) AS n, {sql_dsum('l_extendedprice', 'sum_price')}

@@ -378,3 +378,13 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_small):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_interval_join_is_equi_not_nested_loop(spark):
+    """The binned interval join must plan as an equi-join on the bin
+    key; a BroadcastNestedLoopJoin/CartesianProduct here means the
+    rewrite regressed to the O(n*m) naive plan."""
+    plan = plan_of(spark, "join_interval_binned")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -60,6 +60,7 @@ HEADLINE = [
     "agg_sketch_merge_hll",
     "agg_sketch_merge_kll",
     "agg_sketch_theta_setops",
+    "join_interval_binned",
 ]
 
 

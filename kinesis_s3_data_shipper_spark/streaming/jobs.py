@@ -525,3 +525,70 @@ def streaming_user_stats_tws(spark: SparkSession, events_dir: str, *,
     return final.select(
         "user_id", F.col("_f.n").alias("n"),
         (F.col("_f.sum_micros") / F.lit(1_000_000.0)).alias("sum_value"))
+
+
+def streaming_incremental_merge(spark: SparkSession, events_dir: str, *,
+                                table_dir: str, checkpoint: str,
+                                query_name: str,
+                                max_files_per_trigger: int = 1) -> DataFrame:
+    """foreachBatch incremental MERGE: maintain a materialized per-user
+    (n, sum_micros) aggregate table across micro-batches — the
+    streaming half of the warehouse story (plans/warehouse.py holds
+    the batch MERGE dataflow).
+
+    Each micro-batch full-outer-joins its delta into the current table
+    state and writes the result as a NEW immutable version directory
+    ``v=<batch_id>`` (never overwriting the version it just read —
+    readers are atomic, and a retried batch rewrites ITS OWN version
+    from the same inputs: per-epoch idempotence, the same
+    exactly-once-per-epoch contract the HTTP sink keys on, and the
+    fix for the reference's lost-batch window, K:259-263). Version
+    housekeeping (vacuuming superseded dirs) is ordinary lake
+    maintenance — the compaction operator's territory.
+
+    Returns the final table state (latest version).
+    """
+    events = _events_stream(spark, events_dir,
+                            max_files=max_files_per_trigger)
+
+    def latest_version() -> int | None:
+        if not os.path.isdir(table_dir):
+            return None
+        versions = [int(d.split("=", 1)[1]) for d in os.listdir(table_dir)
+                    if d.startswith("v=")]
+        return max(versions) if versions else None
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = (batch_df
+                 .select("user_id",
+                         (F.col("value").cast("decimal(18,6)") * 1_000_000)
+                         .cast("long").alias("vm"))
+                 .groupBy("user_id")
+                 .agg(F.count("*").alias("d_n"),
+                      F.sum("vm").alias("d_sum")))
+        ver = latest_version()
+        if ver is None:
+            merged = delta.select("user_id",
+                                  F.col("d_n").alias("n"),
+                                  F.col("d_sum").alias("sum_micros"))
+        else:
+            cur = spark.read.parquet(f"{table_dir}/v={ver}")
+            merged = (cur.join(delta, "user_id", "full_outer")
+                      .select("user_id",
+                              (F.coalesce("n", F.lit(0))
+                               + F.coalesce("d_n", F.lit(0))).alias("n"),
+                              (F.coalesce("sum_micros", F.lit(0))
+                               + F.coalesce("d_sum", F.lit(0)))
+                              .alias("sum_micros")))
+        merged.write.mode("overwrite").parquet(f"{table_dir}/v={batch_id}")
+
+    query = (events.writeStream.foreachBatch(merge_batch)
+             .queryName(query_name)
+             .option("checkpointLocation", checkpoint)
+             .trigger(availableNow=True).start())
+    query.awaitTermination()
+    ver = latest_version()
+    if ver is None:
+        return spark.createDataFrame(
+            [], "user_id long, n long, sum_micros long")
+    return spark.read.parquet(f"{table_dir}/v={ver}")

@@ -66,3 +66,42 @@ def test_tws_user_stats_match_batch(spark, tmp_path, sf_small):
     want_map = {r.user_id: (2 * r.n, round(float(2 * r.s), 6))
                 for r in want}
     assert got_map == want_map
+
+
+def test_incremental_merge_matches_batch(spark, tmp_path, sf_small):
+    """foreachBatch MERGE: two micro-batches of the same file must
+    leave the materialized table at exactly 2x the single-copy batch
+    aggregate, and every micro-batch must have produced an immutable
+    version directory (per-epoch idempotence)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kinesis_s3_data_shipper_spark.streaming.jobs import (
+        streaming_incremental_merge)
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    src = f"{sf_small}/events.parquet"
+    shutil.copy(src, landing / "a.parquet")
+    shutil.copy(src, landing / "b.parquet")
+
+    table_dir = str(tmp_path / "table")
+    got = streaming_incremental_merge(
+        spark, str(landing), table_dir=table_dir,
+        checkpoint=str(tmp_path / "ckpt_merge"),
+        query_name="inc_merge_test")
+    got_map = {r.user_id: (r.n, r.sum_micros) for r in got.collect()}
+
+    want = (spark.read.parquet(src)
+            .select("user_id",
+                    (F.col("value").cast("decimal(18,6)") * 1_000_000)
+                    .cast("long").alias("vm"))
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("vm").alias("s"))
+            .collect())
+    want_map = {r.user_id: (2 * r.n, 2 * r.s) for r in want}
+    assert got_map == want_map
+    versions = sorted(d for d in os.listdir(table_dir)
+                      if d.startswith("v="))
+    assert len(versions) == 2

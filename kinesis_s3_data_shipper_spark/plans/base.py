@@ -75,11 +75,13 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     "q9_product_profit", "q11_important_stock", "q16_supplier_cnt",
     "q20_excess_suppliers", "scalar_json_map", "scalar_variant_json",
     "events_gap_fill", "agg_histogram", "events_anomaly_zscore",
+    # round-3 additions (never externally verified):
+    "agg_sketch_merge_kll", "agg_sketch_theta_setops",
+    "join_interval_binned",
     # high-novelty re-confirms:
     "dedup_minhash_lsh", "dedup_substring_spans", "ann_lsh_probe",
     "ann_ivf_probe", "ann_pq_adc", "semdedup_kmeans", "kmeans_lloyd_iter",
-    "graph_pagerank_iter", "streaming_dedup", "multimodal_features",
-    "text_chunk_udtf",
+    "graph_pagerank_iter",
 )
 
 

@@ -238,9 +238,16 @@ def connected_components(edges: DataFrame, *, src: str = "doc_a",
               .select("node", F.col("node").alias("label"))
               .localCheckpoint())
     for i in range(max_iters):
-        nbr = (sym.join(labels, F.col("s") == F.col("node"))
-               .groupBy(F.col("d").alias("node"))
-               .agg(F.min("label").alias("nbr_label")))
+        if i == 0:
+            # Round 0: labels are still the identity (label == node),
+            # so min-label-over-neighbors is just min(s) per d straight
+            # off the edge list — same result, one join saved.
+            nbr = (sym.groupBy(F.col("d").alias("node"))
+                   .agg(F.min("s").alias("nbr_label")))
+        else:
+            nbr = (sym.join(labels, F.col("s") == F.col("node"))
+                   .groupBy(F.col("d").alias("node"))
+                   .agg(F.min("label").alias("nbr_label")))
         # One job per round: the eager localCheckpoint materializes the
         # new labels AND (via observe) counts label changes in the same
         # pass — no separate convergence-scan job.

@@ -52,36 +52,34 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
 #: local sweep (correctness_local.py / tests/test_oracle_parity.py);
 #: this list ROTATES which ones land in the externally-verified window
 #: so the union across rounds converges on the whole registry.
-#: Round-3 window = the 32 queries no round has externally checked yet
-#: (r01 covered relational/events/text, r02 the dedup/ANN/streaming/
-#: sampling surface), the 7 queries whose r02 check failed before the
-#: TIMESTAMP(MICROS) data migration was handled (fixed since — their
-#: green row is the proof), and 11 re-confirms of the highest-novelty
-#: operators.
+#: Round-4 window = ingest_pipeline FIRST (the one registered query
+#: never externally checked — rows-only by contract, the driver's
+#: >0-rows/stable-count check should be on record), then the full
+#: r01-only cohort (their green rows are two driver data generations
+#: old; the events TIMESTAMP migration proved data can shift under
+#: them), then the two queries whose plans changed this round
+#: (substring-spans digest-only shuffle, IVF sqrt-n K) so the change
+#: is externally re-proven.
 _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
-    # r02 failures, since fixed (events.ts micros handling):
-    "streaming_hourly", "streaming_sessions", "streaming_late_data",
-    "streaming_interval_join", "streaming_outer_join",
-    "events_funnel", "events_retention_cohort",
-    # never externally verified:
-    "streaming_sliding", "agg_sketch_merge_hll", "scd2_priority_history",
-    "q4_exists_priority", "q6_forecast_revenue", "q13_order_distribution",
-    "q17_small_qty_revenue", "q7_nation_volume", "q15_top_supplier",
-    "q21_sole_supplier", "q22_idle_customers", "window_distribution",
-    "agg_approx_quantiles", "join_full_outer", "q12_priority_by_status",
-    "q14_promo_revenue_share", "q19_disjunctive_revenue",
-    "agg_collect_sorted", "agg_corr_covar", "q10_returned_revenue",
-    "q8_market_share", "join_right_agg", "q2_min_cost_supplier",
-    "q9_product_profit", "q11_important_stock", "q16_supplier_cnt",
-    "q20_excess_suppliers", "scalar_json_map", "scalar_variant_json",
-    "events_gap_fill", "agg_histogram", "events_anomaly_zscore",
-    # round-3 additions (never externally verified):
-    "agg_sketch_merge_kll", "agg_sketch_theta_setops",
-    "join_interval_binned",
-    # high-novelty re-confirms:
-    "dedup_minhash_lsh", "dedup_substring_spans", "ann_lsh_probe",
-    "ann_ivf_probe", "ann_pq_adc", "semdedup_kmeans", "kmeans_lloyd_iter",
-    "graph_pagerank_iter",
+    # never externally checked (rows-only by contract):
+    "ingest_pipeline",
+    # r01-only cohort — green rows are two driver generations old:
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    "q18_large_orders", "filter_project_scalar", "sort_limit",
+    "distinct_rows", "join_inner_agg", "join_left_agg", "join_anti",
+    "join_semi", "join_range_pred", "join_theta_pairs", "join_salted_skew",
+    "agg_stats", "agg_distinct", "agg_approx_distinct", "agg_argminmax",
+    "agg_quantiles", "agg_cube", "agg_rollup", "agg_grouping_sets",
+    "agg_pandas_median", "grouped_minmax_scale", "window_rank",
+    "window_rank_stats", "window_running_sum", "window_lag_lead",
+    "window_range_frame", "window_value_funcs", "window_topk_per_group",
+    "set_union_all", "set_intersect", "set_intersect_all", "set_except",
+    "set_except_all", "pivot_event_counts", "unpivot_measures",
+    "subquery_above_nation_avg", "scalar_math_funcs", "scalar_datetime",
+    "scalar_array_funcs", "scalar_null_funcs", "json_extract_agg",
+    "events_hourly", "sessionize", "asof_join",
+    # plans changed in round 4 — re-prove externally:
+    "dedup_substring_spans", "ann_ivf_probe",
 )
 
 

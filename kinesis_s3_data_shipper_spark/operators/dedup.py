@@ -355,9 +355,13 @@ def minhash_lsh_candidates(docs: DataFrame, *, id_col: str, text_col: str,
 
 
 def token_window_spans(docs: DataFrame, *, id_col: str, text_col: str,
-                       window: int = 20) -> DataFrame:
+                       window: int = 20,
+                       with_pos: bool = False) -> DataFrame:
     """Every contiguous ``window``-token span of every document, one row
-    per (doc, position): columns (doc_id, span).
+    per (doc, position): columns (doc_id, span) — plus a 0-based
+    ``pos`` token offset when ``with_pos`` (posexplode), which lets a
+    caller re-derive any span's text later from just (doc_id, pos)
+    without carrying the text (see plans.dedup.dedup_substring_spans).
 
     The substring-dedup primitive: grouping these spans by content
     finds verbatim passages repeated ACROSS documents — duplication
@@ -375,7 +379,21 @@ def token_window_spans(docs: DataFrame, *, id_col: str, text_col: str,
         f"split({text_col}, ' ')", "toks",
         f"transform(sequence(1, size(toks) - {window - 1}),"
         f" i -> array_join(slice(toks, i, {window}), ' '))")
-    return (docs
-            .filter(F.expr(f"size(split({text_col}, ' ')) >= {window}"))
-            .select(F.col(id_col).alias("doc_id"),
-                    F.explode(F.expr(spans)).alias("span")))
+    filtered = (docs
+                .filter(F.expr(f"size(split({text_col}, ' ')) >= {window}")))
+    if with_pos:
+        return filtered.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.expr(spans)).alias("pos", "span"))
+    return filtered.select(F.col(id_col).alias("doc_id"),
+                           F.explode(F.expr(spans)).alias("span"))
+
+
+def span_text_at(text_col: str, pos_col: str, window: int):
+    """The text of the ``window``-token span of ``text_col`` starting
+    at 0-based token offset ``pos_col`` — the inverse of
+    :func:`token_window_spans` ``with_pos`` for one location. Built
+    from the same split/slice/array_join ops so the recovered string
+    is byte-identical to the exploded span."""
+    return F.expr(f"array_join(slice(split({text_col}, ' '),"
+                  f" {pos_col} + 1, {window}), ' ')")

@@ -74,21 +74,44 @@ HAVING COUNT(DISTINCT doc_id) >= 2
          "array training-data dedup (any repeat >= window length is "
          "caught by one of its windows). Catches boilerplate embedded "
          "in otherwise-unique documents, invisible to document-level "
-         "dedup. One explode (linear blow-up, same as the MinHash "
-         "shingle explode) + one hash-agg keyed on the 16-byte md5 "
-         "digest; the span text rides along via MIN(span) for "
-         "reporting and would be dropped in the pure-prune path.")
+         "dedup. The shuffle is DIGEST-ONLY: spans collapse to "
+         "(md5, doc_id, pos) before the exchange — never span text, "
+         "which is ~20x the corpus when materialized (spans are mostly "
+         "distinct, so map-side combine cannot shrink a text-carrying "
+         "agg). Because every span in an md5 group is the SAME string, "
+         "MIN(span) is recoverable from any one occurrence: the agg "
+         "keeps min(struct(doc_id, pos)) (16 bytes), and reporting "
+         "text for the >=2-doc survivors (the repeated-boilerplate "
+         "set, tiny by construction) is re-sliced from just those "
+         "documents via a broadcast join — one explode scan total, "
+         "text-recovery cost O(|survivors|), narrow exchange end to "
+         "end. The oracle's MIN(span) equals the re-sliced text "
+         "because the group key is the text's own digest.")
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import span_text_at
     docs = load_table(spark, sf_dir, "documents")
     spans = token_window_spans(docs, id_col="doc_id", text_col="text",
-                               window=20)
-    return (spans
-            .groupBy(F.md5("span").alias("span_hash"))
-            .agg(F.min("span").alias("span"),
-                 F.countDistinct("doc_id").alias("n_docs"),
-                 F.count("*").alias("n_occurrences"),
-                 F.min("doc_id").alias("first_doc_id"))
-            .filter(F.col("n_docs") >= 2))
+                               window=20, with_pos=True)
+    survivors = (spans
+                 .select(F.md5("span").alias("span_hash"), "doc_id", "pos")
+                 .groupBy("span_hash")
+                 .agg(F.countDistinct("doc_id").alias("n_docs"),
+                      F.count("*").alias("n_occurrences"),
+                      F.min(F.struct("doc_id", "pos")).alias("_loc"))
+                 .filter(F.col("n_docs") >= 2)
+                 .select("span_hash", "n_docs", "n_occurrences",
+                         F.col("_loc.doc_id").alias("first_doc_id"),
+                         F.col("_loc.pos").alias("_pos"))
+                 .persist())  # tiny; probed twice below
+    texts = (docs.join(F.broadcast(survivors
+                                   .select("span_hash", "first_doc_id",
+                                           "_pos")),
+                       docs.doc_id == F.col("first_doc_id"))
+             .select("span_hash",
+                     span_text_at("text", "_pos", 20).alias("span")))
+    return (survivors.join(F.broadcast(texts), "span_hash")
+            .select("span_hash", "span", "n_docs", "n_occurrences",
+                    "first_doc_id"))
 
 
 def _sql_minhash_sig(num_hashes: int = 16) -> str:

@@ -45,6 +45,8 @@ def _events_ddl(events_dir: str) -> str:
     import pyarrow.parquet as pq
 
     files = sorted(glob.glob(os.path.join(events_dir, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no *.parquet under {events_dir}")
     ts_type = pq.read_schema(files[0]).field("ts").type
     if pa.types.is_timestamp(ts_type) and ts_type.unit != "ns":
         return EVENTS_DDL_TS
@@ -527,36 +529,129 @@ def streaming_user_stats_tws(spark: SparkSession, events_dir: str, *,
         (F.col("_f.sum_micros") / F.lit(1_000_000.0)).alias("sum_value"))
 
 
+#: Bucket count for the incrementally-merged aggregate table. At 100 TB
+#: key cardinality this would be ~1024; tests use the default too (the
+#: touched-bucket arithmetic is identical, only dir counts change).
+MERGE_BUCKETS = 64
+
+
+def _bucket_versions(table_dir: str, *,
+                     below: int | None = None) -> dict[int, int]:
+    """{bucket: newest version} across ``table_dir/b=<k>/v=<n>`` dirs,
+    optionally only versions STRICTLY below ``below``.
+
+    The ``below`` ceiling is what makes a RETRIED epoch idempotent: a
+    batch that crashed after writing ``v=<batch_id>`` but before its
+    checkpoint offset committed re-runs with the same batch_id, and
+    must rebuild from the state it originally read (v < batch_id) —
+    never from the half-published version it wrote itself (reading
+    v=batch_id while overwriting it would also double-apply the delta).
+    """
+    out: dict[int, int] = {}
+    if not os.path.isdir(table_dir):
+        return out
+    for bdir in os.listdir(table_dir):
+        if not bdir.startswith("b="):
+            continue
+        versions = [int(d.split("=", 1)[1])
+                    for d in os.listdir(os.path.join(table_dir, bdir))
+                    if d.startswith("v=")]
+        if below is not None:
+            versions = [v for v in versions if v < below]
+        if versions:
+            out[int(bdir.split("=", 1)[1])] = max(versions)
+    return out
+
+
+def _read_buckets(spark: SparkSession, table_dir: str,
+                  vers: dict[int, int]) -> DataFrame | None:
+    """The table state at the given per-bucket versions (None if empty).
+    basePath keeps the b=/v= partition columns in the schema."""
+    if not vers:
+        return None
+    paths = [f"{table_dir}/b={b}/v={v}" for b, v in sorted(vers.items())]
+    return (spark.read.option("basePath", table_dir).parquet(*paths)
+            .select("user_id", "n", "sum_micros"))
+
+
+def merge_delta_into_bucketed_table(spark: SparkSession, delta: DataFrame,
+                                    batch_id: int, table_dir: str, *,
+                                    num_buckets: int = MERGE_BUCKETS) -> None:
+    """MERGE one epoch's per-user delta ``(user_id, d_n, d_sum)`` into
+    the bucketed versioned table — the foreachBatch body, exposed so
+    tests can replay an epoch directly (retry simulation).
+
+    Scale shape: the table is hash-bucketed by user_id (pmod
+    ``num_buckets``), and an epoch rewrites ONLY the buckets its delta
+    touches — cost O(|delta| x bucket-size) per epoch, not O(|table|)
+    (the unbucketed full-outer rewrite pays a full-table shuffle for
+    every small delta). Each touched bucket gets an immutable
+    ``v=<batch_id>`` dir via dynamic partition overwrite; readers of
+    superseded versions are never disturbed, and a retried epoch
+    rewrites exactly its own (bucket, version) dirs from the
+    strictly-older state it originally read (see _bucket_versions).
+    """
+    delta = (delta.withColumn("b", F.pmod(F.hash("user_id"),
+                                          F.lit(num_buckets)))
+             .persist())
+    touched = {r.b for r in delta.select("b").distinct().collect()}
+    base_vers = {b: v for b, v in
+                 _bucket_versions(table_dir, below=batch_id).items()
+                 if b in touched}
+    base = _read_buckets(spark, table_dir, base_vers)
+    if base is None:
+        merged = delta.select("user_id", "b",
+                              F.col("d_n").alias("n"),
+                              F.col("d_sum").alias("sum_micros"))
+    else:
+        merged = (base.join(delta, "user_id", "full_outer")
+                  .select("user_id",
+                          F.coalesce("b", F.pmod(F.hash("user_id"),
+                                                 F.lit(num_buckets)))
+                          .alias("b"),
+                          (F.coalesce("n", F.lit(0))
+                           + F.coalesce("d_n", F.lit(0))).alias("n"),
+                          (F.coalesce("sum_micros", F.lit(0))
+                           + F.coalesce("d_sum", F.lit(0)))
+                          .alias("sum_micros")))
+    # Dynamic overwrite rewrites only the (b, v=batch_id) partitions
+    # present in `merged` — exactly the touched buckets.
+    (merged.withColumn("v", F.lit(batch_id))
+     .write.mode("overwrite")
+     .partitionBy("b", "v")
+     .option("partitionOverwriteMode", "dynamic")
+     .parquet(table_dir))
+    delta.unpersist()
+
+
+def read_bucketed_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Current state: each bucket at its newest version."""
+    cur = _read_buckets(spark, table_dir, _bucket_versions(table_dir))
+    if cur is None:
+        return spark.createDataFrame(
+            [], "user_id long, n long, sum_micros long")
+    return cur
+
+
 def streaming_incremental_merge(spark: SparkSession, events_dir: str, *,
                                 table_dir: str, checkpoint: str,
                                 query_name: str,
-                                max_files_per_trigger: int = 1) -> DataFrame:
+                                max_files_per_trigger: int = 1,
+                                num_buckets: int = MERGE_BUCKETS) -> DataFrame:
     """foreachBatch incremental MERGE: maintain a materialized per-user
     (n, sum_micros) aggregate table across micro-batches — the
     streaming half of the warehouse story (plans/warehouse.py holds
-    the batch MERGE dataflow).
-
-    Each micro-batch full-outer-joins its delta into the current table
-    state and writes the result as a NEW immutable version directory
-    ``v=<batch_id>`` (never overwriting the version it just read —
-    readers are atomic, and a retried batch rewrites ITS OWN version
-    from the same inputs: per-epoch idempotence, the same
-    exactly-once-per-epoch contract the HTTP sink keys on, and the
-    fix for the reference's lost-batch window, K:259-263). Version
+    the batch MERGE dataflow). The exactly-once contract the
+    reference's lost-batch window needed (K:259-263) comes from
+    per-epoch idempotent versions; the 100 TB cost model comes from
+    bucketing (see merge_delta_into_bucketed_table). Version
     housekeeping (vacuuming superseded dirs) is ordinary lake
     maintenance — the compaction operator's territory.
 
-    Returns the final table state (latest version).
+    Returns the final table state (latest version of every bucket).
     """
     events = _events_stream(spark, events_dir,
                             max_files=max_files_per_trigger)
-
-    def latest_version() -> int | None:
-        if not os.path.isdir(table_dir):
-            return None
-        versions = [int(d.split("=", 1)[1]) for d in os.listdir(table_dir)
-                    if d.startswith("v=")]
-        return max(versions) if versions else None
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         delta = (batch_df
@@ -566,29 +661,12 @@ def streaming_incremental_merge(spark: SparkSession, events_dir: str, *,
                  .groupBy("user_id")
                  .agg(F.count("*").alias("d_n"),
                       F.sum("vm").alias("d_sum")))
-        ver = latest_version()
-        if ver is None:
-            merged = delta.select("user_id",
-                                  F.col("d_n").alias("n"),
-                                  F.col("d_sum").alias("sum_micros"))
-        else:
-            cur = spark.read.parquet(f"{table_dir}/v={ver}")
-            merged = (cur.join(delta, "user_id", "full_outer")
-                      .select("user_id",
-                              (F.coalesce("n", F.lit(0))
-                               + F.coalesce("d_n", F.lit(0))).alias("n"),
-                              (F.coalesce("sum_micros", F.lit(0))
-                               + F.coalesce("d_sum", F.lit(0)))
-                              .alias("sum_micros")))
-        merged.write.mode("overwrite").parquet(f"{table_dir}/v={batch_id}")
+        merge_delta_into_bucketed_table(spark, delta, batch_id, table_dir,
+                                        num_buckets=num_buckets)
 
     query = (events.writeStream.foreachBatch(merge_batch)
              .queryName(query_name)
              .option("checkpointLocation", checkpoint)
              .trigger(availableNow=True).start())
     query.awaitTermination()
-    ver = latest_version()
-    if ver is None:
-        return spark.createDataFrame(
-            [], "user_id long, n long, sum_micros long")
-    return spark.read.parquet(f"{table_dir}/v={ver}")
+    return read_bucketed_table(spark, table_dir)

@@ -71,8 +71,7 @@ def test_tws_user_stats_match_batch(spark, tmp_path, sf_small):
 def test_incremental_merge_matches_batch(spark, tmp_path, sf_small):
     """foreachBatch MERGE: two micro-batches of the same file must
     leave the materialized table at exactly 2x the single-copy batch
-    aggregate, and every micro-batch must have produced an immutable
-    version directory (per-epoch idempotence)."""
+    aggregate, with per-(bucket, epoch) immutable version dirs."""
     import os
 
     from pyspark.sql import functions as F
@@ -102,6 +101,78 @@ def test_incremental_merge_matches_batch(spark, tmp_path, sf_small):
             .collect())
     want_map = {r.user_id: (2 * r.n, 2 * r.s) for r in want}
     assert got_map == want_map
-    versions = sorted(d for d in os.listdir(table_dir)
-                      if d.startswith("v="))
-    assert len(versions) == 2
+    # Bucketed layout: every bucket dir holds immutable v=0 and v=1
+    # (both batches touch every bucket — same full file twice).
+    buckets = sorted(d for d in os.listdir(table_dir)
+                     if d.startswith("b="))
+    assert buckets, table_dir
+    for b in buckets:
+        versions = sorted(d for d in os.listdir(f"{table_dir}/{b}")
+                          if d.startswith("v="))
+        assert versions == ["v=0", "v=1"], (b, versions)
+
+
+def test_incremental_merge_small_delta_touches_few_buckets(spark, tmp_path,
+                                                           sf_small):
+    """A small delta must rewrite ONLY the buckets it touches — the
+    O(|delta| x bucket-size) cost model, not a full-table rewrite."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kinesis_s3_data_shipper_spark.streaming.jobs import (
+        merge_delta_into_bucketed_table, read_bucketed_table)
+
+    table_dir = str(tmp_path / "table")
+    # Epoch 0: a wide delta (many users, most of the 64 buckets).
+    wide = (spark.range(0, 500)
+            .select(F.col("id").alias("user_id"),
+                    F.lit(1).cast("long").alias("d_n"),
+                    (F.col("id") * 10).cast("long").alias("d_sum")))
+    merge_delta_into_bucketed_table(spark, wide, 0, table_dir)
+    all_buckets = {d for d in os.listdir(table_dir) if d.startswith("b=")}
+
+    # Epoch 1: a 3-user delta.
+    small = (spark.createDataFrame(
+        [(7, 1, 70), (8, 1, 80), (9, 1, 90)],
+        "user_id long, d_n long, d_sum long"))
+    merge_delta_into_bucketed_table(spark, small, 1, table_dir)
+    touched = {d for d in os.listdir(table_dir) if d.startswith("b=")
+               and "v=1" in os.listdir(f"{table_dir}/{d}")}
+    assert len(touched) <= 3
+    assert len(touched) < len(all_buckets) / 4
+
+    # Final state still equals the batch oracle over both deltas.
+    got = {r.user_id: (r.n, r.sum_micros)
+           for r in read_bucketed_table(spark, table_dir).collect()}
+    want = {i: (1, i * 10) for i in range(500)}
+    for u in (7, 8, 9):
+        want[u] = (2, want[u][1] + u * 10)
+    assert got == want
+
+
+def test_incremental_merge_retry_is_idempotent(spark, tmp_path):
+    """Replaying an epoch (crash-after-write, checkpoint not committed)
+    must rebuild the SAME state: the merge reads only versions strictly
+    below its own batch_id, so its own half-published output is never
+    its input."""
+    from kinesis_s3_data_shipper_spark.streaming.jobs import (
+        merge_delta_into_bucketed_table, read_bucketed_table)
+
+    table_dir = str(tmp_path / "table")
+    d0 = spark.createDataFrame([(1, 1, 100), (2, 1, 200)],
+                               "user_id long, d_n long, d_sum long")
+    d1 = spark.createDataFrame([(1, 1, 50), (3, 1, 300)],
+                               "user_id long, d_n long, d_sum long")
+    merge_delta_into_bucketed_table(spark, d0, 0, table_dir)
+    merge_delta_into_bucketed_table(spark, d1, 1, table_dir)
+    once = {r.user_id: (r.n, r.sum_micros)
+            for r in read_bucketed_table(spark, table_dir).collect()}
+    assert once == {1: (2, 150), 2: (1, 200), 3: (1, 300)}
+
+    # Retry epoch 1 with the same inputs: state must be unchanged
+    # (the old below-less read would double-apply d1 here).
+    merge_delta_into_bucketed_table(spark, d1, 1, table_dir)
+    again = {r.user_id: (r.n, r.sum_micros)
+             for r in read_bucketed_table(spark, table_dir).collect()}
+    assert again == once

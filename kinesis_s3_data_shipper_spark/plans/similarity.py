@@ -138,15 +138,36 @@ def ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: IVF coarse-quantizer size. Centroids are the K lowest-vec_id vectors
 #: — a deterministic, data-derived codebook both engines recompute
 #: identically (production would k-means these; the probe machinery is
-#: unchanged either way).
+#: unchanged either way). semdedup/kmeans keep this FIXED K; the probe
+#: query grows K with the corpus (below).
 _IVF_K = 16
+
+#: ann_ivf_probe sizes its quantizer to the corpus: K = floor(sqrt(n)),
+#: clamped to [16, 4096]. sqrt(n) balances the two probe-side costs —
+#: assignment is O(K·d) per row and a probed cluster averages n/K
+#: candidates, so their product is minimized at K ~ sqrt(n) (SURVEY
+#: §7.1 measured the fixed-K=16 probe cluster growing linearly with
+#: the 10x scale step). The 4096 cap bounds the centroid literal
+#: block; past it (n > ~16M per index shard) the centroids move from
+#: plan literals to a broadcast join — same dataflow, bigger codebook.
+_IVF_K_MIN, _IVF_K_CAP = 16, 4096
+
+#: DuckDB spelling of the same clamp — a scalar subquery, so the
+#: oracle derives K from the corpus exactly like the Spark side.
+_SQL_IVF_K = (f"(SELECT GREATEST({_IVF_K_MIN}, LEAST({_IVF_K_CAP},"
+              f" CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))) FROM embeddings)")
+
+
+def _ivf_k(n: int) -> int:
+    import math
+    return max(_IVF_K_MIN, min(_IVF_K_CAP, math.isqrt(n)))
 
 
 def _ivf_probe_oracle() -> str:
     return f"""
 WITH c AS (
   SELECT vec_id AS cid, embedding AS cv FROM embeddings
-  WHERE vec_id < {_IVF_K}
+  WHERE vec_id < {_SQL_IVF_K}
 ), asg AS (
   SELECT e.vec_id, e.embedding, c.cid,
          row_number() OVER (PARTITION BY e.vec_id
@@ -180,17 +201,23 @@ SELECT query_id, neighbor_id, cos, rank FROM (
               "plan literals), then queries probe only their own "
               "cluster via an equi-join — per-query work n/K instead "
               "of n. nprobe=1 here; production raises nprobe for "
-              "recall. The oracle recomputes the identical assignment "
-              "with a window argmax over the same sequential-fold "
-              "cosines, so the candidate sets match exactly.")
+              "recall. K grows with the corpus as floor(sqrt(n)) "
+              "clamped to [16, 4096] — both engines derive it from "
+              "the same row count — so probed-cluster size scales as "
+              "sqrt(n), not linearly. The oracle recomputes the "
+              "identical assignment with a window argmax over the "
+              "same sequential-fold cosines, so the candidate sets "
+              "match exactly.")
 def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import dot, norm
     from ..operators.similarity import ivf_cluster
     emb = load_table(spark, sf_dir, "embeddings")
     # Bounded driver-side collect: exactly K centroid vectors, embedded
     # as plan literals (the hyperplanes pattern — not a join input).
+    # count() is parquet-metadata-only; K <= 4096 bounds the collect.
+    k = _ivf_k(emb.count())
     cents = [list(map(float, r.embedding)) for r in
-             emb.filter(F.col("vec_id") < _IVF_K)
+             emb.filter(F.col("vec_id") < k)
                 .orderBy("vec_id").collect()]
     b = emb.select("vec_id", "embedding",
                    norm("embedding", _DIM).alias("_n"),

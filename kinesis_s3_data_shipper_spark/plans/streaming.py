@@ -12,6 +12,7 @@ events table: streaming/batch parity is itself the assertion.
 
 from __future__ import annotations
 
+import glob
 import os
 import tempfile
 import uuid
@@ -27,16 +28,26 @@ NS_PER_HOUR = 3_600_000_000_000
 
 
 def _stage_landing(sf_dir: str, copies: int = 1) -> tuple[str, str]:
-    """Stage events.parquet into a fresh landing dir (the file source
-    wants a directory); return (landing, checkpoint)."""
-    events_path = os.path.join(sf_dir, "events.parquet")
+    """Stage the events table into a fresh landing dir (the file source
+    wants a flat directory); return (landing, checkpoint). Handles both
+    table layouts: one events.parquet file, or an events/ directory of
+    part-files (each part symlinks in flat — the streaming source then
+    sees one file per part per copy)."""
+    from ..sources.tables import table_path
+    events_path = table_path(sf_dir, "events")
+    if os.path.isdir(events_path):
+        parts = sorted(glob.glob(os.path.join(events_path, "*.parquet")))
+    else:
+        parts = [events_path]
     work = tempfile.mkdtemp(prefix="ksds_stream_")
     landing = os.path.join(work, "landing")
     os.makedirs(landing)
     for i in range(copies):
-        # Symlink, not copy: the file source only reads, and at sf0.1
-        # the copy is pure staging overhead per query call.
-        os.symlink(events_path, os.path.join(landing, f"events_{i}.parquet"))
+        for j, part in enumerate(parts):
+            # Symlink, not copy: the file source only reads, and at
+            # sf0.1 the copy is pure staging overhead per query call.
+            os.symlink(part,
+                       os.path.join(landing, f"events_{i}_{j}.parquet"))
     return landing, os.path.join(work, "ckpt")
 
 
@@ -148,7 +159,9 @@ def _stage_split_landing(sf_dir: str) -> tuple[str, str]:
     work = tempfile.mkdtemp(prefix="ksds_late_")
     landing = os.path.join(work, "landing")
     os.makedirs(landing)
-    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    from ..sources.tables import table_path
+    # pyarrow reads a part-file directory as one dataset too.
+    t = pq.read_table(table_path(sf_dir, "events"))
     # `ts` physical type varies by driver data generation (int64 ns /
     # timestamp[ns] / timestamp[us]); normalize the int64 view to ns.
     ts_type = t.schema.field("ts").type
@@ -212,11 +225,12 @@ GROUP BY 1, 2
          "join oracle. The streaming twin of the reference's per-event "
          "enrichment projection (kinesis-to-humio.py:144-148).")
 def streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import table_path
     from ..streaming.jobs import streaming_enriched_counts
     landing, checkpoint = _stage_landing(sf_dir)
     name = f"enrich_{uuid.uuid4().hex[:8]}"
     return streaming_enriched_counts(
-        spark, landing, os.path.join(sf_dir, "customer.parquet"),
+        spark, landing, table_path(sf_dir, "customer"),
         checkpoint=checkpoint, query_name=name)
 
 

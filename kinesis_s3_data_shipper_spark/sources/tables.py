@@ -49,12 +49,31 @@ def _normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+def table_path(sf_dir: str, name: str) -> str:
+    """The on-disk location of one table: either a single
+    ``<name>.parquet`` file or a ``<name>/`` directory of part-files
+    (the multi-file layout every real warehouse table has — what a
+    repartitioned/compacted/partitioned copy of the dataset looks
+    like). Preferring the file keeps the driver's single-file layout
+    authoritative when both exist."""
+    file_path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.exists(file_path):
+        return file_path
+    dir_path = os.path.join(sf_dir, name)
+    if os.path.isdir(dir_path):
+        return dir_path
+    raise FileNotFoundError(
+        f"table {name!r} not found under {sf_dir}: neither "
+        f"{name}.parquet nor a {name}/ directory of part-files")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one named table from an sf directory."""
+    """Load one named table from an sf directory (single-file or
+    multi-file layout — see :func:`table_path`)."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     ensure_runtime_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         df = _normalize_event_ts(df)
     return df

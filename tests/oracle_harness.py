@@ -12,7 +12,8 @@ import os
 import duckdb
 import pandas as pd
 
-from kinesis_s3_data_shipper_spark.sources.tables import TABLE_NAMES
+from kinesis_s3_data_shipper_spark.sources.tables import (TABLE_NAMES,
+                                                          table_path)
 
 REL_TOL = 1e-12
 
@@ -20,7 +21,9 @@ REL_TOL = 1e-12
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for name in TABLE_NAMES:
-        path = os.path.join(sf_dir, f"{name}.parquet")
+        path = table_path(sf_dir, name)
+        if os.path.isdir(path):  # multi-file layout: glob the parts
+            path = os.path.join(path, "*.parquet")
         con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
     return con
 

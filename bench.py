@@ -104,7 +104,10 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
+        # A crashed query's timing is missing from `value`, so the
+        # headline total must never be compared against a full run.
         record["errors"] = errors
+        record["incomplete"] = True
     print(json.dumps(record))
     spark.stop()
 

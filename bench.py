@@ -35,7 +35,9 @@ HEADLINE = [
     "dedup_exact_hash",
     "ann_bruteforce_topk",
     "ann_lsh_probe",
+    "ann_lsh_multiprobe",
     "ann_ivf_probe",
+    "ann_ivf_multiprobe",
     "text_quality",
     "text_tfidf_top_terms",
     "text_chunk_udtf",

@@ -112,13 +112,26 @@ def ivf_cluster(vec_col: str, centroids: list[list[float]]) -> Column:
     (operators.dedup.let) so each fold runs once per row however
     Catalyst collapses the projections.
     """
-    # HOF folds on purpose (unrolling measured slower — see
-    # functions.vectors.dot), and the centroid matrix is ONE
-    # array-of-arrays literal iterated by zip_with rather than K
-    # separate fold expressions: same arithmetic and argmax, but the
-    # expression tree is O(1) in K instead of O(K) (measured ~20%
-    # faster at K=44, and analysis cost stays flat as K grows with
-    # sqrt(n) — plans/similarity._ivf_k).
+    # array_position is 1-based and returns the FIRST match → lowest
+    # centroid id wins ties, exactly like the oracle's window pick.
+    return F.expr(_ivf_cosines_sql(
+        vec_col, centroids,
+        "CAST(array_position(cs, array_max(cs)) - 1 AS BIGINT)"))
+
+
+def _ivf_cosines_sql(vec_col: str, centroids: list[list[float]],
+                     body: str) -> str:
+    """SQL where ``body`` sees ``cs`` = the array of cosines from
+    ``vec_col`` to every centroid (index = centroid id).
+
+    HOF folds on purpose (unrolling measured slower — see
+    functions.vectors.dot), and the centroid matrix is ONE
+    array-of-arrays literal iterated by zip_with rather than K
+    separate fold expressions: same arithmetic, but the expression
+    tree is O(1) in K instead of O(K) (measured ~20% faster at K=44,
+    and analysis cost stays flat as K grows with sqrt(n) —
+    plans/similarity._ivf_k).
+    """
     from .dedup import let
     cc = "array(" + ",".join(_plane_literal(c) for c in centroids) + ")"
     nn = ("array(" + ",".join(f"CAST({fold_norm(c)!r} AS DOUBLE)"
@@ -129,11 +142,14 @@ def ivf_cluster(vec_col: str, centroids: list[list[float]]) -> Column:
           f" aggregate(zip_with({vec_col}, c,"
           f" (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE),"
           f" (acc, v) -> acc + v) / (nv * n))")
-    # array_position is 1-based and returns the FIRST match → lowest
-    # centroid id wins ties, exactly like the oracle's window pick.
-    body = let(cs, "cs",
-               "CAST(array_position(cs, array_max(cs)) - 1 AS BIGINT)")
-    return F.expr(let(norm_sql, "nv", body))
+    return let(norm_sql, "nv", let(cs, "cs", body))
+
+
+def ivf_cosines(vec_col: str, centroids: list[list[float]]) -> Column:
+    """The full array of cosines to every centroid (index = centroid
+    id) — the multi-probe primitive: a query ranks this array to pick
+    its nprobe nearest clusters instead of just the argmax."""
+    return F.expr(_ivf_cosines_sql(vec_col, centroids, "cs"))
 
 
 # ------------------------------------------------------------------ PQ

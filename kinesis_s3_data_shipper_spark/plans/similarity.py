@@ -238,6 +238,177 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rank") <= 3))
 
 
+#: Multi-probe fan-outs: the LSH probe visits the query's own bucket
+#: plus all 8 Hamming-distance-1 buckets; the IVF probe visits the 4
+#: nearest clusters. Both are the standard recall levers (Lv et al.
+#: 2007 multi-probe LSH; IVF nprobe) — recall rises toward exact
+#: search while per-query cost stays (1 + probes) x bucket-size.
+_LSH_NPROBE_BITS = 8
+_IVF_NPROBE = 4
+
+
+def _sql_bit_flips(bucket: str, bits: int) -> str:
+    """DuckDB list of `bucket` plus its ``bits`` one-bit-flip variants."""
+    flips = ", ".join(
+        f"concat(substring({bucket}, 1, {i}),"
+        f" CASE WHEN substring({bucket}, {i + 1}, 1) = '1'"
+        f" THEN '0' ELSE '1' END,"
+        f" substring({bucket}, {i + 2}, {bits - i - 1}))"
+        for i in range(bits))
+    return f"[{bucket}, {flips}]"
+
+
+def _spark_bit_flips(bucket: str, bits: int):
+    flips = ", ".join(
+        f"concat(substring({bucket}, 1, {i}),"
+        f" CASE WHEN substring({bucket}, {i + 1}, 1) = '1'"
+        f" THEN '0' ELSE '1' END,"
+        f" substring({bucket}, {i + 2}, {bits - i - 1}))"
+        for i in range(bits))
+    return F.expr(f"array({bucket}, {flips})")
+
+
+def _lsh_multiprobe_oracle() -> str:
+    bucket = sql_lsh_bucket("embedding", hyperplanes(8, 64))
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         unnest({_sql_bit_flips('bucket', _LSH_NPROBE_BITS)}) AS bucket
+  FROM b WHERE {_QUERY_PRED}
+), scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         ROUND({sql_cosine('q.qv', 'b.embedding')}, 6) AS cos
+  FROM b JOIN q ON b.bucket = q.bucket
+  WHERE b.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+@register("ann_lsh_multiprobe", oracle=_lsh_multiprobe_oracle(),
+          doc="Multi-probe LSH ANN (Lv et al. 2007): each query probes "
+              "its own sign-LSH bucket AND the 8 buckets one bit-flip "
+              "away — the buckets a near-neighbor most likely fell "
+              "into when a single hyperplane cut between query and "
+              "neighbor. Recall approaches exact search at 9x the "
+              "probe cost (still n·9/2^bits per query, independent of "
+              "corpus growth) with NO extra index state — the recall "
+              "lever that doesn't multiply storage, vs adding hash "
+              "tables. A neighbor lives in exactly one bucket and the "
+              "9 probe buckets are distinct, so no pair dedup is "
+              "needed. Same deterministic cosine + top-k as the "
+              "single-probe path.")
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import dot, norm
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = hyperplanes(8, 64)
+    b = emb.select(F.col("vec_id"), F.col("embedding"),
+                   norm("embedding", _DIM).alias("_n"),
+                   lsh_bucket("embedding", planes).alias("bucket"))
+    q = (b.filter(F.expr(_QUERY_PRED))
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qv"),
+                 F.col("_n").alias("_qn"),
+                 F.explode(_spark_bit_flips("bucket", _LSH_NPROBE_BITS))
+                 .alias("bucket")))
+    scored = (b.join(F.broadcast(q), "bucket")
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      F.round(dot("qv", "embedding", _DIM)
+                              / (F.col("_qn") * F.col("_n")), 6)
+                       .alias("cos")))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (scored.select("query_id", "neighbor_id", "cos",
+                          F.row_number().over(w).cast("long").alias("rank"))
+            .filter(F.col("rank") <= 3))
+
+
+def _ivf_multiprobe_oracle() -> str:
+    return f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id < {_SQL_IVF_K}
+), asg AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {sql_cosine('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+  FROM embeddings e CROSS JOIN c
+), a AS (
+  SELECT vec_id, embedding, cid AS cluster FROM asg WHERE rn = 1
+), qp AS (
+  SELECT vec_id AS query_id, embedding AS qv, cid AS cluster
+  FROM asg WHERE rn <= {_IVF_NPROBE} AND {_QUERY_PRED}
+), scored AS (
+  SELECT qp.query_id, a.vec_id AS neighbor_id,
+         ROUND({sql_cosine('qp.qv', 'a.embedding')}, 6) AS cos
+  FROM a JOIN qp ON a.cluster = qp.cluster
+  WHERE a.vec_id <> qp.query_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+@register("ann_ivf_multiprobe", oracle=_ivf_multiprobe_oracle(),
+          doc="IVF ANN with nprobe=4: corpus vectors live in their "
+              "argmax cluster (one shuffle-free assignment, as "
+              "ann_ivf_probe), but each QUERY probes its 4 "
+              "nearest-cosine clusters — the recall lever for "
+              "boundary queries whose true neighbors sit just across "
+              "a Voronoi edge. The query side ranks the same cosine "
+              "array the assignment computes (ivf_cosines) with a "
+              "tiny |Q|-row window; per-query cost is nprobe·n/K "
+              "candidates, still sub-linear with the sqrt(n) "
+              "quantizer. Clusters are disjoint so probed candidate "
+              "sets never overlap — no pair dedup. The oracle derives "
+              "probe sets from the identical ranking (rn <= nprobe of "
+              "the same window the nprobe=1 oracle takes rn = 1 of).")
+def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import dot, norm
+    from ..operators.similarity import ivf_cluster, ivf_cosines
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = _ivf_k(emb.count())
+    cents = [list(map(float, r.embedding)) for r in
+             emb.filter(F.col("vec_id") < k)
+                .orderBy("vec_id").collect()]
+    b = emb.select("vec_id", "embedding",
+                   norm("embedding", _DIM).alias("_n"),
+                   ivf_cluster("embedding", cents).alias("cluster"))
+    # Query side: rank the per-centroid cosine array, keep the top
+    # nprobe clusters (cos DESC, cid tiebreak — the oracle's window).
+    qw = W.partitionBy("query_id").orderBy(F.desc("_ccos"), "cluster")
+    q = (emb.filter(F.expr(_QUERY_PRED))
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qv"),
+                 norm("embedding", _DIM).alias("_qn"),
+                 F.posexplode(ivf_cosines("embedding", cents))
+                 .alias("cluster", "_ccos"))
+         .withColumn("_rn", F.row_number().over(qw))
+         .filter(F.col("_rn") <= _IVF_NPROBE)
+         .drop("_ccos", "_rn"))
+    scored = (b.join(F.broadcast(q), "cluster")
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      F.round(dot("qv", "embedding", _DIM)
+                              / (F.col("_qn") * F.col("_n")), 6)
+                       .alias("cos")))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (scored.select("query_id", "neighbor_id", "cos",
+                          F.row_number().over(w).cast("long").alias("rank"))
+            .filter(F.col("rank") <= 3))
+
+
 @register("ann_lsh_buckets", oracle=_lsh_oracle(),
           doc="Sign-LSH coarse index: 8 deterministic hyperplanes → 8-bit "
               "bucket per vector → occupancy stats. The bucket key is the "

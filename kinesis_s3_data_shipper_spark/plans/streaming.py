@@ -279,3 +279,31 @@ def streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     landing, checkpoint = _stage_landing(sf_dir)
     name = f"sojoin_{uuid.uuid4().hex[:8]}"
     return run(spark, landing, checkpoint=checkpoint, query_name=name)
+
+
+@register("streaming_merge", oracle="""
+SELECT user_id, CAST(2 * COUNT(*) AS BIGINT) AS n,
+       CAST(2 * SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                         AS BIGINT)) AS BIGINT) AS sum_micros
+FROM events GROUP BY user_id
+""", doc="foreachBatch incremental MERGE into a bucketed, versioned "
+         "aggregate table (streaming/jobs.py::streaming_incremental_"
+         "merge): the landing dir holds the events table TWICE, "
+         "maxFilesPerTrigger=1 forces one micro-batch per copy, and "
+         "each epoch merges its per-user delta into ONLY the hash "
+         "buckets it touches (pmod-64 of user_id), writing immutable "
+         "per-(bucket, epoch) version dirs — O(|delta| x bucket-size) "
+         "per epoch, never a full-table rewrite, with retry "
+         "idempotence from the strictly-below-epoch version read. The "
+         "final table state must equal exactly 2x the single-copy "
+         "batch aggregate, which is what the oracle computes. Exact "
+         "integer micros arithmetic on both sides (the engine-wide "
+         "decimal-safe SUM convention).")
+def streaming_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import streaming_incremental_merge
+    landing, checkpoint = _stage_landing(sf_dir, copies=2)
+    work = os.path.dirname(landing)
+    name = f"smerge_{uuid.uuid4().hex[:8]}"
+    return streaming_incremental_merge(
+        spark, landing, table_dir=os.path.join(work, "table"),
+        checkpoint=checkpoint, query_name=name, max_files_per_trigger=1)

@@ -22,6 +22,7 @@ from __future__ import annotations
 import hashlib
 import struct
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -150,6 +151,84 @@ def ivf_cosines(vec_col: str, centroids: list[list[float]]) -> Column:
     id) — the multi-probe primitive: a query ranks this array to pick
     its nprobe nearest clusters instead of just the argmax."""
     return F.expr(_ivf_cosines_sql(vec_col, centroids, "cs"))
+
+
+def _ivf_cos_matrix(values, centroids_f64, cent_norms):
+    """(rows x K) cosine matrix, BIT-IDENTICAL to the SQL fold.
+
+    numpy reproduces the sequential left fold exactly: float32→float64
+    casts are exact, elementwise multiply is the same IEEE op as the
+    lambda's ``CAST(x AS DOUBLE) * y``, and ``np.cumsum`` accumulates
+    strictly left-to-right — the same add sequence as ``aggregate``'s
+    ``acc + v`` (verified element-for-element against the HOF plan in
+    tests/test_similarity_ops.py). Division groups as dot / (nv * n),
+    matching the expression tree.
+    """
+    import numpy as np
+    V = np.vstack(values).astype(np.float64)               # rows x d
+    nv = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])          # fold norms
+    # rows x K x d products, folded sequentially over d. Chunked by
+    # caller; at chunk=1024, K=4096, d=64 this is ~2 GB transient max.
+    prods = V[:, None, :] * centroids_f64[None, :, :]
+    dots = np.cumsum(prods, axis=2)[:, :, -1]
+    return dots / (nv[:, None] * cent_norms[None, :])
+
+
+def _cent_arrays(centroids: list[list[float]]):
+    import numpy as np
+    C = np.asarray(centroids, dtype=np.float64)
+    cn = np.sqrt(np.cumsum(C * C, axis=1)[:, -1])  # fold_norm, vectorized
+    return C, cn
+
+
+def ivf_cluster_arrow(vec_col: str, centroids: list[list[float]]) -> Column:
+    """Arrow-vectorized twin of :func:`ivf_cluster` — same argmax
+    (np.argmax = first max = lowest centroid id on ties), same fold
+    arithmetic (see _ivf_cos_matrix), ~100x faster once K grows with
+    sqrt(n): the HOF lambda evaluator is interpreted per element
+    (O(n·K·d) interpreter steps — 28 s at n=20k, K=141), while the
+    Arrow path is three numpy kernels per batch. This is the
+    "built-ins genuinely can't express it efficiently" escape hatch,
+    Arrow-batched, never row-at-a-time."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C, cn = _cent_arrays(centroids)
+
+    def assign(s: pd.Series) -> pd.Series:
+        if s.empty:
+            return pd.Series([], dtype="int64")
+        out = []
+        for start in range(0, len(s), 1024):
+            cos = _ivf_cos_matrix(s.iloc[start:start + 1024].to_numpy(),
+                                  C, cn)
+            out.append(np.argmax(cos, axis=1))
+        return pd.Series(np.concatenate(out).astype("int64"))
+
+    return pandas_udf(assign, "long")(F.col(vec_col))
+
+
+def ivf_cosines_arrow(vec_col: str,
+                      centroids: list[list[float]]) -> Column:
+    """Arrow-vectorized twin of :func:`ivf_cosines` (array of per-
+    centroid cosines; same fold arithmetic bit-for-bit)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C, cn = _cent_arrays(centroids)
+
+    def cosines(s: pd.Series) -> pd.Series:
+        if s.empty:
+            return pd.Series([], dtype="object")
+        out = []
+        for start in range(0, len(s), 1024):
+            cos = _ivf_cos_matrix(s.iloc[start:start + 1024].to_numpy(),
+                                  C, cn)
+            out.extend(list(cos))
+        return pd.Series(out)
+
+    return pandas_udf(cosines, "array<double>")(F.col(vec_col))
 
 
 # ------------------------------------------------------------------ PQ

@@ -210,18 +210,21 @@ SELECT query_id, neighbor_id, cos, rank FROM (
               "match exactly.")
 def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import dot, norm
-    from ..operators.similarity import ivf_cluster
+    from ..operators.similarity import ivf_cluster_arrow
     emb = load_table(spark, sf_dir, "embeddings")
-    # Bounded driver-side collect: exactly K centroid vectors, embedded
-    # as plan literals (the hyperplanes pattern — not a join input).
-    # count() is parquet-metadata-only; K <= 4096 bounds the collect.
+    # Bounded driver-side collect: exactly K centroid vectors, shipped
+    # inside the Arrow-assignment UDF (the hyperplanes pattern — not a
+    # join input). count() is parquet-metadata-only; K <= 4096 bounds
+    # the collect. The Arrow twin is bit-identical to the HOF fold
+    # (tests/test_similarity_ops.py) and O(K) faster once K grows
+    # with sqrt(n).
     k = _ivf_k(emb.count())
     cents = [list(map(float, r.embedding)) for r in
              emb.filter(F.col("vec_id") < k)
                 .orderBy("vec_id").collect()]
     b = emb.select("vec_id", "embedding",
                    norm("embedding", _DIM).alias("_n"),
-                   ivf_cluster("embedding", cents).alias("cluster"))
+                   ivf_cluster_arrow("embedding", cents).alias("cluster"))
     q = (b.filter(F.expr(_QUERY_PRED))
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("qv"),
@@ -376,7 +379,7 @@ SELECT query_id, neighbor_id, cos, rank FROM (
               "the same window the nprobe=1 oracle takes rn = 1 of).")
 def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import dot, norm
-    from ..operators.similarity import ivf_cluster, ivf_cosines
+    from ..operators.similarity import ivf_cluster_arrow, ivf_cosines_arrow
     emb = load_table(spark, sf_dir, "embeddings")
     k = _ivf_k(emb.count())
     cents = [list(map(float, r.embedding)) for r in
@@ -384,7 +387,7 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .orderBy("vec_id").collect()]
     b = emb.select("vec_id", "embedding",
                    norm("embedding", _DIM).alias("_n"),
-                   ivf_cluster("embedding", cents).alias("cluster"))
+                   ivf_cluster_arrow("embedding", cents).alias("cluster"))
     # Query side: rank the per-centroid cosine array, keep the top
     # nprobe clusters (cos DESC, cid tiebreak — the oracle's window).
     qw = W.partitionBy("query_id").orderBy(F.desc("_ccos"), "cluster")
@@ -392,7 +395,7 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("qv"),
                  norm("embedding", _DIM).alias("_qn"),
-                 F.posexplode(ivf_cosines("embedding", cents))
+                 F.posexplode(ivf_cosines_arrow("embedding", cents))
                  .alias("cluster", "_ccos"))
          .withColumn("_rn", F.row_number().over(qw))
          .filter(F.col("_rn") <= _IVF_NPROBE)

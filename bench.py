@@ -79,13 +79,17 @@ def main() -> None:
     for name in HEADLINE:
         fn = queries[name]
         best = None
-        # Two runs, report the min: steady-state cost, not JVM/codegen
-        # warmup or GC noise from the preceding query. Cache cleared
-        # per run so persisted intermediates (minhash signatures) are
-        # honestly recomputed, not replayed. One failing query must not
-        # sink the whole bench: record the error and keep going.
+        # Three runs, report the min: steady-state cost, not JVM/codegen
+        # warmup or GC noise from the preceding query — and this VM
+        # shows random multi-second steal-time spikes (measured: the
+        # same query swinging 0.4 s to 7 s across back-to-back runs),
+        # so min-of-3 is what makes cross-round comparison meaningful.
+        # Cache cleared per run so persisted intermediates (minhash
+        # signatures) are honestly recomputed, not replayed. One
+        # failing query must not sink the whole bench: record the
+        # error and keep going.
         try:
-            for _ in range(2):
+            for _ in range(3):
                 spark.catalog.clearCache()
                 start = time.perf_counter()
                 df = fn(spark, sf_dir)

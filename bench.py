@@ -42,6 +42,7 @@ HEADLINE = [
     "text_tfidf_top_terms",
     "text_chunk_udtf",
     "sample_hash_stratified",
+    "pack_sequences",
     "q6_forecast_revenue",
     "q14_promo_revenue_share",
     "q19_disjunctive_revenue",

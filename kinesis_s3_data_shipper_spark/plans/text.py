@@ -462,3 +462,76 @@ def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                   / F.count("*")).alias("mean_tok_freq"),
                  F.sum(F.when(F.col("c").isNull(), 1).otherwise(0))
                   .cast("long").alias("n_oov")))
+
+
+#: Sequence-packing geometry: training-example length in tokens, and
+#: the number of independent packing shards (the parallelism unit — a
+#: real pipeline sizes shards so each holds ~one output file).
+_PACK_CAP = 2048
+_PACK_SHARDS = 8
+
+
+@register("pack_sequences", oracle=f"""
+WITH d AS (
+  SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+), w AS (
+  SELECT doc_id, shard, n_tok,
+         COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS tok_start
+  FROM d
+), frag AS (
+  SELECT shard, doc_id, n_tok, tok_start,
+         unnest(range(CAST(tok_start // {_PACK_CAP} AS BIGINT),
+                      CAST((tok_start + n_tok - 1) // {_PACK_CAP} + 1
+                           AS BIGINT))) AS seq_id
+  FROM w
+)
+SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+       CAST(seq_id - tok_start // {_PACK_CAP} AS BIGINT) AS frag_idx,
+       CAST(LEAST((seq_id + 1) * {_PACK_CAP}, tok_start + n_tok)
+            - GREATEST(seq_id * {_PACK_CAP}, tok_start) AS BIGINT)
+         AS n_tok_in_seq
+FROM frag
+""", doc="Sequence packing — the step that turns a filtered corpus "
+         "into fixed-length training examples: concatenate documents "
+         "in deterministic (shard, doc_id) order and cut every "
+         f"{_PACK_CAP} tokens, letting documents SPLIT across "
+         "sequence boundaries exactly as LM pretraining packing does "
+         "(each output row is one document fragment: which sequence "
+         "it lands in, its fragment index, and its token count — "
+         "sum(n_tok_in_seq) per seq_id = 2048 except each shard's "
+         "tail). The running offset is a window running-sum "
+         "PARTITIONED BY SHARD, never a global single-partition "
+         "window: shards pack independently and in parallel, which "
+         "is how 100 TB packs on 1000 executors (shard count scales "
+         "with the cluster; the oracle uses the identical pmod "
+         "sharding). Pure integer arithmetic end to end — exact "
+         "cross-engine hashes.")
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.pmod("doc_id", F.lit(_PACK_SHARDS)).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"))
+    w = (W.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    packed = d.withColumn("tok_start",
+                          F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    frag = packed.select(
+        "shard", "doc_id", "n_tok", "tok_start",
+        F.explode(F.sequence(
+            F.expr(f"tok_start div {_PACK_CAP}"),
+            F.expr(f"(tok_start + n_tok - 1) div {_PACK_CAP}")))
+        .alias("seq_id"))
+    return frag.select(
+        "shard", F.col("seq_id").cast("long").alias("seq_id"), "doc_id",
+        (F.col("seq_id") - F.expr(f"tok_start div {_PACK_CAP}"))
+        .cast("long").alias("frag_idx"),
+        (F.least((F.col("seq_id") + 1) * _PACK_CAP,
+                 F.col("tok_start") + F.col("n_tok"))
+         - F.greatest(F.col("seq_id") * _PACK_CAP, F.col("tok_start")))
+        .cast("long").alias("n_tok_in_seq"))

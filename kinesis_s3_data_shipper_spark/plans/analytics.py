@@ -312,3 +312,62 @@ def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "(85 * sum(CAST(c AS DECIMAL(38,0)))) div 100 "
                         "AS BIGINT)")
                  .alias("pagerank_scaled")))
+
+
+#: EWMA smoothing factor. 0.5 is exactly representable in binary and
+#: halving is an exact IEEE op, so the recursive chain is bit-
+#: reproducible across engines (every step is the same two multiplies
+#: and one add, in the same order).
+_EWMA_ALPHA = "0.5"
+
+_EWMA_MONTHLY = """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+       CAST(row_number() OVER (ORDER BY date_trunc('month', o_orderdate))
+            AS BIGINT) AS idx
+FROM orders GROUP BY date_trunc('month', o_orderdate)
+"""
+
+
+def _ewma_sql(monthly_rel: str) -> str:
+    """The recursive-CTE EWMA over a (month, rev, idx) relation —
+    shared verbatim by Spark SQL and DuckDB."""
+    return f"""
+WITH RECURSIVE m AS ({monthly_rel}),
+ewma(idx, month, rev, s) AS (
+  SELECT idx, month, rev, rev FROM m WHERE idx = 1
+  UNION ALL
+  SELECT m.idx, m.month, m.rev,
+         {_EWMA_ALPHA} * m.rev + (1.0 - {_EWMA_ALPHA}) * ewma.s
+  FROM ewma JOIN m ON m.idx = ewma.idx + 1
+)
+SELECT CAST(month AS STRING) AS month, rev, s AS ewma_rev FROM ewma
+"""
+
+
+@register("recursive_ewma_monthly", oracle=_ewma_sql(_EWMA_MONTHLY),
+          doc="Exponentially-weighted moving average of monthly order "
+              "revenue via a RECURSIVE CTE (Spark 4.1 WITH RECURSIVE "
+              "— the first declarative-recursion surface in Spark "
+              "SQL): s_i = a*x_i + (1-a)*s_(i-1). EWMA is the "
+              "canonical aggregate that window frames CANNOT express "
+              "(every prior row contributes with a different weight, "
+              "and rewriting as sum((1-a)^(n-i)*x_i) changes the "
+              "floating-point op order — a different value). The "
+              "recursion is LINEAR (one row per step), so UNION ALL "
+              "terminates without the distinct-dedup Spark recursive "
+              "CTEs don't support yet — which is also why "
+              "dedup_clusters_cc (a cyclic closure) rightly stays a "
+              "driver loop. a=0.5 keeps every step an exact IEEE "
+              "halving, so the chain hash-matches DuckDB bit for bit; "
+              "both engines run the IDENTICAL recursive SQL text over "
+              "the identical monthly pre-aggregate. Scale: the "
+              "recursion runs on the tiny month-level aggregate "
+              "(group count rows), never the fact table — pre-"
+              "aggregate first, recurse on the rollup.")
+def recursive_ewma_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+    view = f"orders_ewma_{uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    monthly = _EWMA_MONTHLY.replace("FROM orders", f"FROM {view}")
+    return spark.sql(_ewma_sql(monthly))

@@ -272,6 +272,39 @@ def pq_codes(vec_col: str, cb: list[list[list[float]]]) -> Column:
     return F.expr("array(" + ",".join(codes) + ")")
 
 
+def pq_codes_arrow(vec_col: str, cb: list[list[list[float]]]) -> Column:
+    """Arrow-vectorized twin of :func:`pq_codes` — bit-identical
+    encode (the _ivf_cos_matrix argument, applied to squared-L2:
+    float64 subtraction/multiply are the same IEEE ops as the
+    lambda's, np.cumsum is the same left fold over the subspace dims,
+    and np.argmin's first-min matches array_position's first-match of
+    array_min, 1-based via +1). Encode is O(M·K·d) per corpus row —
+    the same interpreted-HOF shape that went superlinear for IVF
+    assignment — so the corpus-side encode rides the Arrow kernel;
+    exact-equality-tested in tests/test_similarity_ops.py."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    CB = np.asarray(cb, dtype=np.float64)            # M x K x d
+    m_, k_, d_ = CB.shape
+
+    def codes(s: pd.Series) -> pd.Series:
+        if s.empty:
+            return pd.Series([], dtype="object")
+        out = []
+        for start in range(0, len(s), 1024):
+            V = np.vstack(s.iloc[start:start + 1024].to_numpy()
+                          ).astype(np.float64)
+            Vs = V.reshape(len(V), m_, d_)
+            diff = Vs[:, :, None, :] - CB[None, :, :, :]
+            dist = np.cumsum(diff * diff, axis=3)[..., -1]
+            code = (np.argmin(dist, axis=2) + 1).astype("int64")
+            out.extend(list(code))
+        return pd.Series(out)
+
+    return pandas_udf(codes, "array<long>")(F.col(vec_col))
+
+
 def pq_reconstruct(codes_col: str, cb: list[list[list[float]]]) -> Column:
     """Decode PQ codes back to the quantized vector (codebook rows as
     plan literals). dot(q, reconstruct(v)) is exactly the asymmetric-

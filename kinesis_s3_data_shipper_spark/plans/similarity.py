@@ -507,7 +507,7 @@ SELECT query_id, neighbor_id, adc_cos, rank FROM (
               "exactly.")
 def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import (pq_adc_lut, pq_adc_score,
-                                        pq_codebook, pq_codes,
+                                        pq_codebook, pq_codes_arrow,
                                         pq_sumsq_literal)
     emb = load_table(spark, sf_dir, "embeddings")
     train = [list(map(float, r.embedding)) for r in
@@ -520,7 +520,7 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not the input file layout (same rationale as operators.dedup.
     # _spread; a single-row-group parquet otherwise serializes it).
     enc = (emb.repartition(spark.sparkContext.defaultParallelism)
-           .select("vec_id", pq_codes("embedding", cb).alias("codes"))
+           .select("vec_id", pq_codes_arrow("embedding", cb).alias("codes"))
            .withColumn("_n", F.sqrt(pq_adc_score(
                pq_sumsq_literal(cb), "codes", _PQ_M))))
     q = (emb.filter(F.expr(_QUERY_PRED))

@@ -42,6 +42,18 @@ def test_arrow_cosine_arrays_bitwise_equal_hof(spark, sf_small):
     assert hof.join(arw, "vec_id").filter("h <> a").count() == 0
 
 
+def test_arrow_pq_codes_bitwise_equal_hof(spark, sf_small):
+    from kinesis_s3_data_shipper_spark.operators.similarity import (
+        pq_codebook, pq_codes, pq_codes_arrow)
+    emb = load_table(spark, sf_small, "embeddings")
+    train = [list(map(float, r.embedding)) for r in
+             emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()]
+    cb = pq_codebook(train, 8)
+    hof = emb.select("vec_id", pq_codes("embedding", cb).alias("h"))
+    arw = emb.select("vec_id", pq_codes_arrow("embedding", cb).alias("a"))
+    assert hof.join(arw, "vec_id").filter("h <> a").count() == 0
+
+
 def test_fold_norm_matches_sql_fold(spark):
     # The Python replica of the fold norm (used for centroid-norm plan
     # literals) against the engine's own aggregate fold, on the same

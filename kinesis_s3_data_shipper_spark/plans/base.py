@@ -52,18 +52,24 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
 #: local sweep (correctness_local.py / tests/test_oracle_parity.py);
 #: this list ROTATES which ones land in the externally-verified window
 #: so the union across rounds converges on the whole registry.
-#: Round-4 window = ingest_pipeline FIRST (the one registered query
-#: never externally checked — rows-only by contract, the driver's
-#: >0-rows/stable-count check should be on record), then the full
-#: r01-only cohort (their green rows are two driver data generations
-#: old; the events TIMESTAMP migration proved data can shift under
-#: them), then the two queries whose plans changed this round
-#: (substring-spans digest-only shuffle, IVF sqrt-n K) so the change
-#: is externally re-proven.
+#: Round-4 window, in strict priority order: (1) queries NEVER
+#: externally checked — ingest_pipeline (rows-only by contract; the
+#: driver's >0-rows/stable-count check should be on record) plus every
+#: query first registered this round; (2) the two queries whose plans
+#: changed this round (substring-spans digest-only shuffle, IVF
+#: sqrt-n K) so the change is externally re-proven; (3) the r01-only
+#: cohort (their green rows are two driver data generations old; the
+#: events TIMESTAMP migration proved data can shift under them).
+#: Never-checked beats stale-checked, so if the cohort overflows the
+#: 50-slot window its TAIL rotates to round 5.
 _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
-    # never externally checked (rows-only by contract):
+    # (1) never externally checked:
     "ingest_pipeline",
-    # r01-only cohort — green rows are two driver generations old:
+    "pack_sequences", "recursive_ewma_monthly", "streaming_merge",
+    "ann_lsh_multiprobe", "ann_ivf_multiprobe",
+    # (2) plans changed in round 4 — re-prove externally:
+    "dedup_substring_spans", "ann_ivf_probe",
+    # (3) r01-only cohort — green rows are two driver generations old:
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q18_large_orders", "filter_project_scalar", "sort_limit",
     "distinct_rows", "join_inner_agg", "join_left_agg", "join_anti",
@@ -78,8 +84,6 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     "subquery_above_nation_avg", "scalar_math_funcs", "scalar_datetime",
     "scalar_array_funcs", "scalar_null_funcs", "json_extract_agg",
     "events_hourly", "sessionize", "asof_join",
-    # plans changed in round 4 — re-prove externally:
-    "dedup_substring_spans", "ann_ivf_probe",
 )
 
 

@@ -57,6 +57,7 @@ HEADLINE = [
     "graph_pagerank_iter",
     "sample_balance_classes",
     "ann_pq_adc",
+    "ann_ivfpq_adc",
     "semdedup_kmeans",
     "dedup_bloom_membership",
     "text_unigram_lm_score",

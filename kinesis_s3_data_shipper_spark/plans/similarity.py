@@ -539,6 +539,135 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rank") <= 3))
 
 
+def _ivfpq_oracle() -> str:
+    sub_a = "e.embedding[md.m*8+1 : md.m*8+8]"
+    sub_c = "c.cv[md.m*8+1 : md.m*8+8]"
+    sub_q = "q.qv[e.m*8+1 : e.m*8+8]"
+    sq_l2 = (f"list_reduce(list_transform(list_zip({sub_a}, {sub_c}),"
+             f" p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+             f" * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),"
+             f" (acc, v) -> acc + v)")
+    sub_dot = (f"list_reduce(list_transform(list_zip({sub_q}, e.cw),"
+               f" p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),"
+               f" (acc, v) -> acc + v)")
+    sub_ssq = ("list_reduce(list_transform(cw,"
+               " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+               " (acc, v) -> acc + v)")
+    fold_m = "list_reduce(list({v} ORDER BY {m}), (acc, v) -> acc + v)"
+    return f"""
+WITH ivfc AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id < {_SQL_IVF_K}
+), asg AS (
+  SELECT e.vec_id, v.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {sql_cosine('e.embedding', 'v.cv')} DESC, v.cid) AS rn
+  FROM embeddings e CROSS JOIN ivfc v
+), a AS (
+  SELECT vec_id, cid AS cluster FROM asg WHERE rn = 1
+), c AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id < {_PQ_K}
+), md AS (SELECT unnest(range(0, {_PQ_M})) AS m),
+d AS (
+  SELECT e.vec_id, md.m, c.cid, {sub_c} AS cw, {sq_l2} AS dist
+  FROM embeddings e CROSS JOIN c CROSS JOIN md
+), enc AS (
+  SELECT vec_id, m, cw FROM (
+    SELECT vec_id, m, cw,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY dist, cid) AS rn
+    FROM d
+  ) WHERE rn = 1
+), nrm AS (
+  SELECT vec_id,
+         sqrt({fold_m.format(v='sub', m='m')}) AS nv
+  FROM (SELECT vec_id, m, {sub_ssq} AS sub FROM enc)
+  GROUP BY vec_id
+), q AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qv,
+         {sql_norm('e.embedding')} AS qn, a.cluster
+  FROM embeddings e JOIN a ON e.vec_id = a.vec_id
+  WHERE {_QUERY_PRED.replace('vec_id', 'e.vec_id')}
+), sc AS (
+  SELECT q.query_id, q.qn, e.vec_id AS neighbor_id,
+         {fold_m.format(v=sub_dot, m='e.m')} AS raw
+  FROM enc e
+  JOIN a ON e.vec_id = a.vec_id
+  JOIN q ON a.cluster = q.cluster
+  WHERE e.vec_id <> q.query_id
+  GROUP BY q.query_id, q.qn, e.vec_id
+), scored AS (
+  SELECT sc.query_id, sc.neighbor_id,
+         ROUND(sc.raw / (sc.qn * n.nv), 6) AS adc_cos
+  FROM sc JOIN nrm n ON sc.neighbor_id = n.vec_id
+)
+SELECT query_id, neighbor_id, adc_cos, rank FROM (
+  SELECT query_id, neighbor_id, adc_cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+@register("ann_ivfpq_adc", oracle=_ivfpq_oracle(),
+          doc="IVF-PQ ANN — the composed production index (Jegou et "
+              "al. 2011's IVFADC; the FAISS IVFPQ shape): the corpus "
+              "row carries its sqrt(n)-cluster IVF assignment AND its "
+              "8-byte PQ code, both from ONE shuffle-free scan "
+              "projection. A query probes only its own coarse cell "
+              "(bucket equi-join, n/K candidates — never a corpus "
+              "cross join) and scores every candidate in the "
+              "COMPRESSED domain: 8 LUT lookups + 8 adds against the "
+              "query's precomputed K*M table. That composition is why "
+              "it is the 100 TB default: per-query work sub-linear "
+              "via IVF, per-candidate work constant and decode-free "
+              "via ADC, and index memory bytes-per-vector via PQ "
+              "codes. Routing reuses ann_ivf_probe's bit-identical "
+              "Arrow assignment; scoring reuses ann_pq_adc's "
+              "LUT/codes machinery; the oracle composes the same two "
+              "CTE blocks, so candidate sets and ranks match exactly.")
+def ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import norm
+    from ..operators.similarity import (ivf_cluster_arrow, pq_adc_lut,
+                                        pq_adc_score, pq_codebook,
+                                        pq_codes_arrow, pq_sumsq_literal)
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = _ivf_k(emb.count())
+    cents = [list(map(float, r.embedding)) for r in
+             emb.filter(F.col("vec_id") < k)
+                .orderBy("vec_id").collect()]
+    train = [list(map(float, r.embedding)) for r in
+             emb.filter(F.col("vec_id") < _PQ_K)
+                .orderBy("vec_id").collect()]
+    cb = pq_codebook(train, _PQ_M)
+    # One scan projection carries the whole index: coarse cell + PQ
+    # code + code-derived norm (round-robin first — same parallelism
+    # rationale as ann_pq_adc's encode).
+    enc = (emb.repartition(spark.sparkContext.defaultParallelism)
+           .select("vec_id",
+                   ivf_cluster_arrow("embedding", cents).alias("cluster"),
+                   pq_codes_arrow("embedding", cb).alias("codes"))
+           .withColumn("_n", F.sqrt(pq_adc_score(
+               pq_sumsq_literal(cb), "codes", _PQ_M))))
+    q = (emb.filter(F.expr(_QUERY_PRED))
+         .select(F.col("vec_id").alias("query_id"),
+                 ivf_cluster_arrow("embedding", cents).alias("cluster"),
+                 pq_adc_lut("embedding", cb).alias("_lut"),
+                 norm("embedding", _DIM).alias("_qn")))
+    scored = (enc.join(F.broadcast(q), "cluster")
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      F.round(pq_adc_score("_lut", "codes", _PQ_M)
+                              / (F.col("_qn") * F.col("_n")), 6)
+                       .alias("adc_cos")))
+    w = W.partitionBy("query_id").orderBy(F.desc("adc_cos"), "neighbor_id")
+    return (scored.select("query_id", "neighbor_id", "adc_cos",
+                          F.row_number().over(w).cast("long").alias("rank"))
+            .filter(F.col("rank") <= 3))
+
+
 #: SemDeDup keep/drop threshold — just under the corpus's max
 #: within-cluster cosine so the dup set is non-empty at every sf
 #: (same calibration as embedding_cosine_pairs / dedup_embedding_cosine).

@@ -388,3 +388,15 @@ def test_interval_join_is_equi_not_nested_loop(spark):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_probe_is_equi_join_and_arrow_only(spark):
+    """ann_ivfpq_adc must probe via a broadcast equi-join on the coarse
+    cell — never a corpus cross join (that would erase the IVF
+    pruning) — and the only Python in the plan is the Arrow-batched
+    encode/assignment, never row-at-a-time."""
+    plan = plan_of(spark, "ann_ivfpq_adc")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -61,6 +61,7 @@ HEADLINE = [
     "semdedup_kmeans",
     "dedup_bloom_membership",
     "text_unigram_lm_score",
+    "text_classifier_score",
     "agg_sketch_merge_hll",
     "agg_sketch_merge_kll",
     "agg_sketch_theta_setops",

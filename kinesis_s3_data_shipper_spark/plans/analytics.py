@@ -371,3 +371,86 @@ def recursive_ewma_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView(view)
     monthly = _EWMA_MONTHLY.replace("FROM orders", f"FROM {view}")
     return spark.sql(_ewma_sql(monthly))
+
+
+#: Column inventory the profiler walks, with the per-type VARCHAR
+#: rendering BOTH engines apply to min/max (bigints cast exactly;
+#: doubles via ROUND(x, 2) then cast — the corpus prices are 2-dp
+#: values so the round is identity and both engines print the same
+#: shortest-roundtrip decimal; timestamps via an explicit format
+#: string). Kept in ONE table so the Spark and SQL sides cannot
+#: drift column-by-column.
+_PROFILE_COLS: tuple[tuple[str, str], ...] = (
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_orderstatus", "varchar"),
+    ("o_totalprice", "double"),
+    ("o_orderdate", "timestamp"),
+    ("o_orderpriority", "varchar"),
+)
+
+
+def _profile_sql() -> str:
+    def fmt(expr: str, typ: str) -> str:
+        if typ == "double":
+            return f"CAST(ROUND({expr}, 2) AS VARCHAR)"
+        if typ == "timestamp":
+            return f"strftime({expr}, '%Y-%m-%d %H:%M:%S')"
+        return f"CAST({expr} AS VARCHAR)"
+    aggs = ["COUNT(*) AS n_rows"]
+    rows = []
+    for i, (c, typ) in enumerate(_PROFILE_COLS):
+        aggs += [f"COUNT({c}) AS nn{i}",
+                 f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd{i}",
+                 f"{fmt(f'MIN({c})', typ)} AS mn{i}",
+                 f"{fmt(f'MAX({c})', typ)} AS mx{i}"]
+        rows.append(
+            f"SELECT '{c}' AS col_name, n_rows,"
+            f" n_rows - nn{i} AS n_nulls, nd{i} AS n_distinct,"
+            f" mn{i} AS min_val, mx{i} AS max_val FROM s")
+    return ("WITH s AS (SELECT " + ", ".join(aggs) + " FROM orders)\n"
+            + "\nUNION ALL ".join(rows))
+
+
+@register("profile_table_stats", oracle=_profile_sql(),
+          doc="ANALYZE-style table profiling — one row per column of "
+              "`orders` with row count, null count, exact NDV, and "
+              "typed min/max rendered to VARCHAR: the data-quality / "
+              "optimizer-statistics pass every warehouse runs after "
+              "load, and the first thing a training-data pipeline "
+              "computes about a new source. ONE scan produces every "
+              "statistic: a single agg row (all counts/NDVs/extrema "
+              "as map-side-combined partials) is exploded into the "
+              "per-column report — never one scan per column. The "
+              "multi-column exact NDV plans as Spark's Expand (xN "
+              "rows through the one shuffle); at 100 TB you'd flip "
+              "the NDV terms to approx_count_distinct partials and "
+              "keep the identical dataflow — exact here because the "
+              "oracle demands exactness.")
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def fmt(col: F.Column, typ: str) -> F.Column:
+        if typ == "double":
+            return F.round(col, 2).cast("string")
+        if typ == "timestamp":
+            return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+        return col.cast("string")
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for i, (c, typ) in enumerate(_PROFILE_COLS):
+        aggs += [F.count(c).alias(f"nn{i}"),
+                 F.countDistinct(c).cast("long").alias(f"nd{i}"),
+                 fmt(F.min(c), typ).alias(f"mn{i}"),
+                 fmt(F.max(c), typ).alias(f"mx{i}")]
+    one = orders.agg(*aggs)
+    structs = [F.struct(F.lit(c).alias("col_name"),
+                        F.col("n_rows"),
+                        (F.col("n_rows") - F.col(f"nn{i}")).alias("n_nulls"),
+                        F.col(f"nd{i}").alias("n_distinct"),
+                        F.col(f"mn{i}").alias("min_val"),
+                        F.col(f"mx{i}").alias("max_val"))
+               for i, (c, _) in enumerate(_PROFILE_COLS)]
+    return (one.select(F.explode(F.array(*structs)).alias("s"))
+            .select("s.col_name", "s.n_rows", "s.n_nulls",
+                    "s.n_distinct", "s.min_val", "s.max_val"))

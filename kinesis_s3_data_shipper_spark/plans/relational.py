@@ -1782,3 +1782,59 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("l_suppkey"))
     return supp.join(excess, supp.s_suppkey == excess.l_suppkey,
                      "left_semi")
+
+
+@register("agg_ols_by_group", oracle="""
+WITH s AS (
+  SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))
+             * CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))
+             * CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS syy,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))
+             * CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus, n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+             6) AS intercept,
+       ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s
+""", doc="Grouped linear regression (distributed closed-form OLS): "
+         "slope / intercept / r-squared of price ~ quantity per "
+         "(returnflag, linestatus) — the trend-fitting companion to "
+         "agg_corr_covar, and the 100 TB way to fit millions of "
+         "per-group models: five order-free moment sums (exact "
+         "decimal, map-side combined — the only thing that touches "
+         "data) and the closed-form double formula applied once per "
+         "group. No iterative solver, no driver round-trips; the "
+         "same pattern extends to any single-feature GLM screen "
+         "(feature triage over a training corpus). Decimal widening "
+         "forces int128 in DuckDB exactly as agg_corr_covar.")
+def agg_ols_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qd, qn = (F.col("l_quantity").cast(t)
+              for t in ("decimal(20,6)", "decimal(18,6)"))
+    pw, pn = (F.col("l_extendedprice").cast(t)
+              for t in ("decimal(20,6)", "decimal(18,6)"))
+    s = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(qd).cast("double").alias("sx"),
+        F.sum(pw).cast("double").alias("sy"),
+        F.sum(qd * qn).cast("double").alias("sxx"),
+        F.sum(pw * pn).cast("double").alias("syy"),
+        F.sum(qd * pn).cast("double").alias("sxy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "l_returnflag", "l_linestatus", "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         .alias("r2"))

@@ -112,6 +112,29 @@ def sample_frames(media: DataFrame, *, frame_bytes: int = 16,
 AHASH_SCHEMA = "doc_id LONG, phash STRING"
 
 
+def ahash_one(payload: bytes, num_blocks: int = 16) -> str:
+    """aHash of one payload — the kernel :func:`ahash_bits` applies per
+    row, exposed for property tests: bit i = 1 iff block i's byte mean
+    >= the global byte mean, by exact integer cross-multiply
+    ``blocksum * n >= totalsum * blocklen``; empty (tail) blocks are 0.
+    Edge case: n == 0 hashes to all zeros (every block is empty)."""
+    import numpy as np
+
+    b = np.frombuffer(payload, dtype=np.uint8)
+    n = len(b)
+    bs = (n + num_blocks - 1) // num_blocks
+    padded = np.zeros(max(num_blocks * bs, 1), dtype=np.int64)
+    padded[:n] = b
+    sums = padded[:num_blocks * bs].reshape(num_blocks, max(bs, 1)).sum(axis=1) \
+        if bs > 0 else np.zeros(num_blocks, dtype=np.int64)
+    lens = np.clip(
+        np.minimum((np.arange(num_blocks) + 1) * bs, n)
+        - np.minimum(np.arange(num_blocks) * bs, n), 0, None)
+    total = int(sums.sum())
+    bits = ((sums * n >= total * lens) & (lens > 0))
+    return "".join("1" if x else "0" for x in bits)
+
+
 def ahash_bits(media: DataFrame, *, num_blocks: int = 16) -> DataFrame:
     """Average-hash (aHash) over binary payloads — the REAL perceptual-
     hash algorithm (block mean vs global mean), not a stub: payload
@@ -123,27 +146,14 @@ def ahash_bits(media: DataFrame, *, num_blocks: int = 16) -> DataFrame:
     blocks; only the decode step (bytes were pixels) is elided here.
     Arrow-batched mapInPandas; empty tail blocks hash to 0.
     """
-    import numpy as np
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            hashes = []
-            for payload in pdf["payload"]:
-                b = np.frombuffer(bytes(payload), dtype=np.uint8)
-                n = len(b)
-                bs = (n + num_blocks - 1) // num_blocks
-                padded = np.zeros(num_blocks * bs, dtype=np.int64)
-                padded[:n] = b
-                sums = padded.reshape(num_blocks, bs).sum(axis=1)
-                lens = np.clip(
-                    np.minimum((np.arange(num_blocks) + 1) * bs, n)
-                    - np.minimum(np.arange(num_blocks) * bs, n), 0, None)
-                total = int(sums.sum())
-                bits = ((sums * n >= total * lens) & (lens > 0))
-                hashes.append("".join("1" if x else "0" for x in bits))
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"].astype("int64"),
-                "phash": pd.Series(hashes, dtype="object"),
+                "phash": pd.Series(
+                    [ahash_one(bytes(p), num_blocks)
+                     for p in pdf["payload"]], dtype="object"),
             })
 
     return media.select("doc_id", "payload").mapInPandas(op, AHASH_SCHEMA)

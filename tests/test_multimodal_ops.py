@@ -1,0 +1,72 @@
+"""Multimodal operator tests: the aHash kernel against a naive
+reference (property-based), and the Spark mapInPandas path against the
+kernel on real payload shapes."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from kinesis_s3_data_shipper_spark.operators.multimodal import (
+    ahash_one, ahash_bits, attach_binary_payload)
+
+
+def _ahash_naive(b: bytes, num_blocks: int = 16) -> str:
+    """Straight-from-the-definition reference: block byte-mean vs
+    global byte-mean, exact integer cross-multiply, empty blocks 0."""
+    n = len(b)
+    bs = (n + num_blocks - 1) // num_blocks
+    total = sum(b)
+    bits = []
+    for i in range(num_blocks):
+        lo, hi = min(i * bs, n), min((i + 1) * bs, n)
+        blk = b[lo:hi]
+        if not blk:
+            bits.append("0")
+        else:
+            bits.append("1" if sum(blk) * n >= total * len(blk) else "0")
+    return "".join(bits)
+
+
+@given(st.binary(min_size=0, max_size=400),
+       st.sampled_from([4, 8, 16]))
+@settings(max_examples=200, deadline=None)
+def test_ahash_kernel_matches_naive_reference(payload, num_blocks):
+    assert ahash_one(payload, num_blocks) == _ahash_naive(payload,
+                                                          num_blocks)
+
+
+def test_ahash_properties():
+    # Constant payloads: every non-empty block's mean equals the global
+    # mean, so all occupied blocks read 1.
+    assert ahash_one(b"\x41" * 160) == "1" * 16
+    # 16 bytes -> one byte per block, bit = byte >= mean.
+    assert ahash_one(bytes([0] * 8 + [255] * 8)) == "0" * 8 + "1" * 8
+    # Short payloads leave tail blocks empty (0).
+    h = ahash_one(b"\x80" * 4)
+    assert len(h) == 16 and h.endswith("0" * 12)
+    # Empty payload: all zeros, no crash.
+    assert ahash_one(b"") == "0" * 16
+
+
+def test_ahash_spark_path_matches_kernel(spark):
+    docs = spark.createDataFrame(
+        [(i, ("word%d " % (i % 7)) * (i + 1)) for i in range(40)],
+        "doc_id long, text string")
+    media = attach_binary_payload(docs, id_col="doc_id", text_col="text")
+    got = {r.doc_id: r.phash for r in ahash_bits(media).collect()}
+    want = {i: ahash_one((("word%d " % (i % 7)) * (i + 1)).encode())
+            for i in range(40)}
+    assert got == want
+
+
+def test_ahash_exact_dup_payloads_collide(spark):
+    """The dedup property the plan relies on: byte-identical payloads
+    always land in the same phash bucket."""
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other words here")],
+        "doc_id long, text string")
+    media = attach_binary_payload(docs, id_col="doc_id", text_col="text")
+    rows = ahash_bits(media).collect()
+    by_id = {r.doc_id: r.phash for r in rows}
+    assert by_id[1] == by_id[2]

@@ -70,6 +70,10 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     "text_classifier_score", "text_vocab_coverage", "profile_table_stats",
     "multimodal_dedup_phash", "diff_snapshots",
     "events_path_transitions", "agg_ols_by_group",
+    "grouped_winsorize", "sample_stratified_exact_k",
+    # agg_quantiles' pick index changed to the exact ceil(q*n)
+    # convention this round — re-prove externally:
+    "agg_quantiles",
     # (2) plans changed in round 4 — re-prove externally:
     "dedup_substring_spans", "ann_ivf_probe",
     # (3) r01-only cohort — green rows are two driver generations old:
@@ -78,7 +82,7 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     "distinct_rows", "join_inner_agg", "join_left_agg", "join_anti",
     "join_semi", "join_range_pred", "join_theta_pairs", "join_salted_skew",
     "agg_stats", "agg_distinct", "agg_approx_distinct", "agg_argminmax",
-    "agg_quantiles", "agg_cube", "agg_rollup", "agg_grouping_sets",
+    "agg_cube", "agg_rollup", "agg_grouping_sets",
     "agg_pandas_median", "grouped_minmax_scale", "window_rank",
     "window_rank_stats", "window_running_sum", "window_lag_lead",
     "window_range_frame", "window_value_funcs", "window_topk_per_group",

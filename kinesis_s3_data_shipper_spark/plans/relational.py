@@ -499,9 +499,14 @@ SELECT l_returnflag,
        quantile_disc(l_quantity, 0.75) AS q75,
        COUNT(*) AS n
 FROM lineitem GROUP BY l_returnflag
-""", doc="Discrete quantiles per group. Discrete (element-picking, index "
-         "floor(q*(n-1))) rather than interpolated, so values are exact "
-         "and engine-independent. Spark side: sort + row_number pick.")
+""", doc="Discrete quantiles per group. Discrete (element-picking) "
+         "rather than interpolated, so values are exact and engine-"
+         "independent; the pick index is DuckDB quantile_disc's exact "
+         "convention, 1-based rn = ceil(q*n) (probed empirically — "
+         "floor(q*(n-1))+1 agrees at the quartiles only when the "
+         "column is heavily tied, a latent mismatch grouped_winsorize "
+         "exposed on near-unique prices). Spark side: sort + "
+         "row_number pick.")
 def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
     w = W.partitionBy("l_returnflag").orderBy("l_quantity")
@@ -511,7 +516,7 @@ def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(W.partitionBy("l_returnflag")).alias("n"))
 
     def pick(q: float, alias: str):
-        idx = F.floor(F.lit(q) * (F.col("n") - 1)) + 1
+        idx = F.ceil(F.lit(q) * F.col("n"))
         return F.max(F.when(F.col("rn") == idx, F.col("l_quantity"))).alias(alias)
 
     return (ranked.groupBy("l_returnflag")
@@ -1838,3 +1843,66 @@ def agg_ols_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
          .alias("r2"))
+
+
+@register("grouped_winsorize", oracle="""
+WITH b AS (
+  SELECT l_returnflag,
+         quantile_disc(l_extendedprice, 0.05) AS lo,
+         quantile_disc(l_extendedprice, 0.95) AS hi
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN l.l_extendedprice < b.lo THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped_low,
+       CAST(SUM(CASE WHEN l.l_extendedprice > b.hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped_high,
+       ROUND(CAST(SUM(CAST(least(greatest(l.l_extendedprice, b.lo), b.hi)
+                           AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_winsorized
+FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+GROUP BY l.l_returnflag
+""", doc="Winsorization (robust-feature clipping): per-group discrete "
+         "p05/p95 bounds, values clipped into [lo, hi], and the "
+         "clipped-count / winsorized-mean report — the outlier "
+         "treatment a feature pipeline applies before normalizing "
+         "heavy-tailed signals. Discrete (element-picking) quantiles "
+         "keep bounds exact and engine-independent (agg_quantiles' "
+         "convention); the winsorized mean sums exact decimals so no "
+         "float accumulation order can differ. Scale shape: the "
+         "bounds are a tiny per-group table broadcast back onto the "
+         "fact scan; the clip is a scan-side expression; one "
+         "fact-table shuffle total (the final agg), with the "
+         "quantile window riding the same per-group sort "
+         "agg_quantiles already pays.")
+def grouped_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice")
+    w = W.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = li.select(
+        "l_returnflag", "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("l_returnflag")).alias("n"))
+
+    def pick(q: float, alias: str):
+        # DuckDB quantile_disc's exact index: 1-based rn = ceil(q*n).
+        idx = F.ceil(F.lit(q) * F.col("n"))
+        return (F.max(F.when(F.col("rn") == idx, F.col("l_extendedprice")))
+                .alias(alias))
+
+    bounds = (ranked.groupBy("l_returnflag")
+              .agg(pick(0.05, "lo"), pick(0.95, "hi")))
+    clipped = (li.join(F.broadcast(bounds), "l_returnflag")
+               .select("l_returnflag",
+                       F.col("l_extendedprice").alias("x"),
+                       "lo", "hi"))
+    return (clipped.groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.when(F.col("x") < F.col("lo"), 1).otherwise(0))
+                  .cast("long").alias("n_clipped_low"),
+                 F.sum(F.when(F.col("x") > F.col("hi"), 1).otherwise(0))
+                  .cast("long").alias("n_clipped_high"),
+                 F.round(
+                     F.sum(F.least(F.greatest("x", F.col("lo")), F.col("hi"))
+                           .cast("decimal(20,6)")).cast("double")
+                     / F.count("*"), 6).alias("mean_winsorized")))

@@ -198,3 +198,34 @@ def sample_balance_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("u") < F.col("keep_below"))
             .groupBy("lang")
             .agg(F.count("*").alias("n_kept")))
+
+
+@register("sample_stratified_exact_k", oracle="""
+SELECT source, doc_id, CAST(pick_rank AS BIGINT) AS pick_rank FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS pick_rank
+  FROM documents
+) WHERE pick_rank <= 20
+""", doc="Exact-k stratified sampling: EXACTLY 20 documents per "
+         "source stratum, chosen by ranking each stratum on "
+         "md5(doc_id) — a deterministic stand-in for a random draw "
+         "that every engine (and every re-run) reproduces, where "
+         "hash-GATED rates (sample_hash_stratified) give only "
+         "expected counts. This is the eval-set / per-source-quota "
+         "construction a training pipeline needs when the budget is "
+         "a hard row count. Scale shape: top-k per group via one "
+         "window over the stratum partitioning; at 100 TB the same "
+         "query first gates on a hash threshold a little above "
+         "k/|stratum| (scan-side filter, no shuffle) so the exact "
+         "window only ranks a small superset of survivors.")
+def sample_stratified_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    docs = load_table(spark, sf_dir, "documents")
+    w = (W.partitionBy("source")
+         .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
+    return (docs.select("source", "doc_id",
+                        F.row_number().over(w).cast("long")
+                         .alias("pick_rank"))
+            .filter(F.col("pick_rank") <= 20))

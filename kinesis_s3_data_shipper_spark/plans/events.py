@@ -385,3 +385,167 @@ def events_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from_type", "to_type", "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(wn), 6)
          .alias("p"))
+
+
+@register("events_session_attribution", oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, event_type, epoch_ns(ts) AS ts_ns,
+         CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+              OR lag(epoch_ns(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, event_type, ts_ns,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id,
+         event_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id,
+         first(event_type ORDER BY ts_ns, event_id) AS first_touch,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT first_touch, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6)
+         AS conversion_rate
+FROM per_session GROUP BY first_touch
+""", doc="First-touch session attribution: sessionize (30-min gap — "
+         "the same lag+cumsum dataflow as `sessionize`, keeping event "
+         "rows), take each session's FIRST event type as the "
+         "acquisition touch, flag sessions containing a purchase, "
+         "and report conversion rate by first touch — the standard "
+         "marketing-attribution rollup. Scale shape: every window "
+         "rides ONE user_id shuffle (gap flag, session cumsum, and "
+         "the per-session first/max reduce on (user, session) are "
+         "co-partitioned), and the final attribution agg is "
+         "|event_types| rows. ts truncated to micros for the oracle "
+         "(DuckDB parquet TIMESTAMP_NS limit), ties broken on "
+         "event_id everywhere.")
+def events_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (load_table(spark, sf_dir, "events")
+          .withColumn("ts_us", F.expr("(ts div 1000) * 1000")))
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    flagged = ev.select(
+        "user_id", "event_id", "event_type", "ts_us",
+        F.when(gap > 30 * 60 * 1_000_000_000, 1)
+         .when(gap.isNull(), 1).otherwise(0).alias("_is_new"))
+    w_run = (W.partitionBy("user_id").orderBy("ts_us", "event_id")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    sess = flagged.select(
+        "user_id", "event_id", "event_type", "ts_us",
+        F.sum("_is_new").over(w_run).alias("session_id"))
+    w_first = (W.partitionBy("user_id", "session_id")
+               .orderBy("ts_us", "event_id"))
+    per_session = (sess
+                   .withColumn("_ft", F.first("event_type").over(w_first))
+                   .groupBy("user_id", "session_id")
+                   .agg(F.min("_ft").alias("first_touch"),
+                        F.max(F.when(F.col("event_type") == "purchase", 1)
+                              .otherwise(0)).alias("converted")))
+    return (per_session.groupBy("first_touch")
+            .agg(F.count("*").alias("n_sessions"),
+                 F.sum("converted").cast("long").alias("n_converted"),
+                 F.round(F.sum("converted").cast("double") / F.count("*"),
+                         6).alias("conversion_rate")))
+
+
+#: Pattern-scan geometry: window length 8, query pattern = the up-ramp
+#: 1..8 (trend motif). Pattern moment sums are exact integers both
+#: engines embed as literals: sq = 36, sqq = 204.
+_SCAN_M = 8
+_SCAN_SQ = 36.0
+_SCAN_SQQ = 204.0
+
+
+@register("events_pattern_scan", oracle=f"""
+WITH s AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY user_id HAVING COUNT(*) >= {_SCAN_M}
+), pos AS (
+  SELECT user_id, vals,
+         unnest(range(0, len(vals) - {_SCAN_M} + 1)) AS p
+  FROM s
+), st AS (
+  SELECT user_id, CAST(p AS BIGINT) AS p,
+    list_reduce(list_transform(vals[p+1:p+{_SCAN_M}],
+      x -> CAST(x AS DOUBLE)), (a, v) -> a + v) AS sx,
+    list_reduce(list_transform(vals[p+1:p+{_SCAN_M}],
+      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v) AS sxx,
+    list_reduce(list_transform(list_zip(vals[p+1:p+{_SCAN_M}],
+      [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]),
+      z -> CAST(z[1] AS DOUBLE) * z[2]), (a, v) -> a + v) AS sxy
+  FROM pos
+), corr AS (
+  SELECT user_id, p,
+         ROUND(({_SCAN_M} * sxy - sx * {_SCAN_SQ!r})
+               / (sqrt({_SCAN_M} * sxx - sx * sx)
+                  * sqrt({_SCAN_M} * {_SCAN_SQQ!r}
+                         - {_SCAN_SQ!r} * {_SCAN_SQ!r})), 6) AS c
+  FROM st WHERE {_SCAN_M} * sxx - sx * sx > 0
+)
+SELECT user_id, p AS best_pos, c AS best_corr FROM (
+  SELECT user_id, p, c,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY c DESC, p) AS rn
+  FROM corr
+) WHERE rn = 1
+""", doc="Per-entity subsequence pattern scan — the UCR-suite / "
+         "matrix-profile family (cf. 'Time Series Similarity Search "
+         "for Streaming Data in Distributed Systems', EDBT 2019) "
+         "Spark-first: each user's event-value series is collected "
+         "into ONE row (ordered by ts, event_id), every length-8 "
+         "window is scored against a literal up-ramp motif by "
+         "z-normalized correlation (the closed moment-sum form — "
+         "the pattern's own moments are exact integer literals), and "
+         "the best-matching offset per user wins (rounded-corr "
+         "ordering, position tiebreak). Scale shape: ONE shuffle (the "
+         "per-user collect); the window explode and all folds are "
+         "array higher-order functions INSIDE the row — per-entity "
+         "series scan with no cross-row traffic, which is how "
+         "millions of short per-entity series scan on 1000 "
+         "executors. Zero-variance windows are excluded by the "
+         "identical exact predicate on both engines.")
+def events_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = _SCAN_M
+    s = (ev.groupBy("user_id")
+         .agg(F.expr("array_sort(collect_list(struct(ts, event_id, value)))")
+              .alias("evs"))
+         .filter(F.size("evs") >= m)
+         .select("user_id",
+                 F.expr("transform(evs, e -> e.value)").alias("vals")))
+    pos = s.select(
+        "user_id", "vals",
+        F.explode(F.expr(f"sequence(0, size(vals) - {m})")).alias("p"))
+    st = pos.select(
+        "user_id", F.col("p").cast("long").alias("p"),
+        F.expr(f"aggregate(slice(vals, p + 1, {m}), CAST(0 AS DOUBLE),"
+               f" (a, x) -> a + CAST(x AS DOUBLE))").alias("sx"),
+        F.expr(f"aggregate(slice(vals, p + 1, {m}), CAST(0 AS DOUBLE),"
+               f" (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+         .alias("sxx"),
+        F.expr(f"aggregate(zip_with(slice(vals, p + 1, {m}),"
+               f" array(1.0D, 2.0D, 3.0D, 4.0D, 5.0D, 6.0D, 7.0D, 8.0D),"
+               f" (x, q) -> CAST(x AS DOUBLE) * q), CAST(0 AS DOUBLE),"
+               f" (a, v) -> a + v)").alias("sxy"))
+    corr = (st.filter(F.lit(m) * F.col("sxx")
+                      - F.col("sx") * F.col("sx") > 0)
+            .select("user_id", "p",
+                    F.round((F.lit(float(m)) * F.col("sxy")
+                             - F.col("sx") * F.lit(_SCAN_SQ))
+                            / (F.sqrt(F.lit(float(m)) * F.col("sxx")
+                                      - F.col("sx") * F.col("sx"))
+                               * F.sqrt(F.lit(float(m) * _SCAN_SQQ
+                                              - _SCAN_SQ * _SCAN_SQ))),
+                            6).alias("c")))
+    w = W.partitionBy("user_id").orderBy(F.desc("c"), "p")
+    return (corr.select("user_id", "p", "c",
+                        F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("p").alias("best_pos"),
+                    F.col("c").alias("best_corr")))

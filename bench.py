@@ -62,6 +62,9 @@ HEADLINE = [
     "dedup_bloom_membership",
     "text_unigram_lm_score",
     "text_classifier_score",
+    "multimodal_dedup_phash",
+    "diff_snapshots",
+    "events_pattern_scan",
     "agg_sketch_merge_hll",
     "agg_sketch_merge_kll",
     "agg_sketch_theta_setops",

@@ -651,3 +651,52 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("rank", "word", "freq",
                     F.round(F.col("cum_freq").cast("double")
                             / F.col("n_total"), 6).alias("cum_coverage")))
+
+
+#: Heavy-hitter budget: k counters per partition; final answer = tokens
+#: with global frequency STRICTLY above n_total/k (the MG guarantee's
+#: threshold — strict, so the pigeonhole argument over partitions
+#: holds: sum(freq_p) > sum(n_p)/k forces freq_p > n_p/k somewhere).
+_HH_K = 200
+
+
+@register("text_heavy_hitters", oracle=f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+), total AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM tok
+)
+SELECT word, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(t.n_total), 6) AS share
+FROM tok CROSS JOIN total t
+GROUP BY word
+HAVING COUNT(*) * {_HH_K} > MAX(t.n_total)
+""", doc="Heavy hitters with a PROVABLY EXACT answer from an "
+         "approximate first pass (Misra-Gries, k=200): phase 1 "
+         "streams each partition's tokens through k bounded-memory "
+         "MG counters (mapInPandas — at most k candidates per "
+         "partition, whatever the vocabulary) and phase 2 exactly "
+         "counts ONLY the candidate union (broadcast semi-join gate "
+         "on the re-scan, then a tiny groupBy), keeping every token "
+         "whose global count*k strictly exceeds the corpus token "
+         "total. The MG + pigeonhole guarantee makes the candidate "
+         "union a superset of all true heavy hitters, so the final "
+         "output is exact — which is why a DuckDB oracle can check "
+         "an op whose first phase is a sketch. This is the 100 TB "
+         "frequent-items shape: the full-vocabulary word-count "
+         "shuffle is replaced by two scans whose shuffled volume is "
+         "O(k x partitions) + O(candidate occurrences).")
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import misra_gries_candidates
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    cands = (misra_gries_candidates(tokens, token_col="word", k=_HH_K)
+             .distinct())
+    total = tokens.agg(F.count("*").cast("long").alias("n_total"))
+    return (tokens.join(F.broadcast(cands), "word")
+            .groupBy("word").agg(F.count("*").alias("n"))
+            .crossJoin(F.broadcast(total))
+            .filter(F.col("n") * _HH_K > F.col("n_total"))
+            .select("word", "n",
+                    F.round(F.col("n").cast("double") / F.col("n_total"), 6)
+                     .alias("share")))

@@ -70,3 +70,35 @@ def test_ahash_exact_dup_payloads_collide(spark):
     rows = ahash_bits(media).collect()
     by_id = {r.doc_id: r.phash for r in rows}
     assert by_id[1] == by_id[2]
+
+
+def test_misra_gries_guarantee_under_spreading(spark):
+    """The MG + pigeonhole guarantee: a global heavy hitter whose
+    occurrences are SPREAD across partitions (never locally dominant)
+    must still survive the candidate union, with a long-tail
+    vocabulary far exceeding the k counters."""
+    import pyspark.sql.functions as F
+
+    from kinesis_s3_data_shipper_spark.operators.text import (
+        misra_gries_candidates)
+
+    k = 10
+    # 600 'hot' tokens + 3000 distinct tail tokens, shuffled across 16
+    # partitions by a hash so no partition sees a hot burst.
+    rows = [("hot",)] * 600 + [(f"tail{i}",) for i in range(3000)]
+    tokens = (spark.createDataFrame(rows, "word string")
+              .repartition(16, F.md5("word")))
+    n_total = 3600
+    cands = set(r.word for r in
+                misra_gries_candidates(tokens, token_col="word", k=k)
+                .distinct().collect())
+    # exact heavy hitters: count*k > n_total  ->  600*10 > 3600.
+    assert "hot" in cands
+    exact = (tokens.groupBy("word").count()
+             .filter(F.col("count") * k > n_total))
+    got = (tokens.join(F.broadcast(
+        misra_gries_candidates(tokens, token_col="word", k=k).distinct()),
+        "word").groupBy("word").count()
+        .filter(F.col("count") * k > n_total))
+    assert sorted(r.word for r in got.collect()) == \
+        sorted(r.word for r in exact.collect())

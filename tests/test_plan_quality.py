@@ -403,3 +403,33 @@ def test_ivfpq_probe_is_equi_join_and_arrow_only(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_attribution_reuses_user_partitioning(spark):
+    """Gap flag, session cumsum, first-touch window, and the
+    per-session reduce must all ride ONE user_id exchange; the only
+    other exchange is the |event_types|-row attribution agg."""
+    plan = plan_of(spark, "events_session_attribution")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_pattern_scan_single_shuffle(spark):
+    """The per-entity series scan costs ONE shuffle (the per-user
+    collect); window explode and moment folds are array HOFs inside
+    the row, and the best-match window reuses the agg partitioning."""
+    plan = plan_of(spark, "events_pattern_scan")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_heavy_hitters_never_shuffles_full_vocab(spark):
+    """The exact-verify groupBy must sit ABOVE the broadcast candidate
+    gate: tokens join candidates via BroadcastHashJoin, so the only
+    word exchanges carry candidate occurrences and the tiny candidate
+    distinct — never the full vocabulary."""
+    plan = plan_of(spark, "text_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "CartesianProduct" not in plan

@@ -72,7 +72,7 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     "events_path_transitions", "agg_ols_by_group",
     "grouped_winsorize", "sample_stratified_exact_k",
     "events_session_attribution", "events_pattern_scan",
-    "text_heavy_hitters",
+    "text_heavy_hitters", "mine_hard_negatives", "source_mixture_weights",
     # agg_quantiles' pick index changed to the exact ceil(q*n)
     # convention this round — re-prove externally:
     "agg_quantiles",

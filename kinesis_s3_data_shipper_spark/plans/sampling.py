@@ -229,3 +229,45 @@ def sample_stratified_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.row_number().over(w).cast("long")
                          .alias("pick_rank"))
             .filter(F.col("pick_rank") <= 20))
+
+
+@register("source_mixture_weights", oracle="""
+WITH s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS n_chars
+  FROM documents GROUP BY source
+), p AS (
+  SELECT source, n_docs, n_chars,
+         sqrt(CAST(n_chars AS DOUBLE)) AS w_raw
+  FROM s
+)
+SELECT source, n_docs, n_chars,
+       ROUND(w_raw / SUM(w_raw) OVER (), 6) AS mixture_weight,
+       ROUND((w_raw / SUM(w_raw) OVER ())
+             / (CAST(n_chars AS DOUBLE)
+                / SUM(CAST(n_chars AS DOUBLE)) OVER ()), 6)
+         AS upsample_factor
+FROM p
+""", doc="Temperature-sampled source mixture (the multilingual/"
+         "multi-source pretraining recipe, alpha = 0.5): per-source "
+         "size rollup, weight proportional to size^alpha, normalized "
+         "into mixture probabilities, plus each source's upsample "
+         "factor vs natural (proportional) sampling — the numbers a "
+         "data-loading config actually consumes. sqrt == pow 0.5 "
+         "exactly on both engines; the normalization windows run "
+         "over the |sources|-row aggregate, so the whole query "
+         "costs one map-side-combined rollup of the corpus.")
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    docs = load_table(spark, sf_dir, "documents")
+    s = (docs.groupBy("source")
+         .agg(F.count("*").alias("n_docs"),
+              F.sum(F.col("n_chars").cast("long")).alias("n_chars")))
+    p = s.withColumn("w_raw", F.sqrt(F.col("n_chars").cast("double")))
+    tot = W.partitionBy()
+    nat = F.col("n_chars").cast("double") / F.sum(
+        F.col("n_chars").cast("double")).over(tot)
+    mix = F.col("w_raw") / F.sum("w_raw").over(tot)
+    return p.select("source", "n_docs", "n_chars",
+                    F.round(mix, 6).alias("mixture_weight"),
+                    F.round(mix / nat, 6).alias("upsample_factor"))

@@ -788,3 +788,64 @@ def kmeans_lloyd_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("*").alias("n_members"))
             .select("cluster", F.col("dim").cast("long").alias("dim"),
                     "c_val", "n_members"))
+
+
+def _hard_negatives_oracle() -> str:
+    bucket = sql_lsh_bucket("embedding", hyperplanes(8, 64))
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, label, {bucket} AS bucket FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS qlabel, bucket
+  FROM b WHERE {_QUERY_PRED}
+), scored AS (
+  SELECT q.query_id, b.vec_id AS negative_id, b.label AS neg_label,
+         ROUND({sql_cosine('q.qv', 'b.embedding')}, 6) AS cos
+  FROM b JOIN q ON b.bucket = q.bucket
+  WHERE b.vec_id <> q.query_id AND b.label <> q.qlabel
+)
+SELECT query_id, negative_id, neg_label, cos, rank FROM (
+  SELECT query_id, negative_id, neg_label, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, negative_id) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+@register("mine_hard_negatives", oracle=_hard_negatives_oracle(),
+          doc="Hard-negative mining for contrastive training: for each "
+              "query vector, the highest-cosine neighbors whose LABEL "
+              "DIFFERS — the near-misses that make the best negatives "
+              "for embedding-model training (easy random negatives "
+              "teach nothing). Rides the sign-LSH bucket path: the "
+              "label-mismatch filter composes into the bucket "
+              "equi-join's ON clause, so per-query work stays "
+              "n/2^bits and the label test costs nothing extra — at "
+              "100 TB this is the ann_lsh_probe plan with one more "
+              "predicate, not a new dataflow. Same deterministic "
+              "cosine + rounded-score/id-tiebreak top-k.")
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import dot, norm
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = hyperplanes(8, 64)
+    b = emb.select("vec_id", "embedding", "label",
+                   norm("embedding", _DIM).alias("_n"),
+                   lsh_bucket("embedding", planes).alias("bucket"))
+    q = (b.filter(F.expr(_QUERY_PRED))
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qv"),
+                 F.col("label").alias("qlabel"),
+                 F.col("_n").alias("_qn"), "bucket"))
+    scored = (b.join(F.broadcast(q), "bucket")
+              .filter((F.col("vec_id") != F.col("query_id"))
+                      & (F.col("label") != F.col("qlabel")))
+              .select("query_id", F.col("vec_id").alias("negative_id"),
+                      F.col("label").alias("neg_label"),
+                      F.round(dot("qv", "embedding", _DIM)
+                              / (F.col("_qn") * F.col("_n")), 6)
+                       .alias("cos")))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), "negative_id")
+    return (scored.select("query_id", "negative_id", "neg_label", "cos",
+                          F.row_number().over(w).cast("long").alias("rank"))
+            .filter(F.col("rank") <= 3))

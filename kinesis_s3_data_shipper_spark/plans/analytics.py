@@ -454,3 +454,89 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (one.select(F.explode(F.array(*structs)).alias("s"))
             .select("s.col_name", "s.n_rows", "s.n_nulls",
                     "s.n_distinct", "s.min_val", "s.max_val"))
+
+
+@register("graph_triangle_count", oracle="""
+WITH li AS (
+  SELECT DISTINCT l.l_orderkey AS okey, l.l_partkey AS part
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderpriority = '1-URGENT'
+), e AS (
+  SELECT DISTINCT a.part AS s, b.part AS d
+  FROM li a JOIN li b ON a.okey = b.okey AND a.part < b.part
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+    SELECT s AS node FROM e UNION ALL SELECT d AS node FROM e
+  ) GROUP BY node
+), o AS (
+  SELECT CASE WHEN (ds.dg, e.s) < (dd.dg, e.d) THEN e.s ELSE e.d END AS u,
+         CASE WHEN (ds.dg, e.s) < (dd.dg, e.d) THEN e.d ELSE e.s END AS v
+  FROM e
+  JOIN deg ds ON e.s = ds.node
+  JOIN deg dd ON e.d = dd.node
+), w AS (
+  SELECT o1.v AS a, o2.v AS b
+  FROM o o1 JOIN o o2 ON o1.u = o2.u
+  WHERE (SELECT dg FROM deg WHERE node = o1.v) < (SELECT dg FROM deg WHERE node = o2.v)
+     OR ((SELECT dg FROM deg WHERE node = o1.v) = (SELECT dg FROM deg WHERE node = o2.v)
+         AND o1.v < o2.v)
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM w) AS n_wedges,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM w JOIN o ON w.a = o.u AND w.b = o.v) AS n_triangles
+""", doc="Degree-oriented triangle counting (the canonical scalable "
+         "graph-analytics dataflow — Cohen's MapReduce algorithm / "
+         "Suri-Vassilvitskii) over the co-purchase graph: parts are "
+         "adjacent when they appear in the same URGENT order. Every "
+         "edge is ORIENTED from its (degree, id)-smaller endpoint, "
+         "which (a) counts each triangle exactly once and (b) bounds "
+         "every node's out-degree by O(sqrt(E)) — the trick that "
+         "tames power-law hubs, turning the wedge join from "
+         "sum(deg^2) on raw degrees (quadratic in the hub) into "
+         "O(E^1.5) worst-case total. Dataflow: distinct edges, "
+         "degree agg, two broadcast-degree annotations, wedge "
+         "self-join on the oriented source, closing-edge semi-join. "
+         "All-integer arithmetic; the oracle replays the identical "
+         "orientation rule.")
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    basket = (li.join(orders.filter(F.col("o_orderpriority") == "1-URGENT")
+                      .select("o_orderkey"),
+                      li.l_orderkey == F.col("o_orderkey"))
+              .select(F.col("l_orderkey").alias("okey"),
+                      F.col("l_partkey").alias("part"))
+              .distinct())
+    b2 = basket.select(F.col("okey").alias("okey2"),
+                       F.col("part").alias("part2"))
+    e = (basket.join(b2, (F.col("okey") == F.col("okey2"))
+                     & (F.col("part") < F.col("part2")))
+         .select(F.col("part").alias("s"), F.col("part2").alias("d"))
+         .distinct())
+    deg = (e.select(F.col("s").alias("node"))
+           .unionAll(e.select(F.col("d").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("dg")))
+    ds = deg.select(F.col("node").alias("s"), F.col("dg").alias("sdg"))
+    dd = deg.select(F.col("node").alias("d"), F.col("dg").alias("ddg"))
+    ann = (e.join(F.broadcast(ds), "s").join(F.broadcast(dd), "d"))
+    lt = (F.col("sdg") < F.col("ddg")) | \
+         ((F.col("sdg") == F.col("ddg")) & (F.col("s") < F.col("d")))
+    o = ann.select(
+        F.when(lt, F.col("s")).otherwise(F.col("d")).alias("u"),
+        F.when(lt, F.col("d")).otherwise(F.col("s")).alias("v"),
+        F.when(lt, F.col("ddg")).otherwise(F.col("sdg")).alias("vdg"))
+    o2 = o.select(F.col("u").alias("u2"), F.col("v").alias("v2"),
+                  F.col("vdg").alias("vdg2"))
+    wlt = (F.col("vdg") < F.col("vdg2")) | \
+          ((F.col("vdg") == F.col("vdg2")) & (F.col("v") < F.col("v2")))
+    w = (o.join(o2, F.col("u") == F.col("u2")).filter(wlt)
+         .select(F.col("v").alias("a"), F.col("v2").alias("b")))
+    closing = o.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    tri = w.join(closing, ["a", "b"], "left_semi")
+    return (deg.agg(F.count("*").cast("long").alias("n_nodes"))
+            .crossJoin(e.agg(F.count("*").cast("long").alias("n_edges")))
+            .crossJoin(w.agg(F.count("*").cast("long").alias("n_wedges")))
+            .crossJoin(tri.agg(F.count("*").cast("long")
+                               .alias("n_triangles"))))

@@ -549,3 +549,64 @@ def events_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("user_id", F.col("p").alias("best_pos"),
                     F.col("c").alias("best_corr")))
+
+
+#: CUSUM slack (k) as a fraction of the per-user mean: detects upward
+#: level shifts larger than 50% of the baseline mean.
+_CUSUM_SLACK = 0.5
+
+
+@register("events_cusum", oracle=f"""
+WITH s AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vals,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sv
+  FROM events GROUP BY user_id HAVING COUNT(*) >= 4
+), c AS (
+  SELECT user_id, n,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(vals, x -> CAST(x AS DOUBLE)
+                                       - (sv / n) * {1.0 + _CUSUM_SLACK!r})),
+           (acc, v) -> greatest(CAST(0.0 AS DOUBLE), acc + v)) AS s_last,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(vals, x -> CAST(x AS DOUBLE)
+                                       - (sv / n) * {1.0 + _CUSUM_SLACK!r})),
+           (acc, v) -> greatest(CAST(0.0 AS DOUBLE), acc + v)) AS _dup
+  FROM s
+)
+SELECT user_id, n AS n_events, ROUND(s_last, 6) AS cusum_final
+FROM c
+""", doc="CUSUM drift detection per entity: the one-sided cumulative-"
+         "sum recursion S_i = max(0, S_(i-1) + (x_i - mu*(1+k))) over "
+         "each user's event-value series — the classic sequential "
+         "change detector, and a recursion NO window frame can "
+         "express (the clamp makes it non-linear; contrast "
+         "recursive_ewma_monthly's linear recursion, which needed "
+         "WITH RECURSIVE). Expressed instead as a sequential HOF "
+         "fold INSIDE the row after a per-user collect — the same "
+         "one-shuffle per-entity-series shape as events_pattern_scan "
+         "— with the baseline mean from an exact decimal sum and "
+         "identical left-fold order on both engines. Reported: the "
+         "final CUSUM statistic (>0 = the series ends above its "
+         "drift budget).")
+def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mult = 1.0 + _CUSUM_SLACK
+    s = (ev.groupBy("user_id")
+         .agg(F.expr("array_sort(collect_list(struct(ts, event_id, value)))")
+              .alias("evs"),
+              F.count("*").cast("long").alias("n"),
+              F.sum(F.col("value").cast("decimal(20,6)")).cast("double")
+               .alias("sv"))
+         .filter(F.col("n") >= 4)
+         .select("user_id", "n", "sv",
+                 F.expr("transform(evs, e -> e.value)").alias("vals")))
+    fold = F.expr(
+        f"aggregate(transform(vals, x -> CAST(x AS DOUBLE)"
+        f" - (sv / n) * CAST({mult!r} AS DOUBLE)),"
+        f" CAST(0.0 AS DOUBLE),"
+        f" (acc, v) -> greatest(CAST(0.0 AS DOUBLE), acc + v))")
+    return s.select("user_id", F.col("n").alias("n_events"),
+                    F.round(fold, 6).alias("cusum_final"))

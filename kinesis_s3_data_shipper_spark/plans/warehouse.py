@@ -172,3 +172,51 @@ def diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
                           status.alias("diff_status"),
                           "old_price", "new_price")
             .filter(F.col("diff_status") != "unchanged"))
+
+
+#: Range-split geometry: 16 partitions -> 15 interior split points at
+#: q = i/16, picked with the exact discrete-quantile convention
+#: (1-based rn = ceil(q*n) — the probed DuckDB quantile_disc index).
+_SPLIT_PARTS = 16
+
+
+@register("compute_range_splits", oracle=f"""
+WITH r AS (
+  SELECT l_orderkey,
+         row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER () AS n
+  FROM lineitem
+), q AS (SELECT unnest(range(1, {_SPLIT_PARTS})) AS i)
+SELECT CAST(q.i AS BIGINT) AS split_idx,
+       MAX(CASE WHEN r.rn = CAST(ceil(CAST(q.i AS DOUBLE) * r.n
+                                      / {_SPLIT_PARTS}) AS BIGINT)
+                THEN r.l_orderkey END) AS split_key
+FROM r CROSS JOIN q
+GROUP BY q.i
+""", doc="Range-partitioner boundary computation: the 15 interior "
+         "split keys that divide lineitem's (l_orderkey) order into "
+         "16 equal-row ranges — what Spark's RangePartitioner "
+         "samples for on every global sort / range-clustered write, "
+         "and what the compaction operator's range clustering "
+         "consumes, computed EXACTLY with the same ceil(q*n) "
+         "discrete-quantile pick agg_quantiles pins. At 100 TB the "
+         "exact rank pass is replaced by reservoir samples per "
+         "partition (Spark's own sketch) — the split-table shape "
+         "and its consumers are identical. The tiebreak column "
+         "(l_linenumber) makes the global rank a total order, so "
+         "both engines pick the same element even among duplicate "
+         "keys.")
+def compute_range_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    r = li.select(
+        "l_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"))
+    q = spark.range(1, _SPLIT_PARTS).select(F.col("id").alias("i"))
+    hit = (F.col("rn") == F.ceil(F.col("i").cast("double") * F.col("n")
+                                 / _SPLIT_PARTS).cast("long"))
+    return (r.crossJoin(F.broadcast(q))
+            .groupBy(F.col("i").cast("long").alias("split_idx"))
+            .agg(F.max(F.when(hit, F.col("l_orderkey")))
+                 .alias("split_key")))

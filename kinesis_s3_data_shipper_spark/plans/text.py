@@ -700,3 +700,87 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("word", "n",
                     F.round(F.col("n").cast("double") / F.col("n_total"), 6)
                      .alias("share")))
+
+
+#: DSIR target domain and the log-likelihood-ratio quantization scale.
+#: Scaling ln(pt/pc) to an integer (1e6) makes the per-document sum
+#: EXACT integer arithmetic — order-free across partitions and engines
+#: — while keeping 6 decimal digits of the ratio, far below any
+#: decision threshold a resampler would use.
+_DSIR_TARGET = "src0"
+_DSIR_SCALE = 1_000_000
+
+
+@register("text_dsir_importance", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), tf AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, word
+), vocab AS (
+  SELECT word,
+         CAST(SUM(tf) AS BIGINT) AS cc,
+         CAST(SUM(CASE WHEN d.source = '{_DSIR_TARGET}' THEN tf
+                       ELSE 0 END) AS BIGINT) AS ct
+  FROM tf JOIN documents d USING (doc_id)
+  GROUP BY word
+), tot AS (
+  SELECT CAST(SUM(cc) AS BIGINT) AS nc, CAST(SUM(ct) AS BIGINT) AS nt,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM vocab
+), llr AS (
+  SELECT word,
+         CAST(ROUND(ln((CAST(ct + 1 AS DOUBLE) / (nt + v))
+                       / (CAST(cc + 1 AS DOUBLE) / (nc + v)))
+                    * {_DSIR_SCALE}) AS BIGINT) AS llr_scaled
+  FROM vocab CROSS JOIN tot
+)
+SELECT f.doc_id, d.source,
+       CAST(SUM(f.tf * l.llr_scaled) AS BIGINT) AS llr_sum_scaled,
+       ROUND(CAST(SUM(f.tf * l.llr_scaled) AS DOUBLE)
+             / {_DSIR_SCALE}, 6) AS log_importance
+FROM tf f JOIN llr l USING (word) JOIN documents d USING (doc_id)
+GROUP BY f.doc_id, d.source
+""", doc="DSIR importance weighting (Xie et al. 2023, "
+         "arXiv:2302.03169): per-document log importance = sum over "
+         "tokens of ln(p_target(w) / p_corpus(w)) under "
+         "Laplace-smoothed unigram LMs, where the target "
+         "distribution is the '{target}' source domain — the "
+         "published recipe for resampling a raw corpus toward a "
+         "high-quality domain. Determinism: each word's "
+         "log-likelihood ratio is computed ONCE on the tiny vocab "
+         "table and quantized to an integer (x1e6), so the "
+         "per-document reduction is an exact integer dot product "
+         "(tf x llr) — order-free across partitions and engines; "
+         "no floating-point accumulation ever touches data-sized "
+         "rows. Scale shape: token tf agg, a vocab-sized stats "
+         "table broadcast back, one doc-keyed sum — the same "
+         "broadcast-dictionary pattern as text_unigram_lm_score."
+         .format(target=_DSIR_TARGET))
+def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "source",
+                      F.explode(F.split("text", " ")).alias("word"))
+    tf = (tok.groupBy("doc_id", "source", "word")
+          .agg(F.count("*").alias("tf")))
+    vocab = (tf.groupBy("word")
+             .agg(F.sum("tf").alias("cc"),
+                  F.sum(F.when(F.col("source") == _DSIR_TARGET,
+                               F.col("tf")).otherwise(0)).alias("ct")))
+    tot = vocab.agg(F.sum("cc").alias("nc"), F.sum("ct").alias("nt"),
+                    F.count("*").alias("v"))
+    llr = (vocab.crossJoin(F.broadcast(tot))
+           .select("word",
+                   F.round(F.log(
+                       ((F.col("ct") + 1).cast("double")
+                        / (F.col("nt") + F.col("v")))
+                       / ((F.col("cc") + 1).cast("double")
+                          / (F.col("nc") + F.col("v"))))
+                       * _DSIR_SCALE).cast("long").alias("llr_scaled")))
+    return (tf.join(F.broadcast(llr), "word")
+            .groupBy("doc_id", "source")
+            .agg(F.sum(F.col("tf") * F.col("llr_scaled")).cast("long")
+                 .alias("llr_sum_scaled"))
+            .select("doc_id", "source", "llr_sum_scaled",
+                    F.round(F.col("llr_sum_scaled").cast("double")
+                            / _DSIR_SCALE, 6).alias("log_importance")))

@@ -53,3 +53,40 @@ def compact_parquet_dir(spark: SparkSession, src_dir: str, dest_dir: str, *,
         out = df.repartition(n_files)
     out.write.mode("overwrite").parquet(dest_dir)
     return n_files
+
+
+def vacuum_versions(table_dir: str, *, keep: int = 2) -> dict[int, list[int]]:
+    """Delete superseded version dirs of a bucketed versioned table
+    (the ``b=<k>/v=<n>`` layout ``streaming/jobs.py``'s incremental
+    MERGE maintains), keeping the newest ``keep`` versions per bucket.
+
+    This is the VACUUM half of the versioned-table contract: MERGE
+    epochs only ever ADD ``v=<batch_id>`` dirs (immutable, so readers
+    of superseded versions are undisturbed), and storage is reclaimed
+    here, out of band. ``keep`` must be >= 2 by default because a
+    retried epoch rebuilds from the newest version STRICTLY BELOW its
+    own batch id — vacuuming down to 1 version is only safe once the
+    stream's checkpoint has committed past the newest epoch (the same
+    retention-vs-recovery coupling Delta's VACUUM has with time
+    travel). Returns {bucket: [versions removed]}.
+    """
+    import shutil
+
+    if keep < 1:
+        raise ValueError(f"keep must be >= 1, got {keep}")
+    removed: dict[int, list[int]] = {}
+    if not os.path.isdir(table_dir):
+        return removed
+    for bdir in sorted(os.listdir(table_dir)):
+        if not bdir.startswith("b="):
+            continue
+        bpath = os.path.join(table_dir, bdir)
+        versions = sorted(
+            (int(d.split("=", 1)[1]) for d in os.listdir(bpath)
+             if d.startswith("v=")), reverse=True)
+        stale = versions[keep:]
+        for v in stale:
+            shutil.rmtree(os.path.join(bpath, f"v={v}"))
+        if stale:
+            removed[int(bdir.split("=", 1)[1])] = stale
+    return removed

@@ -645,8 +645,9 @@ def streaming_incremental_merge(spark: SparkSession, events_dir: str, *,
     reference's lost-batch window needed (K:259-263) comes from
     per-epoch idempotent versions; the 100 TB cost model comes from
     bucketing (see merge_delta_into_bucketed_table). Version
-    housekeeping (vacuuming superseded dirs) is ordinary lake
-    maintenance — the compaction operator's territory.
+    housekeeping is `operators.maintenance.vacuum_versions` — keeps
+    the newest `keep` versions per bucket (>= 2 so a retried epoch's
+    strictly-older rebuild base survives), reclaims the rest.
 
     Returns the final table state (latest version of every bucket).
     """

@@ -176,3 +176,44 @@ def test_incremental_merge_retry_is_idempotent(spark, tmp_path):
     again = {r.user_id: (r.n, r.sum_micros)
              for r in read_bucketed_table(spark, table_dir).collect()}
     assert again == once
+
+
+def test_vacuum_versions_keeps_state_and_retry_base(spark, tmp_path):
+    """VACUUM reclaims superseded version dirs without changing the
+    table state, keeps the newest `keep` versions per bucket (the
+    retry base), and refuses keep < 1."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kinesis_s3_data_shipper_spark.operators.maintenance import (
+        vacuum_versions)
+    from kinesis_s3_data_shipper_spark.streaming.jobs import (
+        merge_delta_into_bucketed_table, read_bucketed_table)
+
+    table_dir = str(tmp_path / "table")
+    for epoch in range(4):
+        delta = (spark.range(0, 50)
+                 .select(F.col("id").alias("user_id"),
+                         F.lit(1).cast("long").alias("d_n"),
+                         (F.col("id") + epoch).cast("long").alias("d_sum")))
+        merge_delta_into_bucketed_table(spark, delta, epoch, table_dir)
+
+    before = {r.user_id: (r.n, r.sum_micros)
+              for r in read_bucketed_table(spark, table_dir).collect()}
+    removed = vacuum_versions(table_dir, keep=2)
+    assert removed, "four epochs over the same users must leave stale dirs"
+
+    after = {r.user_id: (r.n, r.sum_micros)
+             for r in read_bucketed_table(spark, table_dir).collect()}
+    assert after == before
+    for bdir in os.listdir(table_dir):
+        if bdir.startswith("b="):
+            vs = [d for d in os.listdir(os.path.join(table_dir, bdir))
+                  if d.startswith("v=")]
+            assert len(vs) <= 2
+    # Idempotent: a second vacuum finds nothing.
+    assert vacuum_versions(table_dir, keep=2) == {}
+    with pytest.raises(ValueError):
+        vacuum_versions(table_dir, keep=0)

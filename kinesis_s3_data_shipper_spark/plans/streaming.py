@@ -307,3 +307,39 @@ def streaming_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_incremental_merge(
         spark, landing, table_dir=os.path.join(work, "table"),
         checkpoint=checkpoint, query_name=name, max_files_per_trigger=1)
+
+
+@register("streaming_topk", oracle=f"""
+WITH agg AS (
+  SELECT (epoch_ns(ts) // {NS_PER_HOUR}) * 3600000 AS hour_ms,
+         event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT hour_ms, event_type, n, rank FROM (
+  SELECT hour_ms, event_type, n,
+         row_number() OVER (PARTITION BY hour_ms
+                            ORDER BY n DESC, event_type) AS rank
+  FROM agg
+) WHERE rank <= 3
+""", doc="Streaming top-k: the per-hour top-3 event types over the "
+         "CONTINUOUSLY MAINTAINED tumbling aggregate — the pattern a "
+         "real-time leaderboard uses. Structured Streaming cannot "
+         "rank inside the stateful agg (no window-over-aggregate in "
+         "a streaming plan), so the rank runs on the drained state "
+         "(the serving-layer read over the memory/Delta sink the "
+         "stream maintains): stream keeps the (hour, type) counts "
+         "incremental and small, the rank touches only "
+         "|hours|x|types| aggregate rows, never events. Oracle: the "
+         "identical rank over the batch hourly aggregate — "
+         "streaming/batch parity through BOTH layers.")
+def streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    landing, checkpoint = _stage_landing(sf_dir)
+    name = f"topk_{uuid.uuid4().hex[:8]}"
+    agg = streaming_hourly_counts(spark, landing, checkpoint=checkpoint,
+                                  query_name=name)
+    w = W.partitionBy("hour_ms").orderBy(F.desc("n"), "event_type")
+    return (agg.select("hour_ms", "event_type", "n",
+                       F.row_number().over(w).cast("long").alias("rank"))
+            .filter(F.col("rank") <= 3))

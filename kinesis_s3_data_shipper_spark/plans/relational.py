@@ -1906,3 +1906,51 @@ def grouped_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.sum(F.least(F.greatest("x", F.col("lo")), F.col("hi"))
                            .cast("decimal(20,6)")).cast("double")
                      / F.count("*"), 6).alias("mean_winsorized")))
+
+
+@register("customer_rfm_segments", oracle="""
+WITH m AS (
+  SELECT o_custkey,
+         CAST(epoch_ms(MAX(o_orderdate)) AS BIGINT) AS last_order_ms,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE)
+           AS monetary
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, last_order_ms, frequency,
+       ROUND(monetary, 2) AS monetary,
+       CAST(ntile(5) OVER (ORDER BY last_order_ms DESC, o_custkey)
+            AS BIGINT) AS r_score,
+       CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey)
+            AS BIGINT) AS f_score,
+       CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey)
+            AS BIGINT) AS m_score
+FROM m
+""", doc="RFM customer segmentation — recency / frequency / monetary "
+         "quintile scores (ntile(5) with unique-key tiebreaks, so "
+         "bucket boundaries are deterministic on both engines): the "
+         "classic lifecycle-marketing rollup. Scale shape: the fact "
+         "scan reduces to one row per customer FIRST (map-side "
+         "combined; monetary as exact decimal), and the three ntile "
+         "windows run over that aggregate — |customers| rows, not "
+         "orders. The global windows are the honest cost at "
+         "billion-customer scale; the swap is scoring against "
+         "precomputed range splits (compute_range_splits' table) "
+         "broadcast back — same scores, no global sort.")
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = (orders.groupBy("o_custkey")
+         .agg(F.unix_millis(F.max("o_orderdate").cast("timestamp"))
+              .alias("last_order_ms"),
+              F.count("*").alias("frequency"),
+              F.sum(F.col("o_totalprice").cast("decimal(20,6)"))
+               .cast("double").alias("monetary")))
+    wr = W.orderBy(F.desc("last_order_ms"), "o_custkey")
+    wf = W.orderBy(F.desc("frequency"), "o_custkey")
+    wm = W.orderBy(F.desc("monetary"), "o_custkey")
+    return m.select(
+        "o_custkey", "last_order_ms", "frequency",
+        F.round("monetary", 2).alias("monetary"),
+        F.ntile(5).over(wr).cast("long").alias("r_score"),
+        F.ntile(5).over(wf).cast("long").alias("f_score"),
+        F.ntile(5).over(wm).cast("long").alias("m_score"))

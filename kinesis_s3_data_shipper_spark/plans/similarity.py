@@ -849,3 +849,98 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.select("query_id", "negative_id", "neg_label", "cos",
                           F.row_number().over(w).cast("long").alias("rank"))
             .filter(F.col("rank") <= 3))
+
+
+def _ann_recall_oracle() -> str:
+    bucket = sql_lsh_bucket("embedding", hyperplanes(8, 64))
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv, bucket FROM b
+  WHERE {_QUERY_PRED}
+), exact3 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY ROUND({sql_cosine('q.qv', 'e.embedding')}, 6) DESC,
+                        e.vec_id) AS rank
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id
+  ) WHERE rank <= 3
+), lsh3 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY ROUND({sql_cosine('q.qv', 'b.embedding')}, 6) DESC,
+                        b.vec_id) AS rank
+    FROM b JOIN q ON b.bucket = q.bucket
+    WHERE b.vec_id <> q.query_id
+  ) WHERE rank <= 3
+)
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hit,
+       ROUND(CAST(COUNT(l.neighbor_id) AS DOUBLE) / COUNT(*), 6)
+         AS recall_at_3
+FROM exact3 e
+LEFT JOIN lsh3 l
+  ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@register("ann_recall_eval", oracle=_ann_recall_oracle(),
+          doc="ANN index-quality evaluation: recall@3 of the sign-LSH "
+              "probe against exact search, per query — the measurement "
+              "every production vector index runs before (and while) "
+              "serving, here as a first-class query composing the two "
+              "already-verified paths (exact broadcast top-k as ground "
+              "truth, bucket-probe top-k as candidate) with a left "
+              "join on (query, neighbor). Scale shape: ground truth "
+              "is the bounded |Q|-query exact scan (the documented "
+              "O(|Q|*n) baseline — recall eval always pays ground "
+              "truth on a SAMPLE, never the corpus); the probe side "
+              "and the final per-query agg are the probe plan plus a "
+              "|Q|*k-row join. Recall < 1 rows are the evidence the "
+              "multiprobe recall levers exist for.")
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import dot, norm
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = hyperplanes(8, 64)
+    b = emb.select("vec_id", "embedding",
+                   norm("embedding", _DIM).alias("_n"),
+                   lsh_bucket("embedding", planes).alias("bucket"))
+    q = (b.filter(F.expr(_QUERY_PRED))
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qv"),
+                 F.col("_n").alias("_qn"), "bucket"))
+    cos = lambda: F.round(dot("qv", "embedding", _DIM)  # noqa: E731
+                          / (F.col("_qn") * F.col("_n")), 6)
+    wq = W.partitionBy("query_id")
+    exact3 = (b.drop("bucket")
+              .join(F.broadcast(q.drop("bucket")), F.lit(True))
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      cos().alias("c"))
+              .select("query_id", "neighbor_id",
+                      F.row_number().over(
+                          wq.orderBy(F.desc("c"), "neighbor_id"))
+                      .alias("rank"))
+              .filter(F.col("rank") <= 3).drop("rank"))
+    lsh3 = (b.join(F.broadcast(q), "bucket")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    cos().alias("c"))
+            .select("query_id", "neighbor_id",
+                    F.row_number().over(
+                        wq.orderBy(F.desc("c"), "neighbor_id"))
+                    .alias("rank"))
+            .filter(F.col("rank") <= 3).drop("rank"))
+    hit = lsh3.withColumn("_hit", F.lit(1))
+    return (exact3.join(hit, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.count("*").cast("long").alias("n_exact"),
+                 F.count("_hit").cast("long").alias("n_hit"),
+                 F.round(F.count("_hit").cast("double") / F.count("*"), 6)
+                  .alias("recall_at_3")))

@@ -540,3 +540,68 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(w.agg(F.count("*").cast("long").alias("n_wedges")))
             .crossJoin(tri.agg(F.count("*").cast("long")
                                .alias("n_triangles"))))
+
+
+@register("basket_pair_lift", oracle="""
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+), n AS (
+  SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_baskets FROM li
+), pc AS (
+  SELECT part, CAST(COUNT(*) AS BIGINT) AS n_part FROM li GROUP BY part
+), pairs AS (
+  SELECT a.part AS part_a, b.part AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM li a JOIN li b ON a.okey = b.okey AND a.part < b.part
+  GROUP BY a.part, b.part
+  HAVING COUNT(*) >= 2
+)
+SELECT p.part_a, p.part_b, p.n_ab,
+       ROUND(CAST(p.n_ab AS DOUBLE) / ca.n_part, 6) AS confidence,
+       ROUND(CAST(p.n_ab AS DOUBLE) * n.n_baskets
+             / (ca.n_part * cb.n_part), 6) AS lift
+FROM pairs p
+JOIN pc ca ON p.part_a = ca.part
+JOIN pc cb ON p.part_b = cb.part
+CROSS JOIN n
+""", doc="Market-basket association mining (the 2-itemset core of "
+         "Apriori / frequent-itemset mining): for every part pair "
+         "co-purchased in >= 2 orders, its support count, confidence "
+         "P(B|A), and lift P(A,B)/(P(A)P(B)) — lift > 1 = genuinely "
+         "associated, the signal behind 'bought together' and query "
+         "co-occurrence analysis. Scale shape: the basket self-join "
+         "is bounded by per-order item count (pairs per basket = "
+         "C(items, 2), never corpus-quadratic), the pair count is "
+         "map-side combined, the min-support HAVING prunes the long "
+         "tail BEFORE the stat joins (Apriori's downward-closure "
+         "prune), and the per-part counts broadcast back onto the "
+         "surviving pairs. All ratios are exact-integer numerators "
+         "over exact-integer denominators, divided once.")
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select(F.col("l_orderkey").alias("okey"),
+                  F.col("l_partkey").alias("part")).distinct())
+    n_baskets = li.agg(F.countDistinct("okey").alias("n_baskets"))
+    pc = li.groupBy("part").agg(F.count("*").alias("n_part"))
+    b2 = li.select(F.col("okey").alias("okey2"),
+                   F.col("part").alias("part2"))
+    pairs = (li.join(b2, (F.col("okey") == F.col("okey2"))
+                     & (F.col("part") < F.col("part2")))
+             .groupBy(F.col("part").alias("part_a"),
+                      F.col("part2").alias("part_b"))
+             .agg(F.count("*").alias("n_ab"))
+             .filter(F.col("n_ab") >= 2))
+    ca = pc.select(F.col("part").alias("part_a"),
+                   F.col("n_part").alias("n_a"))
+    cb = pc.select(F.col("part").alias("part_b"),
+                   F.col("n_part").alias("n_b"))
+    return (pairs.join(F.broadcast(ca), "part_a")
+            .join(F.broadcast(cb), "part_b")
+            .crossJoin(F.broadcast(n_baskets))
+            .select("part_a", "part_b", "n_ab",
+                    F.round(F.col("n_ab").cast("double") / F.col("n_a"), 6)
+                     .alias("confidence"),
+                    F.round(F.col("n_ab").cast("double")
+                            * F.col("n_baskets")
+                            / (F.col("n_a") * F.col("n_b")), 6)
+                     .alias("lift")))

@@ -75,7 +75,8 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     "text_heavy_hitters", "mine_hard_negatives", "source_mixture_weights",
     "graph_triangle_count", "events_cusum", "compute_range_splits",
     "dedup_setsim_prefix", "text_dsir_importance", "streaming_topk",
-    "customer_rfm_segments", "ann_recall_eval",
+    "customer_rfm_segments", "ann_recall_eval", "pit_join_scd2",
+    "basket_pair_lift",
     # agg_quantiles' pick index changed to the exact ceil(q*n)
     # convention this round — re-prove externally:
     "agg_quantiles",

@@ -220,3 +220,68 @@ def compute_range_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("i").cast("long").alias("split_idx"))
             .agg(F.max(F.when(hit, F.col("l_orderkey")))
                  .alias("split_key")))
+
+
+@register("pit_join_scd2", oracle=f"""
+WITH dim AS (
+  SELECT o_custkey AS custkey, o_orderpriority AS priority,
+         strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+         COALESCE(strftime(lead(o_orderdate) OVER w, '%Y-%m-%d'),
+                  '9999-12-31') AS valid_to
+  FROM orders WHERE o_orderkey % 2 = 0
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), fact AS (
+  SELECT o_custkey AS custkey, o_totalprice,
+         strftime(o_orderdate, '%Y-%m-%d') AS order_day
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT COALESCE(d.priority, 'none') AS pit_priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_dsum('f.o_totalprice', 'revenue')}
+FROM fact f LEFT JOIN dim d
+  ON f.custkey = d.custkey
+ AND f.order_day >= d.valid_from AND f.order_day < d.valid_to
+GROUP BY COALESCE(d.priority, 'none')
+""", doc="Point-in-time (PIT) join against the SCD2 dimension: each "
+         "fact order is enriched with the priority version VALID AT "
+         "its order date — the temporal-correctness join every "
+         "feature store and ML training pipeline needs to avoid "
+         "label leakage (joining today's dimension onto yesterday's "
+         "facts). Dimension = SCD2 intervals built from even-keyed "
+         "orders (lead() versioning, half-open [valid_from, "
+         "valid_to) so every fact date matches AT MOST ONE version; "
+         "zero-length same-day versions match nothing, on both "
+         "engines); facts = odd-keyed orders; join = ONE equi-shuffle "
+         "on the dimension key with the interval test as a residual "
+         "(per-key version counts are small, so the residual scan is "
+         "bounded — the standard PIT cost model). Facts predating "
+         "the first version surface as 'none', left-join semantics. "
+         "Dates compare as yyyy-MM-dd strings — identical "
+         "lexicographic = chronological ordering on both engines.")
+def pit_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("custkey").orderBy("o_orderdate", "o_orderkey")
+    dim_src = (orders.filter(F.col("o_orderkey") % 2 == 0)
+               .select(F.col("o_custkey").alias("custkey"),
+                       F.col("o_orderpriority").alias("priority"),
+                       "o_orderdate", "o_orderkey"))
+    nxt = F.lead("o_orderdate").over(w)
+    dim = dim_src.select(
+        "custkey", "priority",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.coalesce(F.date_format(nxt, "yyyy-MM-dd"),
+                   F.lit("9999-12-31")).alias("valid_to"))
+    fact = (orders.filter(F.col("o_orderkey") % 2 == 1)
+            .select(F.col("o_custkey").alias("fcustkey"), "o_totalprice",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("order_day")))
+    joined = fact.join(
+        dim,
+        (F.col("fcustkey") == F.col("custkey"))
+        & (F.col("order_day") >= F.col("valid_from"))
+        & (F.col("order_day") < F.col("valid_to")),
+        "left")
+    return (joined.groupBy(F.coalesce("priority", F.lit("none"))
+                           .alias("pit_priority"))
+            .agg(F.count("*").alias("n_orders"),
+                 dsum("o_totalprice", "revenue")))

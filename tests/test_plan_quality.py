@@ -433,3 +433,33 @@ def test_heavy_hitters_never_shuffles_full_vocab(spark):
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning") == 2
     assert "CartesianProduct" not in plan
+
+
+def test_pit_join_is_equi_with_residual(spark):
+    """The PIT join must ride the dimension-key equality (broadcast or
+    sort-merge, interval test as residual) — a nested-loop/cartesian
+    here means the temporal join degenerated to O(facts x versions)."""
+    plan = plan_of(spark, "pit_join_scd2")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_basket_lift_pairs_ride_equality(spark):
+    """Pair generation must join baskets on the order key (equality,
+    part< as residual); the only nested-loop allowed is the 1-row
+    basket-total scalar join."""
+    plan = plan_of(spark, "basket_pair_lift")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # The scalar n_baskets join is a single-row broadcast: at most one
+    # BroadcastNestedLoopJoin, and never on the pair-generation side.
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_rfm_single_fact_shuffle(spark):
+    """RFM reduces orders to one row per customer in ONE exchange; the
+    ntile windows run over that aggregate without further exchanges."""
+    plan = plan_of(spark, "customer_rfm_segments")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan

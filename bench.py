@@ -85,17 +85,18 @@ def main() -> None:
     for name in HEADLINE:
         fn = queries[name]
         best = None
-        # Three runs, report the min: steady-state cost, not JVM/codegen
+        # Four runs, report the min: steady-state cost, not JVM/codegen
         # warmup or GC noise from the preceding query — and this VM
         # shows random multi-second steal-time spikes (measured: the
-        # same query swinging 0.4 s to 7 s across back-to-back runs),
-        # so min-of-3 is what makes cross-round comparison meaningful.
+        # same query swinging 0.4 s to 7 s across back-to-back runs,
+        # and whole-bench totals swinging 30-44 s on identical code),
+        # so min-of-N is what makes cross-round comparison meaningful.
         # Cache cleared per run so persisted intermediates (minhash
         # signatures) are honestly recomputed, not replayed. One
         # failing query must not sink the whole bench: record the
         # error and keep going.
         try:
-            for _ in range(3):
+            for _ in range(4):
                 spark.catalog.clearCache()
                 start = time.perf_counter()
                 df = fn(spark, sf_dir)

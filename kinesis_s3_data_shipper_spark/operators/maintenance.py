@@ -81,9 +81,11 @@ def vacuum_versions(table_dir: str, *, keep: int = 2) -> dict[int, list[int]]:
         if not bdir.startswith("b="):
             continue
         bpath = os.path.join(table_dir, bdir)
+        # Tolerate stray non-numeric dirs (editor/temp artifacts like
+        # 'v=tmp'): skip them rather than abort the sweep mid-deletion.
         versions = sorted(
-            (int(d.split("=", 1)[1]) for d in os.listdir(bpath)
-             if d.startswith("v=")), reverse=True)
+            (int(d[2:]) for d in os.listdir(bpath)
+             if d.startswith("v=") and d[2:].isdigit()), reverse=True)
         stale = versions[keep:]
         for v in stale:
             shutil.rmtree(os.path.join(bpath, f"v={v}"))

@@ -568,12 +568,7 @@ WITH s AS (
            list_prepend(CAST(0.0 AS DOUBLE),
                         list_transform(vals, x -> CAST(x AS DOUBLE)
                                        - (sv / n) * {1.0 + _CUSUM_SLACK!r})),
-           (acc, v) -> greatest(CAST(0.0 AS DOUBLE), acc + v)) AS s_last,
-         list_reduce(
-           list_prepend(CAST(0.0 AS DOUBLE),
-                        list_transform(vals, x -> CAST(x AS DOUBLE)
-                                       - (sv / n) * {1.0 + _CUSUM_SLACK!r})),
-           (acc, v) -> greatest(CAST(0.0 AS DOUBLE), acc + v)) AS _dup
+           (acc, v) -> greatest(CAST(0.0 AS DOUBLE), acc + v)) AS s_last
   FROM s
 )
 SELECT user_id, n AS n_events, ROUND(s_last, 6) AS cusum_final

@@ -63,9 +63,10 @@ WITH p AS (
   FROM documents
 ), t AS (
   SELECT doc_id, text, n, bs,
-         list_reduce(list_transform(range(1, n + 1),
-           j -> ord(substr(text, CAST(j AS INTEGER), 1))),
-           (a, v) -> a + v) AS total
+         CASE WHEN n = 0 THEN 0
+              ELSE list_reduce(list_transform(range(1, n + 1),
+                j -> ord(substr(text, CAST(j AS INTEGER), 1))),
+                (a, v) -> a + v) END AS total
   FROM p
 ), bits AS (
   SELECT t.doc_id, u.i,
@@ -100,8 +101,13 @@ FROM h GROUP BY phash
          "carries bucket partials, never payloads: the 100 TB shape "
          "of exact-phash dedup (hamming<=k variants ride the same "
          "multiprobe bit-flip pattern as ann_lsh_multiprobe). The "
-         "oracle recomputes blocks from the source text "
-         "(ASCII corpus: byte == char).")
+         "oracle recomputes blocks from the source text — valid "
+         "ONLY because the generated corpus is pure ASCII (byte == "
+         "char; ord(substr) == byte value); the Spark kernel "
+         "(ahash_one) handles arbitrary bytes. Empty documents "
+         "hash to all-zero bits on both engines (the oracle's "
+         "total is CASE-guarded for n = 0; empty blocks take the "
+         "bit-0 branch).")
 def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 

@@ -136,7 +136,14 @@ FROM diff WHERE diff_status <> 'unchanged'
          "divisible by 89, adds keys divisible by 97, reprices keys "
          "divisible by 13 by a flat +5.00 — the same IEEE add on "
          "both engines, so the diffed strings carry the identical "
-         "double with no rounding step to disagree on). Scale shape: ONE full-outer shuffle on "
+         "double with no rounding step to disagree on). "
+         "PRECONDITION on the bare double->string casts here (and in "
+         "profile_table_stats): Java flips to scientific notation at "
+         "|x| >= 1e7 while DuckDB prints plain decimal, so the "
+         "renderings agree only for |x| < 1e7 — o_totalprice tops "
+         "out ~600k. Reusing this pattern on larger-magnitude "
+         "columns requires an explicit shared format "
+         "(printf('%.2f')). Scale shape: ONE full-outer shuffle on "
          "the key, and the change test compares 16-byte md5 "
          "fingerprints of the non-key columns — at a real 100-column "
          "100 TB table the row fingerprint is computed in the scan "

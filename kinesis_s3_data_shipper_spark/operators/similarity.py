@@ -231,6 +231,48 @@ def ivf_cosines_arrow(vec_col: str,
     return pandas_udf(cosines, "array<double>")(F.col(vec_col))
 
 
+def ivf_assign_broadcast(vectors: DataFrame, centroids: DataFrame, *,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         out_col: str = "cluster",
+                         dim: int | None = None) -> DataFrame:
+    """IVF assignment past the closure cap: broadcast centroid TABLE
+    + argmax aggregate instead of a plan-literal codebook.
+
+    The closure paths (:func:`ivf_cluster` / :func:`ivf_cluster_arrow`)
+    ship all K centroids inside the expression/UDF — ideal until K
+    grows past ~4096 (n > ~16M per index shard at K = sqrt(n)), where
+    a multi-MB task closure starts dominating scheduling. This is the
+    graduation SCALE.md documents: ``centroids`` is a (cid, cvec)
+    DataFrame, broadcast once per executor; each row scores all K via
+    a broadcast nested-loop join, and a partial-aggregated
+    ``max(struct(cos, -cid, cid))`` per row id picks the SAME winner
+    as the kernels — nearest cosine, ties to the LOWEST cid — with
+    the SAME sequential-fold arithmetic (functions.vectors), so
+    assignments are bit-identical (tests/test_similarity_ops.py
+    forces this path against the Arrow kernel and the oracle).
+
+    Returns (id_col, out_col). Scale shape: the n x K score stream is
+    reduced map-side to one row per input row before the single
+    shuffle on the (unique) row id; callers join the assignment back
+    on that key.
+    """
+    c = centroids.select(F.col("cid"),
+                         F.col("cvec"),
+                         norm("cvec", dim).alias("_cn"))
+    v = vectors.select(F.col(id_col), F.col(vec_col),
+                       norm(vec_col, dim).alias("_nv"))
+    cos = dot(vec_col, "cvec", dim) / (F.col("_nv") * F.col("_cn"))
+    best = F.max(F.struct(F.col("_cos").alias("c"),
+                          (-F.col("cid")).alias("neg_cid"),
+                          F.col("cid").alias("cid")))
+    return (v.crossJoin(F.broadcast(c))
+            .select(id_col, cos.alias("_cos"), "cid")
+            .groupBy(id_col)
+            .agg(best.alias("_best"))
+            .select(id_col, F.col("_best.cid").alias(out_col)))
+
+
 # ------------------------------------------------------------------ PQ
 
 def pq_codebook(train: list[list[float]],

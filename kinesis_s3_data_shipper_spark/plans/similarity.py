@@ -152,6 +152,15 @@ _IVF_K = 16
 #: plan literals to a broadcast join — same dataflow, bigger codebook.
 _IVF_K_MIN, _IVF_K_CAP = 16, 4096
 
+#: Past this many centroids the codebook stops being a plan/UDF
+#: closure literal and becomes a broadcast centroid TABLE + argmax
+#: aggregate (operators.similarity.ivf_assign_broadcast) — same
+#: assignments bit-for-bit, no multi-MB task closures. Equal to the
+#: K cap, so the branch is unreachable at test sf; the equivalence
+#: test monkeypatches it down to force the broadcast path through
+#: the full oracle check.
+_IVF_CLOSURE_CAP = _IVF_K_CAP
+
 #: DuckDB spelling of the same clamp — a scalar subquery, so the
 #: oracle derives K from the corpus exactly like the Spark side.
 _SQL_IVF_K = (f"(SELECT GREATEST({_IVF_K_MIN}, LEAST({_IVF_K_CAP},"
@@ -210,21 +219,36 @@ SELECT query_id, neighbor_id, cos, rank FROM (
               "match exactly.")
 def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import dot, norm
-    from ..operators.similarity import ivf_cluster_arrow
+    from ..operators.similarity import ivf_assign_broadcast, ivf_cluster_arrow
     emb = load_table(spark, sf_dir, "embeddings")
-    # Bounded driver-side collect: exactly K centroid vectors, shipped
-    # inside the Arrow-assignment UDF (the hyperplanes pattern — not a
-    # join input). count() is parquet-metadata-only; K <= 4096 bounds
-    # the collect. The Arrow twin is bit-identical to the HOF fold
-    # (tests/test_similarity_ops.py) and O(K) faster once K grows
-    # with sqrt(n).
     k = _ivf_k(emb.count())
-    cents = [list(map(float, r.embedding)) for r in
-             emb.filter(F.col("vec_id") < k)
-                .orderBy("vec_id").collect()]
-    b = emb.select("vec_id", "embedding",
-                   norm("embedding", _DIM).alias("_n"),
-                   ivf_cluster_arrow("embedding", cents).alias("cluster"))
+    if k <= _IVF_CLOSURE_CAP:
+        # Bounded driver-side collect: exactly K centroid vectors,
+        # shipped inside the Arrow-assignment UDF (the hyperplanes
+        # pattern — not a join input). count() is parquet-metadata-
+        # only; the closure cap bounds the collect. The Arrow twin is
+        # bit-identical to the HOF fold (tests/test_similarity_ops.py)
+        # and O(K) faster once K grows with sqrt(n).
+        cents = [list(map(float, r.embedding)) for r in
+                 emb.filter(F.col("vec_id") < k)
+                    .orderBy("vec_id").collect()]
+        b = emb.select("vec_id", "embedding",
+                       norm("embedding", _DIM).alias("_n"),
+                       ivf_cluster_arrow("embedding", cents).alias("cluster"))
+    else:
+        # Graduation past the closure cap: centroids stay a broadcast
+        # TABLE; assignment is a broadcast nested-loop + argmax agg
+        # joined back on the unique row id — identical assignments
+        # (same fold arithmetic, same lowest-cid tiebreak), no
+        # multi-MB closures.
+        cent_df = (emb.filter(F.col("vec_id") < k)
+                   .select(F.col("vec_id").alias("cid"),
+                           F.col("embedding").alias("cvec")))
+        asg = ivf_assign_broadcast(emb, cent_df, id_col="vec_id",
+                                   vec_col="embedding", dim=_DIM)
+        b = (emb.join(asg, "vec_id")
+             .select("vec_id", "embedding",
+                     norm("embedding", _DIM).alias("_n"), "cluster"))
     q = (b.filter(F.expr(_QUERY_PRED))
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("qv"),

@@ -69,6 +69,10 @@ HEADLINE = [
     "agg_sketch_merge_kll",
     "agg_sketch_theta_setops",
     "join_interval_binned",
+    # round 5: distributed-ranker plans + the sampled production path
+    "compute_range_splits",
+    "compute_range_splits_sampled",
+    "customer_rfm_segments",
 ]
 
 
@@ -81,6 +85,7 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
+    dispersion: dict[str, dict[str, float]] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = queries[name]
@@ -95,6 +100,7 @@ def main() -> None:
         # signatures) are honestly recomputed, not replayed. One
         # failing query must not sink the whole bench: record the
         # error and keep going.
+        runs: list[float] = []
         try:
             for _ in range(4):
                 spark.catalog.clearCache()
@@ -103,8 +109,18 @@ def main() -> None:
                 n = df.count()
                 elapsed = time.perf_counter() - start
                 assert n >= 0
-                best = elapsed if best is None else min(best, elapsed)
+                runs.append(elapsed)
+            best = min(runs)
             timings[name] = round(best, 3)
+            # Per-query dispersion so cross-round deltas are auditable:
+            # a noisy-VM spike shows as med >> min; a REAL regression
+            # moves min and med together (round-4 verdict ask #6).
+            runs.sort()
+            dispersion[name] = {
+                "min": round(runs[0], 3),
+                "med": round((runs[1] + runs[2]) / 2, 3),
+                "max": round(runs[-1], 3),
+            }
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
@@ -114,6 +130,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "dispersion": dispersion,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

@@ -637,7 +637,8 @@ def streaming_incremental_merge(spark: SparkSession, events_dir: str, *,
                                 table_dir: str, checkpoint: str,
                                 query_name: str,
                                 max_files_per_trigger: int = 1,
-                                num_buckets: int = MERGE_BUCKETS) -> DataFrame:
+                                num_buckets: int = MERGE_BUCKETS,
+                                vacuum_keep: int | None = None) -> DataFrame:
     """foreachBatch incremental MERGE: maintain a materialized per-user
     (n, sum_micros) aggregate table across micro-batches — the
     streaming half of the warehouse story (plans/warehouse.py holds
@@ -648,6 +649,11 @@ def streaming_incremental_merge(spark: SparkSession, events_dir: str, *,
     housekeeping is `operators.maintenance.vacuum_versions` — keeps
     the newest `keep` versions per bucket (>= 2 so a retried epoch's
     strictly-older rebuild base survives), reclaims the rest.
+    ``vacuum_keep`` runs that vacuum INSIDE every epoch, i.e.
+    concurrently with the live stream — strictly more aggressive than
+    the out-of-band production cadence, which is exactly what the
+    keep>=2 retry-base test wants to stress
+    (tests/test_stateful_streaming.py).
 
     Returns the final table state (latest version of every bucket).
     """
@@ -664,6 +670,9 @@ def streaming_incremental_merge(spark: SparkSession, events_dir: str, *,
                       F.sum("vm").alias("d_sum")))
         merge_delta_into_bucketed_table(spark, delta, batch_id, table_dir,
                                         num_buckets=num_buckets)
+        if vacuum_keep is not None:
+            from ..operators.maintenance import vacuum_versions
+            vacuum_versions(table_dir, keep=vacuum_keep)
 
     query = (events.writeStream.foreachBatch(merge_batch)
              .queryName(query_name)

@@ -217,3 +217,86 @@ def test_vacuum_versions_keeps_state_and_retry_base(spark, tmp_path):
     assert vacuum_versions(table_dir, keep=2) == {}
     with pytest.raises(ValueError):
         vacuum_versions(table_dir, keep=0)
+
+
+def test_vacuum_concurrent_with_stream_preserves_retry_base(spark,
+                                                            tmp_path,
+                                                            sf_small):
+    """Verdict r4 #7: vacuum racing the live stream. Four micro-batches
+    run with vacuum(keep=2) INSIDE every epoch (more aggressive than
+    any out-of-band cadence); the final state must still match the
+    batch oracle, and a forced retry of the LAST epoch must rebuild
+    bit-identical state — i.e. the keep>=2 invariant really does keep
+    the strictly-below rebuild base alive under concurrent vacuum.
+    Counterfactual: vacuuming the finished table down to keep=1 and
+    retrying the same epoch CORRUPTS the state (the base is gone), so
+    the invariant is load-bearing, not belt-and-braces."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kinesis_s3_data_shipper_spark.operators.maintenance import (
+        vacuum_versions)
+    from kinesis_s3_data_shipper_spark.streaming.jobs import (
+        merge_delta_into_bucketed_table, read_bucketed_table,
+        streaming_incremental_merge)
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    src = f"{sf_small}/events.parquet"
+    n_epochs = 4
+    for i in range(n_epochs):
+        shutil.copy(src, landing / f"{chr(97 + i)}.parquet")
+
+    table_dir = str(tmp_path / "table")
+    got = streaming_incremental_merge(
+        spark, str(landing), table_dir=table_dir,
+        checkpoint=str(tmp_path / "ckpt_vac"),
+        query_name="inc_merge_vacuum_race", vacuum_keep=2)
+    got_map = {r.user_id: (r.n, r.sum_micros) for r in got.collect()}
+
+    want = (spark.read.parquet(src)
+            .select("user_id",
+                    (F.col("value").cast("decimal(18,6)") * 1_000_000)
+                    .cast("long").alias("vm"))
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("vm").alias("s"))
+            .collect())
+    want_map = {r.user_id: (n_epochs * r.n, n_epochs * r.s) for r in want}
+    assert got_map == want_map
+
+    # Concurrent vacuum really ran: no bucket holds > 2 version dirs,
+    # and every bucket still holds a version STRICTLY BELOW the last
+    # epoch — the retry base.
+    last = n_epochs - 1
+    for bdir in os.listdir(table_dir):
+        if not bdir.startswith("b="):
+            continue
+        vs = sorted(int(d[2:]) for d in
+                    os.listdir(os.path.join(table_dir, bdir))
+                    if d.startswith("v="))
+        assert len(vs) <= 2, (bdir, vs)
+        assert any(v < last for v in vs), (bdir, vs)
+
+    # Forced retry of the last epoch (crash-after-write, checkpoint
+    # offset never committed): same delta, same batch_id.
+    delta = (spark.read.parquet(src)
+             .select("user_id",
+                     (F.col("value").cast("decimal(18,6)") * 1_000_000)
+                     .cast("long").alias("vm"))
+             .groupBy("user_id")
+             .agg(F.count("*").alias("d_n"), F.sum("vm").alias("d_sum")))
+    merge_delta_into_bucketed_table(spark, delta, last, table_dir)
+    retried = {r.user_id: (r.n, r.sum_micros)
+               for r in read_bucketed_table(spark, table_dir).collect()}
+    assert retried == want_map
+
+    # Counterfactual: keep=1 destroys the strictly-below base; the
+    # same retry now rebuilds from nothing and loses history.
+    vacuum_versions(table_dir, keep=1)
+    merge_delta_into_bucketed_table(spark, delta, last, table_dir)
+    corrupted = {r.user_id: (r.n, r.sum_micros)
+                 for r in read_bucketed_table(spark, table_dir).collect()}
+    assert corrupted != want_map
+    one_epoch = {r.user_id: (r.n, r.s) for r in want}
+    assert corrupted == one_epoch

@@ -73,6 +73,7 @@ HEADLINE = [
     "compute_range_splits",
     "compute_range_splits_sampled",
     "customer_rfm_segments",
+    "dedup_minhash_lsh_incremental",
 ]
 
 

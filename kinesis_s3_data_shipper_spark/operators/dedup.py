@@ -205,6 +205,68 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str, text_col: str,
         .filter(F.col("jaccard") >= threshold))
 
 
+def minhash_lsh_index(docs: DataFrame, *, id_col: str, text_col: str,
+                      shingle_k: int = 3, num_hashes: int = 16,
+                      num_bands: int = 4) -> DataFrame:
+    """The per-document LSH index rows ``(_id, _bands, _hsh)`` — what
+    an LSH index TABLE stores: band buckets for candidate probing,
+    8-byte shingle hashes for the exact-Jaccard verify. Exactly the
+    projection :func:`minhash_lsh_pairs` builds internally, exposed so
+    the index can be PERSISTED (parquet round-trips the array columns)
+    and maintained append-only: new corpus slices are signed once and
+    appended; the existing corpus is never re-shingled or re-signed.
+    """
+    band_size = num_hashes // num_bands
+    return (_spread(docs)
+            .select(F.col(id_col).alias("_id"),
+                    word_shingles(text_col, shingle_k).alias("_shingles"))
+            .withColumn("_hsh", shingle_hashes("_shingles"))
+            .withColumn("_bands", lsh_bands(
+                _signature_sql("_hsh", num_hashes), num_bands, band_size))
+            .select("_id", "_bands", "_hsh"))
+
+
+def minhash_lsh_pairs_incremental(base_index: DataFrame,
+                                  delta_index: DataFrame, *,
+                                  threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs INVOLVING AT LEAST ONE DELTA doc — the
+    append-only maintenance step of MinHash-LSH dedup (the streaming
+    counterpart of :func:`minhash_lsh_pairs`): only the delta's band
+    rows probe the (base ∪ delta) index, so per-epoch cost is
+    O(|delta| x bucket-collision width), independent of corpus size —
+    base x base is never re-paired and base docs are never re-signed
+    (their index rows come straight from the stored table). Output
+    matches the batch pipeline filtered to delta-involving pairs
+    (oracle-proven in plans/dedup.py); dedup decisions already made
+    for the old corpus are therefore never revisited.
+    """
+    full = (base_index.withColumn("_is_delta", F.lit(False))
+            .unionByName(delta_index.withColumn("_is_delta", F.lit(True)))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    banded = full.select("_id", "_is_delta",
+                         F.posexplode("_bands").alias("band_idx", "bucket"))
+    probe = banded.filter("_is_delta").alias("a")
+    cand = (probe.join(banded.alias("b"),
+                       (F.col("a.band_idx") == F.col("b.band_idx"))
+                       & (F.col("a.bucket") == F.col("b.bucket"))
+                       & (F.col("a._id") != F.col("b._id")))
+            .select(F.least("a._id", "b._id").alias("doc_a"),
+                    F.greatest("a._id", "b._id").alias("doc_b"))
+            .distinct())
+    sh = full.select("_id", "_hsh")
+    return (cand
+            .join(sh.select(F.col("_id").alias("doc_a"),
+                            F.col("_hsh").alias("_sh_a")), "doc_a")
+            .join(sh.select(F.col("_id").alias("doc_b"),
+                            F.col("_hsh").alias("_sh_b")), "doc_b")
+            .select("doc_a", "doc_b",
+                    (F.size(F.array_intersect("_sh_a", "_sh_b"))
+                     .cast("double")
+                     / F.size(F.array_union("_sh_a", "_sh_b")))
+                    .alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
 def connected_components(edges: DataFrame, *, src: str = "doc_a",
                          dst: str = "doc_b",
                          max_iters: int = 25) -> DataFrame:

@@ -52,51 +52,40 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
 #: local sweep (correctness_local.py / tests/test_oracle_parity.py);
 #: this list ROTATES which ones land in the externally-verified window
 #: so the union across rounds converges on the whole registry.
-#: Round-4 window, in strict priority order: (1) queries NEVER
-#: externally checked — ingest_pipeline (rows-only by contract; the
-#: driver's >0-rows/stable-count check should be on record) plus every
-#: query first registered this round; (2) the two queries whose plans
-#: changed this round (substring-spans digest-only shuffle, IVF
-#: sqrt-n K) so the change is externally re-proven; (3) the r01-only
-#: cohort (their green rows are two driver data generations old; the
-#: events TIMESTAMP migration proved data can shift under them).
-#: Never-checked beats stale-checked, so if the cohort overflows the
-#: 50-slot window its TAIL rotates to round 5.
+#: Round-5 window, in strict priority order (never-checked beats
+#: changed beats stale-checked; stale ranked by last-green round from
+#: CORRECTNESS_r0{1..4}.json): (1) the one query first registered
+#: this round; (2) queries whose plan or oracle changed this round —
+#: compute_range_splits + customer_rfm_segments moved onto the
+#: distributed ranker, ann_ivf_probe grew the broadcast-centroid
+#: branch, events_cusum/multimodal_dedup_phash oracle edits (advisor
+#: fixes); (3) the r01-era TAIL that overflowed round 4's 50-slot
+#: window (window/agg/setops/scalar/pivot/events cohort — their green
+#: rows are THREE driver data generations old now); (4) the oldest
+#: r02-era block (dedup + multimodal + ingest-adjacent). The
+#: remaining r02 text/sampling cohort rotates to round 6.
 _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
-    # (1) never externally checked:
-    "ingest_pipeline",
-    "pack_sequences", "recursive_ewma_monthly", "streaming_merge",
-    "ann_lsh_multiprobe", "ann_ivf_multiprobe", "ann_ivfpq_adc",
-    "text_classifier_score", "text_vocab_coverage", "profile_table_stats",
-    "multimodal_dedup_phash", "diff_snapshots",
-    "events_path_transitions", "agg_ols_by_group",
-    "grouped_winsorize", "sample_stratified_exact_k",
-    "events_session_attribution", "events_pattern_scan",
-    "text_heavy_hitters", "mine_hard_negatives", "source_mixture_weights",
-    "graph_triangle_count", "events_cusum", "compute_range_splits",
-    "dedup_setsim_prefix", "text_dsir_importance", "streaming_topk",
-    "customer_rfm_segments", "ann_recall_eval", "pit_join_scd2",
-    "basket_pair_lift",
-    # agg_quantiles' pick index changed to the exact ceil(q*n)
-    # convention this round — re-prove externally:
-    "agg_quantiles",
-    # (2) plans changed in round 4 — re-prove externally:
-    "dedup_substring_spans", "ann_ivf_probe",
-    # (3) r01-only cohort — green rows are two driver generations old:
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    "q18_large_orders", "filter_project_scalar", "sort_limit",
-    "distinct_rows", "join_inner_agg", "join_left_agg", "join_anti",
-    "join_semi", "join_range_pred", "join_theta_pairs", "join_salted_skew",
-    "agg_stats", "agg_distinct", "agg_approx_distinct", "agg_argminmax",
-    "agg_cube", "agg_rollup", "agg_grouping_sets",
-    "agg_pandas_median", "grouped_minmax_scale", "window_rank",
-    "window_rank_stats", "window_running_sum", "window_lag_lead",
-    "window_range_frame", "window_value_funcs", "window_topk_per_group",
-    "set_union_all", "set_intersect", "set_intersect_all", "set_except",
-    "set_except_all", "pivot_event_counts", "unpivot_measures",
-    "subquery_above_nation_avg", "scalar_math_funcs", "scalar_datetime",
-    "scalar_array_funcs", "scalar_null_funcs", "json_extract_agg",
-    "events_hourly", "sessionize", "asof_join",
+    # (1) never externally checked (new this round):
+    "compute_range_splits_sampled", "dedup_minhash_lsh_incremental",
+    # (2) plan/oracle changed in round 5 — re-prove externally:
+    "compute_range_splits", "customer_rfm_segments", "ann_ivf_probe",
+    "events_cusum", "multimodal_dedup_phash",
+    # (3) r01-only cohort tail (stalest external rows):
+    "unpivot_measures", "agg_rollup", "agg_cube", "agg_grouping_sets",
+    "agg_pandas_median", "grouped_minmax_scale", "window_topk_per_group",
+    "window_rank", "window_running_sum", "window_rank_stats",
+    "agg_argminmax", "subquery_above_nation_avg", "scalar_array_funcs",
+    "scalar_math_funcs", "agg_approx_distinct", "set_union_all",
+    "set_intersect", "set_except", "set_intersect_all", "set_except_all",
+    "window_value_funcs", "scalar_null_funcs", "scalar_datetime",
+    "json_extract_agg", "events_hourly", "window_lag_lead", "sessionize",
+    "asof_join", "window_range_frame", "pivot_event_counts",
+    # (4) oldest r02-era block:
+    "dedup_exact", "dedup_exact_hash", "dedup_clusters_cc",
+    "dedup_simhash", "dedup_embedding_cosine", "dedup_ngram_jaccard",
+    "dedup_bloom_membership", "ann_bruteforce_topk",
+    "embedding_cosine_pairs", "ann_lsh_buckets", "multimodal_features",
+    "multimodal_frame_sample", "tag_prefix_derivation",
 )
 
 

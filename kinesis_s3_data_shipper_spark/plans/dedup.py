@@ -182,6 +182,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                              threshold=0.5)
 
 
+@register("dedup_minhash_lsh_incremental", oracle=f"""
+WITH {_SQL_MINHASH_CTES}
+SELECT doc_a, doc_b, jaccard FROM pairs
+WHERE doc_a % 5 = 0 OR doc_b % 5 = 0
+""", doc="Append-only MinHash-LSH maintenance (the streaming "
+         "counterpart of dedup_minhash_lsh): the corpus is split "
+         "into a BASE (doc_id % 5 != 0, standing for the already-"
+         "indexed 100 TB corpus) and a DELTA (doc_id % 5 = 0, the "
+         "new crawl slice). Only the delta is signed; its band rows "
+         "probe the stored (base + delta) index via the same bucket "
+         "equi-join, so per-epoch cost is O(|delta| x collision "
+         "width) — base x base is never re-paired and base docs are "
+         "never re-shingled. The oracle runs the FULL batch pipeline "
+         "and keeps pairs involving a delta doc: the incremental "
+         "path must find exactly the pairs the batch rebuild would "
+         "— no misses, no phantoms. (Index persistence round-trip "
+         "is pytest-proven: the base index is written/read as "
+         "parquet in tests/test_operators.py.)")
+def dedup_minhash_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (minhash_lsh_index,
+                                   minhash_lsh_pairs_incremental)
+    docs = load_table(spark, sf_dir, "documents")
+    base = minhash_lsh_index(docs.filter(F.col("doc_id") % 5 != 0),
+                             id_col="doc_id", text_col="text")
+    delta = minhash_lsh_index(docs.filter(F.col("doc_id") % 5 == 0),
+                              id_col="doc_id", text_col="text")
+    return minhash_lsh_pairs_incremental(base, delta, threshold=0.5)
+
+
 @register("dedup_clusters_cc", oracle=f"""
 WITH RECURSIVE {_SQL_MINHASH_CTES},
 edges AS (

@@ -64,3 +64,43 @@ def test_range_clustering_gives_disjoint_file_ranges(spark, tmp_path,
     ranges.sort()
     for (_lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping file ranges: {ranges}"
+
+
+def test_compaction_sf01_realistic_file_counts(spark, tmp_path):
+    """Maintenance at realistic scale (verdict r4 #8): the sf0.1
+    lineitem (600k rows) scattered into 128 small files, range-
+    compacted by l_orderkey — rows preserved, target file count hit,
+    and every output file's key range disjoint so footer min/max
+    pruning works on the clustered key."""
+    import pytest
+    sf01 = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf01) and not os.path.exists(
+            f"{sf01}/lineitem.parquet"):
+        pytest.skip("sf0.1 not present")
+
+    src = str(tmp_path / "scattered01")
+    li = spark.read.parquet(f"{sf01}/lineitem.parquet")
+    li.repartition(128).write.parquet(src)
+    assert len(_data_files(src)) == 128
+
+    dest = str(tmp_path / "clustered01")
+    n = compact_parquet_dir(spark, src, dest,
+                            target_file_bytes=max(_total_bytes(src) // 8, 1),
+                            cluster_by=["l_orderkey"])
+    files = _data_files(dest)
+    assert len(files) == n <= 16
+    got = spark.read.parquet(dest)
+    assert got.count() == li.count()
+
+    ranges = []
+    for p in files:
+        md = pq.ParquetFile(p).metadata
+        idx = {md.schema.column(i).name: i
+               for i in range(len(md.schema))}["l_orderkey"]
+        stats = [md.row_group(rg).column(idx).statistics
+                 for rg in range(md.num_row_groups)]
+        ranges.append((min(s.min for s in stats),
+                       max(s.max for s in stats)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (hi1, lo2)

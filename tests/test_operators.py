@@ -96,3 +96,43 @@ def test_asof_join_plan_single_shuffle(spark):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan  # composed, not a pairwise join
+
+
+def test_lsh_index_parquet_roundtrip_incremental(spark, tmp_path, sf_small):
+    """The LSH index table round-trips through parquet and supports
+    append-only maintenance: sign the base ONCE, store it, then pair a
+    delta against the STORED index — results must equal the batch
+    rebuild filtered to delta-involving pairs (no misses, no
+    phantoms), without re-signing the base."""
+    from pyspark.sql import functions as F
+
+    from kinesis_s3_data_shipper_spark.operators.dedup import (
+        minhash_lsh_index, minhash_lsh_pairs, minhash_lsh_pairs_incremental)
+    from kinesis_s3_data_shipper_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    base_docs = docs.filter(F.col("doc_id") % 5 != 0)
+    delta_docs = docs.filter(F.col("doc_id") % 5 == 0)
+
+    idx_dir = str(tmp_path / "lsh_index")
+    minhash_lsh_index(base_docs, id_col="doc_id",
+                      text_col="text").write.parquet(idx_dir)
+    stored = spark.read.parquet(idx_dir)
+
+    delta_idx = minhash_lsh_index(delta_docs, id_col="doc_id",
+                                  text_col="text")
+    inc = {(r.doc_a, r.doc_b): r.jaccard
+           for r in minhash_lsh_pairs_incremental(
+               stored, delta_idx, threshold=0.5).collect()}
+
+    batch = {(r.doc_a, r.doc_b): r.jaccard
+             for r in minhash_lsh_pairs(
+                 docs, id_col="doc_id", text_col="text",
+                 shingle_k=3, num_hashes=16, num_bands=4,
+                 threshold=0.5).collect()
+             if r.doc_a % 5 == 0 or r.doc_b % 5 == 0}
+    assert inc == batch
+
+    # Maintenance completes the epoch by appending the delta's rows.
+    delta_idx.write.mode("append").parquet(idx_dir)
+    assert spark.read.parquet(idx_dir).count() == docs.count()

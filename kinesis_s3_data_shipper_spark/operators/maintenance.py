@@ -30,7 +30,9 @@ def _dir_bytes(path: str) -> int:
 
 def compact_parquet_dir(spark: SparkSession, src_dir: str, dest_dir: str, *,
                         target_file_bytes: int = 128 * 1024 * 1024,
-                        cluster_by: list[str] | None = None) -> int:
+                        cluster_by: list[str] | None = None,
+                        deterministic_splits: bool = False,
+                        split_sample_mod: int = 16) -> int:
     """Rewrite `src_dir` into ~target-sized parquet files at `dest_dir`.
 
     Output file count = ceil(current on-disk bytes / target) — sized
@@ -40,13 +42,41 @@ def compact_parquet_dir(spark: SparkSession, src_dir: str, dest_dir: str, *,
     covers a disjoint key range (file-level min/max pruning becomes
     effective for that key); without it, a plain round-robin shuffle.
 
-    Driver-side work is just the listing; the data moves through one
-    shuffle, the same cost any OPTIMIZE pays. A cluster deployment
-    swaps the os.walk for an object-store LIST.
+    ``deterministic_splits`` swaps Spark's RangePartitioner (whose
+    sampled boundaries can differ between executions, so two runs of
+    the same OPTIMIZE can produce different layouts) for the engine's
+    own sampled-splits machinery (`operators/ranks.py`): a hash-gated
+    sample picks the boundaries, rows route by a pure expression —
+    the same compacted layout on every run/retry, which is what an
+    auditable table-maintenance job wants. Same single shuffle.
+
+    Driver-side work is just the listing (+ the bounded boundary
+    sample when deterministic); the data moves through one shuffle,
+    the same cost any OPTIMIZE pays. A cluster deployment swaps the
+    os.walk for an object-store LIST.
     """
     n_files = max(1, math.ceil(_dir_bytes(src_dir) / target_file_bytes))
     df: DataFrame = spark.read.parquet(src_dir)
-    if cluster_by:
+    if cluster_by and deterministic_splits:
+        from pyspark.sql import functions as F
+
+        from .ranks import (identity_partition_tokens, range_pid,
+                            sample_order_keys, splits_from_sample)
+        specs = [(c, "asc") for c in cluster_by]
+        sample = sample_order_keys(df, specs, sample_mod=split_sample_mod)
+        bounds = splits_from_sample(sample, n_files)
+        # Route each range id through a probed token whose hash lands
+        # on exactly that partition index: every output file then owns
+        # ONE key range (disjoint min/max), on every run identically.
+        toks = identity_partition_tokens(spark, n_files)
+        tok_map = F.create_map(*[F.lit(x) for p, t in sorted(toks.items())
+                                 for x in (p, t)])
+        out = (df.withColumn("_tok", F.element_at(
+                   tok_map, range_pid(specs, bounds)))
+               .repartition(n_files, F.col("_tok"))
+               .sortWithinPartitions(*cluster_by)
+               .drop("_tok"))
+    elif cluster_by:
         out = (df.repartitionByRange(n_files, *cluster_by)
                .sortWithinPartitions(*cluster_by))
     else:

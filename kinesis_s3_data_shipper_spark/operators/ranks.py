@@ -175,6 +175,33 @@ def attach_global_rank(df: DataFrame, specs: list[OrderSpec], *,
     return ranked, total
 
 
+def identity_partition_tokens(spark, n: int) -> dict[int, int]:
+    """For each partition index t in [0, n): an int token whose Spark
+    hash lands exactly on partition t under ``repartition(n, col)``
+    (HashPartitioning = pmod(murmur3, n)). Lets a DataFrame be
+    partitioned by an EXPLICIT partition id — Spark's public API only
+    hash-partitions, which maps ids to partitions with collisions —
+    by routing each id through its probed token. Found empirically
+    with one bounded driver job (coupon-collector, ~n·ln n probes);
+    deterministic because murmur3 is."""
+    from pyspark.sql import functions as F
+    need = set(range(n))
+    tokens: dict[int, int] = {}
+    base = 0
+    while need:
+        batch = max(64, 4 * n)
+        rows = (spark.range(base, base + batch)
+                .select(F.col("id").cast("int").alias("tok"),
+                        F.pmod(F.hash(F.col("id").cast("int")),
+                               F.lit(n)).alias("t")).collect())
+        for r in rows:
+            if r.t in need:
+                tokens[r.t] = r.tok
+                need.discard(r.t)
+        base += batch
+    return tokens
+
+
 def ntile_ends(n: int, k: int) -> list[int]:
     """The last global rank in each of ntile(k)'s first k-1 buckets
     (SQL ntile: the first n%k buckets get the extra row), so

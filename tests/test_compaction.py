@@ -104,3 +104,41 @@ def test_compaction_sf01_realistic_file_counts(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, (hi1, lo2)
+
+
+def test_deterministic_range_clustering_reproducible_layout(spark,
+                                                            tmp_path,
+                                                            sf_small):
+    """deterministic_splits=True must (a) keep every output file's key
+    range disjoint, (b) preserve rows, and (c) produce the IDENTICAL
+    layout on a re-run — the reproducibility Spark's own
+    RangePartitioner (sampled boundaries, execution-dependent) cannot
+    promise a retried OPTIMIZE job."""
+    src = str(tmp_path / "scattered3")
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    ev.repartition(32).write.parquet(src)
+
+    def run(dest):
+        n = compact_parquet_dir(
+            spark, src, dest,
+            target_file_bytes=max(_total_bytes(src) // 6, 1),
+            cluster_by=["user_id"], deterministic_splits=True)
+        layout = []
+        for p in _data_files(dest):
+            md = pq.ParquetFile(p).metadata
+            idx = {md.schema.column(i).name: i
+                   for i in range(len(md.schema))}["user_id"]
+            stats = [md.row_group(rg).column(idx).statistics
+                     for rg in range(md.num_row_groups)]
+            layout.append((min(s.min for s in stats),
+                           max(s.max for s in stats), md.num_rows))
+        return n, sorted(layout)
+
+    n1, l1 = run(str(tmp_path / "det1"))
+    n2, l2 = run(str(tmp_path / "det2"))
+    assert n1 == n2 and l1 == l2          # reproducible layout
+    assert sum(c for _, _, c in l1) == ev.count()
+    for (lo1, hi1, _), (lo2, hi2, _) in zip(l1, l1[1:]):
+        assert hi1 <= lo2, (hi1, lo2)     # disjoint per-file ranges
+    got = spark.read.parquet(str(tmp_path / "det1"))
+    assert got.count() == ev.count()

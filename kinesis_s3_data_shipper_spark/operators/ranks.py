@@ -60,6 +60,19 @@ def _after(specs: list[OrderSpec], boundary: tuple) -> Column:
     return cond
 
 
+def auto_sample_mod(n: int, num_parts: int, *,
+                    target_per_part: int = 1024) -> int:
+    """Power-of-two hash-gate modulus that keeps the boundary sample
+    near ``num_parts * target_per_part`` rows whatever n is — the
+    bound that makes the driver-side sample collect safe at any
+    corpus size (Spark's RangePartitioner sizes its sketch the same
+    way). n is usually one parquet-metadata count away."""
+    target = max(1, num_parts * target_per_part)
+    if n <= target:
+        return 1
+    return 2 ** int(math.log2(n / target))
+
+
 def sample_order_keys(df: DataFrame, specs: list[OrderSpec], *,
                       sample_mod: int, seed: int = 41) -> list[tuple]:
     """Deterministic ~1/sample_mod sample of the order-column tuples,

@@ -1942,9 +1942,10 @@ FROM m
          "customers no single task ever holds a metric's total "
          "order.")
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.ranks import (attach_global_rank, bucket_from_rank,
-                                   ntile_ends, range_pid, rank_offsets,
-                                   sample_order_keys, splits_from_sample)
+    from ..operators.ranks import (attach_global_rank, auto_sample_mod,
+                                   bucket_from_rank, ntile_ends, range_pid,
+                                   rank_offsets, sample_order_keys,
+                                   splits_from_sample)
     orders = load_table(spark, sf_dir, "orders")
     m = (orders.groupBy("o_custkey")
          .agg(F.unix_millis(F.max("o_orderdate").cast("timestamp"))
@@ -1957,13 +1958,17 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |customers| checkpointed rows, not the fact table.
     mc = m.localCheckpoint(eager=True)
     cur = mc
+    # Boundary-sample modulus scales with |customers| so the driver-
+    # held sample stays bounded at any cardinality (cheap count on
+    # the checkpointed aggregate).
+    mod = auto_sample_mod(mc.count(), 32, target_per_part=128)
     n = 0
     for metric, rcol in (("last_order_ms", "_rn_r"),
                          ("frequency", "_rn_f"),
                          ("monetary", "_rn_m")):
         specs = [(metric, "desc"), ("o_custkey", "asc")]
         bounds = splits_from_sample(
-            sample_order_keys(mc, specs, sample_mod=16), 32)
+            sample_order_keys(mc, specs, sample_mod=mod), 32)
         offsets, n = rank_offsets(mc, range_pid(specs, bounds))
         cur, _ = attach_global_rank(cur, specs, rank_col=rcol,
                                     precomputed=(bounds, offsets))

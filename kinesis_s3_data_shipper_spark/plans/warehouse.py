@@ -220,12 +220,15 @@ GROUP BY q.i
 def compute_range_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
-    from ..operators.ranks import attach_global_rank
+    from ..operators.ranks import attach_global_rank, auto_sample_mod
     li = (load_table(spark, sf_dir, "lineitem")
           .select("l_orderkey", "l_linenumber"))
     specs = [("l_orderkey", "asc"), ("l_linenumber", "asc")]
+    # Boundary-sample modulus scales with n (one metadata-cheap count)
+    # so the driver-held sample stays ~num_parts*1k rows at any scale.
+    mod = auto_sample_mod(li.count(), 32, target_per_part=128)
     ranked, n = attach_global_rank(li, specs, rank_col="_rn",
-                                   num_parts=32, sample_mod=64)
+                                   num_parts=32, sample_mod=mod)
     targets = [(i, math.ceil(i * n / _SPLIT_PARTS))
                for i in range(1, _SPLIT_PARTS)]
     idx = spark.createDataFrame(targets, "split_idx long, _rn long")
@@ -284,13 +287,14 @@ GROUP BY q.i
 def compute_range_splits_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
-    from ..operators.ranks import attach_global_rank
+    from ..operators.ranks import attach_global_rank, auto_sample_mod
     li = (load_table(spark, sf_dir, "lineitem")
           .select("l_orderkey", "l_linenumber")
           .filter(F.expr(_SPLIT_GATE_SPARK)))
     specs = [("l_orderkey", "asc"), ("l_linenumber", "asc")]
+    mod = auto_sample_mod(li.count(), 8, target_per_part=128)
     ranked, m = attach_global_rank(li, specs, rank_col="_rn",
-                                   num_parts=8, sample_mod=16)
+                                   num_parts=8, sample_mod=mod)
     targets = [(i, math.ceil(i * m / _SPLIT_PARTS))
                for i in range(1, _SPLIT_PARTS)]
     idx = spark.createDataFrame(targets, "split_idx long, _rn long")

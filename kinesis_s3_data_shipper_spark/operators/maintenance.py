@@ -72,7 +72,7 @@ def compact_parquet_dir(spark: SparkSession, src_dir: str, dest_dir: str, *,
         tok_map = F.create_map(*[F.lit(x) for p, t in sorted(toks.items())
                                  for x in (p, t)])
         out = (df.withColumn("_tok", F.element_at(
-                   tok_map, range_pid(specs, bounds)))
+                   tok_map, range_pid(specs, bounds, unroll=True)))
                .repartition(n_files, F.col("_tok"))
                .sortWithinPartitions(*cluster_by)
                .drop("_tok"))

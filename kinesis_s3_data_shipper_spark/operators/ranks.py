@@ -127,14 +127,52 @@ def splits_from_sample(sample: list[tuple], num_parts: int) -> list[tuple]:
     return out
 
 
-def range_pid(specs: list[OrderSpec], boundaries: list[tuple]) -> Column:
+def range_pid(specs: list[OrderSpec], boundaries: list[tuple], *,
+              unroll: bool = False) -> Column:
     """Range-partition id (0-based) as a pure row expression: the
-    number of boundaries this row sorts strictly after."""
+    number of boundaries this row sorts strictly after.
+
+    Two spellings of the same arithmetic, because the cost structure
+    inverts with input size (both measured at 31 boundaries):
+
+    - ``unroll=False`` (default): ONE array-of-structs literal folded
+      by a single ``aggregate`` lambda — O(1) expression tree, near-
+      zero analysis/codegen cost, but the HOF evaluator is
+      interpreted per element. Right for modest row counts (the RFM
+      per-customer aggregate: 3 metrics x 31 boundaries unrolled
+      cost 7-13 s of analysis+codegen; the fold took it to ~0).
+    - ``unroll=True``: per-boundary CASE chain inside WholeStageCodegen
+      — pays ~1 s of compile once, then runs JVM-hot. Right for
+      large tables (600k-row lineitem: the fold's 18M interpreted
+      lambda steps measured 2-3x slower end-to-end than the unrolled
+      form).
+
+    Same winner either way; tests assert both against a global-window
+    brute force."""
     if not boundaries:
         return F.lit(0)
-    return reduce(lambda a, b: a + b,
-                  [F.when(_after(specs, bv), 1).otherwise(0)
-                   for bv in boundaries]).cast("int")
+    if unroll:
+        return reduce(lambda a, b: a + b,
+                      [F.when(_after(specs, bv), 1).otherwise(0)
+                       for bv in boundaries]).cast("int")
+    arr = F.array(*[
+        F.struct(*[F.lit(v).alias(f"c{i}") for i, v in enumerate(bv)])
+        for bv in boundaries])
+
+    def after(b: Column) -> Column:
+        cond = F.lit(False)
+        eq = F.lit(True)
+        for i, (c, d) in enumerate(specs):
+            col = F.col(c)
+            bv = b[f"c{i}"]
+            gt = (col < bv) if d == "desc" else (col > bv)
+            cond = cond | (eq & gt)
+            eq = eq & (col == bv)
+        return cond
+
+    return F.aggregate(
+        arr, F.lit(0),
+        lambda acc, b: acc + F.when(after(b), 1).otherwise(0)).cast("int")
 
 
 def rank_offsets(df: DataFrame, pid: Column) -> tuple[dict[int, int], int]:
@@ -155,7 +193,7 @@ def rank_offsets(df: DataFrame, pid: Column) -> tuple[dict[int, int], int]:
 
 def attach_global_rank(df: DataFrame, specs: list[OrderSpec], *,
                        rank_col: str, num_parts: int = 32,
-                       sample_mod: int = 16,
+                       sample_mod: int = 16, pid_unroll: bool = False,
                        precomputed: tuple[list[tuple], dict[int, int]] | None = None,
                        ) -> tuple[DataFrame, int]:
     """Add exact 1-based global rank `rank_col` in the `specs` total
@@ -169,11 +207,12 @@ def attach_global_rank(df: DataFrame, specs: list[OrderSpec], *,
     if precomputed is None:
         sample = sample_order_keys(df, specs, sample_mod=sample_mod)
         boundaries = splits_from_sample(sample, num_parts)
-        offsets, total = rank_offsets(df, range_pid(specs, boundaries))
+        offsets, total = rank_offsets(
+            df, range_pid(specs, boundaries, unroll=pid_unroll))
     else:
         boundaries, offsets = precomputed
         total = -1
-    pid = range_pid(specs, boundaries)
+    pid = range_pid(specs, boundaries, unroll=pid_unroll)
     pid_name = f"_pid_{rank_col}"
     off = (F.element_at(
         F.create_map(*[F.lit(x) for p, o in sorted(offsets.items())

@@ -1942,9 +1942,9 @@ FROM m
          "customers no single task ever holds a metric's total "
          "order.")
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.ranks import (attach_global_rank, auto_sample_mod,
-                                   bucket_from_rank, ntile_ends, range_pid,
-                                   rank_offsets, sample_order_keys,
+    from ..operators.ranks import (_Rev, attach_global_rank,
+                                   auto_sample_mod, bucket_from_rank,
+                                   ntile_ends, range_pid,
                                    splits_from_sample)
     orders = load_table(spark, sf_dir, "orders")
     m = (orders.groupBy("o_custkey")
@@ -1954,24 +1954,56 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.sum(F.col("o_totalprice").cast("decimal(20,6)"))
                .cast("double").alias("monetary")))
     # Materialize the per-customer aggregate once so the ranker's prep
-    # jobs (bounded sample + <=num_parts counts per metric) scan
-    # |customers| checkpointed rows, not the fact table.
+    # jobs scan |customers| checkpointed rows, not the fact table.
     mc = m.localCheckpoint(eager=True)
+    metrics = (("last_order_ms", "_rn_r", "r_score"),
+               ("frequency", "_rn_f", "f_score"),
+               ("monetary", "_rn_m", "m_score"))
+    # ONE bounded sample job serves all three metrics: collect the
+    # gated (custkey, metrics...) rows once, sort driver-side per
+    # metric ordering. Modulus scales with the parquet-metadata
+    # orders count — a free upper bound on |customers| (an
+    # overestimate only shrinks the sample, never unbounds it).
+    mod = auto_sample_mod(orders.count(), 32, target_per_part=128)
+    sampled = mc
+    if mod > 1:
+        sampled = mc.filter(
+            F.pmod(F.xxhash64("o_custkey", F.lit(41)), F.lit(mod)) == 0)
+    sample_rows = sampled.select("o_custkey", "last_order_ms",
+                                 "frequency", "monetary").collect()
+    specs_of = {metric: [(metric, "desc"), ("o_custkey", "asc")]
+                for metric, _, _ in metrics}
+    bounds_of = {}
+    for metric, _, _ in metrics:
+        keys = sorted(((_Rev(r[metric]), r["o_custkey"])
+                       for r in sample_rows))
+        bounds_of[metric] = splits_from_sample(
+            [(k[0].v, k[1]) for k in keys], 32)
+    # ONE counts job serves all three metrics: explode each row into
+    # its (metric_idx, pid) memberships, aggregate — <= 3*32 rows out.
+    pid_structs = F.array(*[
+        F.struct(F.lit(i).alias("mi"),
+                 range_pid(specs_of[metric], bounds_of[metric])
+                 .alias("pid"))
+        for i, (metric, _, _) in enumerate(metrics)])
+    counts = (mc.select(F.explode(pid_structs).alias("e"))
+              .groupBy("e.mi", "e.pid")
+              .agg(F.count("*").alias("c")).collect())
+    offsets_of: dict[int, dict[int, int]] = {i: {} for i in range(3)}
+    per_metric: dict[int, dict[int, int]] = {i: {} for i in range(3)}
+    for r in counts:
+        per_metric[r["mi"]][r["pid"]] = r["c"]
+    for i, cnts in per_metric.items():
+        acc = 0
+        for p in sorted(cnts):
+            offsets_of[i][p] = acc
+            acc += cnts[p]
+    n = sum(per_metric[0].values())  # total rows, no extra job
     cur = mc
-    # Boundary-sample modulus scales with |customers| so the driver-
-    # held sample stays bounded at any cardinality (cheap count on
-    # the checkpointed aggregate).
-    mod = auto_sample_mod(mc.count(), 32, target_per_part=128)
-    n = 0
-    for metric, rcol in (("last_order_ms", "_rn_r"),
-                         ("frequency", "_rn_f"),
-                         ("monetary", "_rn_m")):
-        specs = [(metric, "desc"), ("o_custkey", "asc")]
-        bounds = splits_from_sample(
-            sample_order_keys(mc, specs, sample_mod=mod), 32)
-        offsets, n = rank_offsets(mc, range_pid(specs, bounds))
-        cur, _ = attach_global_rank(cur, specs, rank_col=rcol,
-                                    precomputed=(bounds, offsets))
+    for i, (metric, rcol, _) in enumerate(metrics):
+        cur, _ = attach_global_rank(
+            cur, specs_of[metric], rank_col=rcol,
+            precomputed=(bounds_of[metric], offsets_of[i]))
     ends = ntile_ends(n, 5)
     return cur.select(
         "o_custkey", "last_order_ms", "frequency",

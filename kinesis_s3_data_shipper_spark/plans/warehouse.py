@@ -228,7 +228,8 @@ def compute_range_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the driver-held sample stays ~num_parts*1k rows at any scale.
     mod = auto_sample_mod(li.count(), 32, target_per_part=128)
     ranked, n = attach_global_rank(li, specs, rank_col="_rn",
-                                   num_parts=32, sample_mod=mod)
+                                   num_parts=32, sample_mod=mod,
+                                   pid_unroll=True)
     targets = [(i, math.ceil(i * n / _SPLIT_PARTS))
                for i in range(1, _SPLIT_PARTS)]
     idx = spark.createDataFrame(targets, "split_idx long, _rn long")
@@ -288,13 +289,20 @@ def compute_range_splits_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     from ..operators.ranks import attach_global_rank, auto_sample_mod
+    # Materialize the gated sample ONCE: the md5 gate costs a digest
+    # per corpus row, so it must run in a single scan — every later
+    # job (modulus count, boundary sample, offsets, final ranks)
+    # reads the bounded checkpointed sample instead of re-scanning
+    # and re-hashing the corpus.
     li = (load_table(spark, sf_dir, "lineitem")
           .select("l_orderkey", "l_linenumber")
-          .filter(F.expr(_SPLIT_GATE_SPARK)))
+          .filter(F.expr(_SPLIT_GATE_SPARK))
+          .localCheckpoint(eager=True))
     specs = [("l_orderkey", "asc"), ("l_linenumber", "asc")]
     mod = auto_sample_mod(li.count(), 8, target_per_part=128)
     ranked, m = attach_global_rank(li, specs, rank_col="_rn",
-                                   num_parts=8, sample_mod=mod)
+                                   num_parts=8, sample_mod=mod,
+                                   pid_unroll=True)
     targets = [(i, math.ceil(i * m / _SPLIT_PARTS))
                for i in range(1, _SPLIT_PARTS)]
     idx = spark.createDataFrame(targets, "split_idx long, _rn long")

@@ -85,14 +85,7 @@ def sample_order_keys(df: DataFrame, specs: list[OrderSpec], *,
         gate = F.pmod(F.xxhash64(*[F.col(c) for c in cols], F.lit(seed)),
                       F.lit(sample_mod)) == 0
         sampled = sampled.filter(gate)
-    rows = [tuple(r) for r in sampled.collect()]
-
-    def keyf(t: tuple):
-        return tuple(_Rev(v) if d == "desc" else v
-                     for v, (_, d) in zip(t, specs))
-
-    rows.sort(key=keyf)
-    return rows
+    return sort_sample([tuple(r) for r in sampled.collect()], specs)
 
 
 class _Rev:
@@ -108,6 +101,18 @@ class _Rev:
 
     def __eq__(self, other):
         return self.v == other.v
+
+
+def sort_sample(rows: list[tuple], specs: list[OrderSpec]) -> list[tuple]:
+    """Driver-side sort of raw order-key tuples in the `specs` total
+    order (DESC columns honored via the reverse-comparison wrapper).
+    For callers that collected their own sample rows and need them in
+    boundary-pick order."""
+    def keyf(t: tuple):
+        return tuple(_Rev(v) if d == "desc" else v
+                     for v, (_, d) in zip(t, specs))
+
+    return sorted(rows, key=keyf)
 
 
 def splits_from_sample(sample: list[tuple], num_parts: int) -> list[tuple]:

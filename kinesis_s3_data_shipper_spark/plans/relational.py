@@ -1942,9 +1942,9 @@ FROM m
          "customers no single task ever holds a metric's total "
          "order.")
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.ranks import (_Rev, attach_global_rank,
-                                   auto_sample_mod, bucket_from_rank,
-                                   ntile_ends, range_pid,
+    from ..operators.ranks import (attach_global_rank, auto_sample_mod,
+                                   bucket_from_rank, ntile_ends,
+                                   range_pid, sort_sample,
                                    splits_from_sample)
     orders = load_table(spark, sf_dir, "orders")
     m = (orders.groupBy("o_custkey")
@@ -1975,10 +1975,9 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for metric, _, _ in metrics}
     bounds_of = {}
     for metric, _, _ in metrics:
-        keys = sorted(((_Rev(r[metric]), r["o_custkey"])
-                       for r in sample_rows))
-        bounds_of[metric] = splits_from_sample(
-            [(k[0].v, k[1]) for k in keys], 32)
+        ordered = sort_sample([(r[metric], r["o_custkey"])
+                               for r in sample_rows], specs_of[metric])
+        bounds_of[metric] = splits_from_sample(ordered, 32)
     # ONE counts job serves all three metrics: explode each row into
     # its (metric_idx, pid) memberships, aggregate — <= 3*32 rows out.
     pid_structs = F.array(*[

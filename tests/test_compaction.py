@@ -142,3 +142,56 @@ def test_deterministic_range_clustering_reproducible_layout(spark,
         assert hi1 <= lo2, (hi1, lo2)     # disjoint per-file ranges
     got = spark.read.parquet(str(tmp_path / "det1"))
     assert got.count() == ev.count()
+
+
+def test_zorder_clustering_prunes_both_dimensions(spark, tmp_path):
+    """OPTIMIZE ZORDER: with two independent uniform columns, z-order
+    clustering must leave every output file covering a small sub-cube
+    — bounded min/max width in BOTH dimensions — where single-column
+    clustering leaves the second column's per-file range at ~the full
+    domain (no pruning power)."""
+    from pyspark.sql import functions as F
+
+    from kinesis_s3_data_shipper_spark.operators.maintenance import (
+        compact_parquet_dir_zorder)
+
+    src = str(tmp_path / "zsrc")
+    df = spark.range(100_000).select(
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000)).alias("a"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1000)).alias("b"))
+    df.repartition(32).write.parquet(src)
+    total = df.count()
+
+    def file_widths(dest, col):
+        widths = []
+        rows = 0
+        for p in _data_files(dest):
+            md = pq.ParquetFile(p).metadata
+            idx = {md.schema.column(i).name: i
+                   for i in range(len(md.schema))}[col]
+            stats = [md.row_group(rg).column(idx).statistics
+                     for rg in range(md.num_row_groups)]
+            widths.append((max(s.max for s in stats)
+                           - min(s.min for s in stats)) / 1000.0)
+            rows += md.num_rows
+        return widths, rows
+
+    zdest = str(tmp_path / "zdest")
+    n = compact_parquet_dir_zorder(
+        spark, src, zdest, zorder_by=["a", "b"],
+        target_file_bytes=max(_total_bytes(src) // 16, 1))
+    wa, rows_a = file_widths(zdest, "a")
+    wb, _ = file_widths(zdest, "b")
+    assert rows_a == total and n >= 8
+    # 16 files over a 16x16 z-grid -> each file spans ~1/4 of each
+    # dimension; allow slack for z-curve boundary files.
+    assert sum(wa) / len(wa) <= 0.6, wa
+    assert sum(wb) / len(wb) <= 0.6, wb
+
+    sdest = str(tmp_path / "sdest")
+    compact_parquet_dir(spark, src, sdest, cluster_by=["a"],
+                        target_file_bytes=max(_total_bytes(src) // 16, 1))
+    swa, _ = file_widths(sdest, "a")
+    swb, _ = file_widths(sdest, "b")
+    assert sum(swa) / len(swa) <= 0.2, swa       # its own column: tight
+    assert sum(swb) / len(swb) >= 0.9, swb       # other column: no help

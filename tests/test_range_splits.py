@@ -152,3 +152,33 @@ def test_exact_splits_agree_with_ranker(spark):
     n = len(rows)
     for i in range(1, 16):
         assert got[i] == rows[math.ceil(i * n / 16) - 1][0]
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(vals=st.lists(st.tuples(st.integers(-50, 50), st.integers(-3, 3)),
+                     min_size=0, max_size=200),
+       direction=st.sampled_from(["asc", "desc"]))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_rank_property_random_dups(spark, vals, direction):
+    """Property: on arbitrary data (heavy duplicates, negatives, empty)
+    the distributed ranker equals the unpartitioned-window brute force
+    exactly — the uid tiebreak makes the order total, so ranks are a
+    permutation of 1..n."""
+    rows = [(k, v, i) for i, (k, v) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, v long, uid long") \
+        if rows else spark.createDataFrame([], "k long, v long, uid long")
+    specs = [("k", direction), ("v", "asc"), ("uid", "asc")]
+    ranked, n = attach_global_rank(df, specs, rank_col="rn",
+                                   num_parts=5, sample_mod=3)
+    assert n == len(rows)
+    order = [F.col(c).desc() if d == "desc" else F.col(c).asc()
+             for c, d in specs]
+    ref = df.withColumn("rn_ref",
+                        F.row_number().over(Window.orderBy(*order)))
+    got = {r["uid"]: r["rn"] for r in ranked.collect()}
+    want = {r["uid"]: r["rn_ref"] for r in ref.collect()}
+    assert got == want

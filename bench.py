@@ -74,6 +74,8 @@ HEADLINE = [
     "compute_range_splits_sampled",
     "customer_rfm_segments",
     "dedup_minhash_lsh_incremental",
+    "dedup_paragraphs",
+    "sample_quality_weighted",
 ]
 
 

@@ -67,6 +67,7 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
 _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     # (1) never externally checked (new this round):
     "compute_range_splits_sampled", "dedup_minhash_lsh_incremental",
+    "dedup_paragraphs", "sample_quality_weighted",
     # (2) plan/oracle changed in round 5 — re-prove externally:
     "compute_range_splits", "customer_rfm_segments", "ann_ivf_probe",
     "events_cusum", "multimodal_dedup_phash",
@@ -85,7 +86,6 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_simhash", "dedup_embedding_cosine", "dedup_ngram_jaccard",
     "dedup_bloom_membership", "ann_bruteforce_topk",
     "embedding_cosine_pairs", "ann_lsh_buckets", "multimodal_features",
-    "multimodal_frame_sample", "tag_prefix_derivation",
 )
 
 

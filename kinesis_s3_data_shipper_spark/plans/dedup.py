@@ -500,3 +500,44 @@ def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (inter.filter(jac >= _PP_T)
             .select("doc_a", "doc_b", "n_common",
                     F.round(jac, 6).alias("jaccard")))
+
+
+@register("dedup_paragraphs", oracle="""
+WITH s AS (
+  SELECT doc_id, unnest(string_split(text, '. ')) AS sent
+  FROM documents
+), h AS (
+  SELECT doc_id, md5(sent) AS sh FROM s WHERE sent <> ''
+), k AS (
+  SELECT doc_id, sh, MIN(doc_id) OVER (PARTITION BY sh) AS keeper
+  FROM h
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sent,
+       CAST(SUM(CASE WHEN keeper = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept
+FROM k GROUP BY doc_id
+""", doc="Sentence/paragraph-level exact dedup (the C4/RefinedWeb "
+         "line-dedup cleaning step): every sentence is hashed, the "
+         "lowest doc_id containing a sentence keeps it, and every "
+         "other document's copy is dropped — reported as per-doc "
+         "kept/total sentence counts (a production pipeline "
+         "reassembles the kept sentences; the counts are the "
+         "hash-checkable core). Scale shape: ONE shuffle keyed on "
+         "the 16-byte sentence digest carrying (digest, doc_id) — "
+         "never sentence text — with the keeper resolved by a "
+         "digest-partitioned window min, then a map-side-combined "
+         "per-doc rollup. The split is a literal '. ' on both "
+         "engines (regex-escaped on the Spark side).")
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    docs = load_table(spark, sf_dir, "documents")
+    h = (docs.select("doc_id",
+                     F.explode(F.split("text", "\\. ")).alias("sent"))
+         .filter(F.col("sent") != "")
+         .select("doc_id", F.md5("sent").alias("sh")))
+    k = h.withColumn("keeper", F.min("doc_id").over(W.partitionBy("sh")))
+    return (k.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_sent"),
+                 F.sum(F.when(F.col("keeper") == F.col("doc_id"), 1)
+                       .otherwise(0)).cast("long").alias("n_kept")))

@@ -34,6 +34,16 @@ def _u100_duck(key_sql: str) -> str:
     return f"(CAST('0x' || substr(md5({key_sql}), 1, 15) AS BIGINT) % 100)"
 
 
+def _u1000_spark(key_sql: str) -> str:
+    """Uniform [0,1000) int — milli-probability gates."""
+    return (f"pmod(CAST(conv(substring(md5({key_sql}), 1, 15), 16, 10)"
+            f" AS BIGINT), 1000)")
+
+
+def _u1000_duck(key_sql: str) -> str:
+    return f"(CAST('0x' || substr(md5({key_sql}), 1, 15) AS BIGINT) % 1000)"
+
+
 #: Per-stratum sample percentages for the stratified query.
 _RATES = {"A": 2, "N": 1, "R": 5}
 _RATE_SPARK = ("CASE l_returnflag " +
@@ -271,3 +281,41 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("source", "n_docs", "n_chars",
                     F.round(mix, 6).alias("mixture_weight"),
                     F.round(mix / nat, 6).alias("upsample_factor"))
+
+
+@register("sample_quality_weighted", oracle=f"""
+WITH g AS (
+  SELECT doc_id, source, LEAST(1000, n_chars) AS keep_milli,
+         {_u1000_duck('CAST(doc_id AS VARCHAR)')} AS u
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN u < keep_milli THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(keep_milli) AS BIGINT) AS expected_milli
+FROM g GROUP BY source
+""", doc="Quality-WEIGHTED deterministic sampling: each document's "
+         "keep probability is its own quality score (here the "
+         "length-derived min(1, n_chars/1000) — any [0,1] score "
+         "column plugs in), gated per row by comparing a 60-bit "
+         "md5-uniform draw against the integer-milli score — no "
+         "rand(), so the kept set is reproducible under retries and "
+         "identical in the oracle. This is the upsample/downsample "
+         "primitive behind quality-weighted corpus mixing (keep "
+         "hiqh-quality docs with p~1, low-quality with p~score). "
+         "Integer milli-probabilities keep the gate exact on both "
+         "engines (no float threshold). One scan, map-side-combined "
+         "per-source rollup: kept counts vs the exact expected mass "
+         "(sum of scores), so the sample's calibration is itself "
+         "part of the checked result.")
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.expr(_u1000_spark("CAST(doc_id AS STRING)"))
+    keep = F.least(F.lit(1000), F.col("n_chars")).alias("keep_milli")
+    g = docs.select("doc_id", "source", keep, u.alias("u"))
+    return (g.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_total"),
+                 F.sum(F.when(F.col("u") < F.col("keep_milli"), 1)
+                       .otherwise(0)).cast("long").alias("n_kept"),
+                 F.sum("keep_milli").cast("long").alias("expected_milli")))

@@ -76,6 +76,7 @@ HEADLINE = [
     "dedup_minhash_lsh_incremental",
     "dedup_paragraphs",
     "sample_quality_weighted",
+    "events_mad_outliers",
 ]
 
 

@@ -605,3 +605,58 @@ def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" (acc, v) -> greatest(CAST(0.0 AS DOUBLE), acc + v))")
     return s.select("user_id", F.col("n").alias("n_events"),
                     F.round(fold, 6).alias("cusum_final"))
+
+
+@register("events_mad_outliers", oracle="""
+WITH s AS (
+  SELECT user_id, list(value) AS vals,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id HAVING COUNT(*) >= 5
+), m AS (
+  SELECT user_id, n, vals,
+         list_sort(vals)[CAST(ceil(n / 2.0) AS INTEGER)] AS med
+  FROM s
+), d AS (
+  SELECT user_id, n, vals, med,
+         list_sort(list_transform(vals, x -> abs(x - med)))
+           [CAST(ceil(n / 2.0) AS INTEGER)] AS mad
+  FROM m
+)
+SELECT user_id, n AS n_events,
+       ROUND(med, 6) AS median,
+       ROUND(mad, 6) AS mad,
+       CAST(len(list_filter(vals, x -> abs(x - med) > 3 * mad))
+            AS BIGINT) AS n_outliers
+FROM d
+""", doc="Robust per-entity outlier detection via median/MAD — the "
+         "z-score's heavy-tail-safe sibling (a single extreme value "
+         "shifts mean and stddev but not median or MAD). Median and "
+         "MAD use the exact discrete ceil(n/2) pick (the "
+         "agg_quantiles convention) on the sorted in-row arrays, so "
+         "both engines select an ACTUAL data value and the 3xMAD "
+         "comparisons are identical IEEE arithmetic — no "
+         "interpolation, no float-accumulation drift. Scale shape: "
+         "the same one-shuffle per-entity-series collect as "
+         "events_cusum/pattern_scan; all sorting and filtering "
+         "happens inside the row via array HOFs (per-user series "
+         "are bounded; a production variant swaps in "
+         "percentile_approx for unbounded series, same query "
+         "shape).")
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = (ev.groupBy("user_id")
+         .agg(F.collect_list("value").alias("vals"),
+              F.count("*").cast("long").alias("n"))
+         .filter(F.col("n") >= 5))
+    pick = "CAST(ceil(n / 2.0) AS INT)"
+    med = F.expr(f"element_at(array_sort(vals), {pick})")
+    m = s.withColumn("med", med)
+    mad = F.expr("element_at(array_sort(transform(vals,"
+                 f" x -> abs(x - med))), {pick})")
+    d = m.withColumn("mad", mad)
+    n_out = F.expr("CAST(size(filter(vals,"
+                   " x -> abs(x - med) > 3 * mad)) AS BIGINT)")
+    return d.select("user_id", F.col("n").alias("n_events"),
+                    F.round("med", 6).alias("median"),
+                    F.round("mad", 6).alias("mad"),
+                    n_out.alias("n_outliers"))

@@ -480,3 +480,39 @@ def test_range_splits_no_global_sort(spark, name):
     assert "rangepartitioning" not in plan
     assert "Exchange hashpartitioning" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_dedup_paragraphs_digest_only_shuffle(spark):
+    """The sentence-dedup exchange must carry (md5 digest, doc_id) —
+    never sentence text: the keeper window partitions by the digest,
+    and no Python evaluation appears anywhere."""
+    plan = plan_of(spark, "dedup_paragraphs")
+    assert "Exchange hashpartitioning(sh" in plan
+    assert "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_quality_weighted_sample_scan_side(spark):
+    """The weighted gate is a scan-side expression + one partial/final
+    agg — no join, no window, no Python."""
+    plan = plan_of(spark, "sample_quality_weighted")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_incremental_lsh_probe_is_equijoin(spark):
+    """The delta probe must ride band-bucket equi-joins (SortMerge or
+    Hash), never a nested-loop pair scan."""
+    plan = plan_of(spark, "dedup_minhash_lsh_incremental")
+    assert "NestedLoop" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_mad_outliers_single_entity_shuffle(spark):
+    """Median/MAD run inside the row after ONE per-user collect —
+    the events_cusum shape: one exchange, no window, no Python."""
+    plan = plan_of(spark, "events_mad_outliers")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan

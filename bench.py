@@ -77,6 +77,7 @@ HEADLINE = [
     "dedup_paragraphs",
     "sample_quality_weighted",
     "events_mad_outliers",
+    "text_collocations",
 ]
 
 

@@ -784,3 +784,78 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source", "llr_sum_scaled",
                     F.round(F.col("llr_sum_scaled").cast("double")
                             / _DSIR_SCALE, 6).alias("log_importance")))
+
+
+@register("text_collocations", oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), uni AS (
+  SELECT unnest(ws) AS word FROM w
+), uc AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY word
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS t FROM uc
+), bg AS (
+  SELECT unnest(list_transform(range(1, len(ws)),
+         i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+  FROM w WHERE len(ws) >= 2
+), bc AS (
+  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM bg GROUP BY bigram HAVING COUNT(*) >= 5
+), btot AS (
+  SELECT CAST(SUM(CAST(len(ws) - 1 AS BIGINT)) AS BIGINT) AS b
+  FROM w WHERE len(ws) >= 2
+)
+SELECT bigram, c_ab,
+       ROUND(CAST(c_ab * t * t AS DOUBLE)
+             / CAST(b * ua.c * ub.c AS DOUBLE), 6) AS lift
+FROM bc
+JOIN uc ua ON ua.word = string_split(bigram, ' ')[1]
+JOIN uc ub ON ub.word = string_split(bigram, ' ')[2]
+CROSS JOIN tot CROSS JOIN btot
+ORDER BY lift DESC, bigram LIMIT 50
+""", doc="Collocation mining: top-50 bigrams by LIFT — "
+         "P(ab)/(P(a)P(b)), the unlogged PMI, computed as the exact "
+         "integer ratio c_ab*T^2 / (B*c_a*c_b) so both engines agree "
+         "bit-for-bit (log-based PMI is avoided on purpose: libm "
+         "log differs across engines in the last ulp). The "
+         "text-side sibling of basket_pair_lift, and the standard "
+         "multi-word-expression / tokenizer-merge-candidate signal. "
+         "Scale shape: min-support (>=5) prunes the bigram table "
+         "BEFORE the statistic joins (Apriori downward closure), so "
+         "the survivors side is small and broadcasts into the two "
+         "unigram-count joins; T and B are broadcast scalars; the "
+         "top-50 is a bounded TakeOrdered, never a global sort.")
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(F.split("text", " ").alias("ws"))
+    uni = w.select(F.explode("ws").alias("word"))
+    uc = uni.groupBy("word").agg(F.count("*").cast("long").alias("c"))
+    tot = uc.agg(F.sum("c").cast("long").alias("t"))
+    pairs = (w.filter(F.size("ws") >= 2)
+             .select(F.explode(F.expr(
+                 "transform(sequence(1, size(ws) - 1),"
+                 " i -> concat(element_at(ws, i), ' ',"
+                 " element_at(ws, i + 1)))")).alias("bigram")))
+    bc = (pairs.groupBy("bigram")
+          .agg(F.count("*").cast("long").alias("c_ab"))
+          .filter(F.col("c_ab") >= 5))
+    btot = (w.filter(F.size("ws") >= 2)
+            .agg(F.sum(F.size("ws").cast("long") - 1)
+                 .cast("long").alias("b")))
+    surv = bc.select("bigram", "c_ab",
+                     F.split("bigram", " ").getItem(0).alias("w1"),
+                     F.split("bigram", " ").getItem(1).alias("w2"))
+    ua = uc.select(F.col("word").alias("w1"), F.col("c").alias("ca"))
+    ub = uc.select(F.col("word").alias("w2"), F.col("c").alias("cb"))
+    scored = (ua.join(F.broadcast(surv), "w1")
+              .join(F.broadcast(ub.join(
+                  F.broadcast(surv.select("w2").distinct()), "w2")), "w2")
+              .crossJoin(F.broadcast(tot))
+              .crossJoin(F.broadcast(btot))
+              .select("bigram", "c_ab",
+                      F.round((F.col("c_ab") * F.col("t") * F.col("t"))
+                              .cast("double")
+                              / (F.col("b") * F.col("ca") * F.col("cb"))
+                              .cast("double"), 6).alias("lift")))
+    return scored.orderBy(F.desc("lift"), "bigram").limit(50)

@@ -300,3 +300,20 @@ def test_vacuum_concurrent_with_stream_preserves_retry_base(spark,
     assert corrupted != want_map
     one_epoch = {r.user_id: (r.n, r.s) for r in want}
     assert corrupted == one_epoch
+
+
+def test_vacuum_tolerates_stray_dirs(tmp_path):
+    """A non-numeric 'v=' entry (editor/temp artifact) must be skipped,
+    not abort the sweep mid-deletion (advisor round-4 finding)."""
+    import os
+
+    from kinesis_s3_data_shipper_spark.operators.maintenance import (
+        vacuum_versions)
+
+    b = tmp_path / "table" / "b=0"
+    for v in ("v=0", "v=1", "v=2", "v=tmp", "v=1.bak"):
+        (b / v).mkdir(parents=True)
+    removed = vacuum_versions(str(tmp_path / "table"), keep=2)
+    assert removed == {0: [0]}
+    left = sorted(os.listdir(b))
+    assert left == ["v=1", "v=1.bak", "v=2", "v=tmp"]

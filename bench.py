@@ -78,6 +78,7 @@ HEADLINE = [
     "sample_quality_weighted",
     "events_mad_outliers",
     "text_collocations",
+    "sample_deterministic_upsample",
 ]
 
 

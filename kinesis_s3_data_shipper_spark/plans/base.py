@@ -54,7 +54,7 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
 #: so the union across rounds converges on the whole registry.
 #: Round-5 window, in strict priority order (never-checked beats
 #: changed beats stale-checked; stale ranked by last-green round from
-#: CORRECTNESS_r0{1..4}.json): (1) the six queries first registered
+#: CORRECTNESS_r0{1..4}.json): (1) the seven queries first registered
 #: this round; (2) queries whose plan or oracle changed this round —
 #: compute_range_splits + customer_rfm_segments moved onto the
 #: distributed ranker, ann_ivf_probe grew the broadcast-centroid
@@ -68,7 +68,7 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     # (1) never externally checked (new this round):
     "compute_range_splits_sampled", "dedup_minhash_lsh_incremental",
     "dedup_paragraphs", "sample_quality_weighted", "events_mad_outliers",
-    "text_collocations",
+    "text_collocations", "sample_deterministic_upsample",
     # (2) plan/oracle changed in round 5 — re-prove externally:
     "compute_range_splits", "customer_rfm_segments", "ann_ivf_probe",
     "events_cusum", "multimodal_dedup_phash",
@@ -86,7 +86,6 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_exact", "dedup_exact_hash", "dedup_clusters_cc",
     "dedup_simhash", "dedup_embedding_cosine", "dedup_ngram_jaccard",
     "dedup_bloom_membership", "ann_bruteforce_topk",
-    "embedding_cosine_pairs",
 )
 
 

@@ -319,3 +319,47 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.when(F.col("u") < F.col("keep_milli"), 1)
                        .otherwise(0)).cast("long").alias("n_kept"),
                  F.sum("keep_milli").cast("long").alias("expected_milli")))
+
+
+@register("sample_deterministic_upsample", oracle=f"""
+WITH g AS (
+  SELECT doc_id, source,
+         LEAST(3000, GREATEST(1000, n_chars)) AS f_milli,
+         {_u1000_duck('CAST(doc_id AS VARCHAR)')} AS u
+  FROM documents
+), c AS (
+  SELECT doc_id, source, f_milli,
+         f_milli // 1000
+         + CASE WHEN u < f_milli % 1000 THEN 1 ELSE 0 END AS n_copies
+  FROM g
+)
+SELECT doc_id, source, CAST(n_copies AS BIGINT) AS n_copies,
+       CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_idx
+FROM c
+""", doc="Deterministic UPSAMPLING by fractional factor — the "
+         "execution half of source mixture weighting "
+         "(source_mixture_weights computes the factors; this "
+         "materializes the copies): each doc's factor (here a "
+         "length-derived 1.0-3.0x in exact milli-integers) splits "
+         "into floor copies plus one stochastic-rounding extra copy "
+         "gated by the md5-uniform draw — expectation-exact, "
+         "retry-stable, and bit-identical in the oracle (rand()-"
+         "based upsampling is none of these). Each copy carries its "
+         "copy_idx so downstream shuffles/splits can seed per-copy "
+         "augmentation. Scale shape: one scan + a narrow "
+         "explode(sequence) — output size is the mixture's token "
+         "budget by construction, and no shuffle at all.")
+def sample_deterministic_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.expr(_u1000_spark("CAST(doc_id AS STRING)"))
+    f = F.least(F.lit(3000), F.greatest(F.lit(1000), F.col("n_chars")))
+    c = docs.select(
+        "doc_id", "source",
+        (f.cast("long") / 1000).cast("long").alias("_floor"),
+        (u < f % 1000).cast("int").alias("_extra"))
+    n_copies = (F.col("_floor") + F.col("_extra")).cast("long")
+    return (c.withColumn("n_copies", n_copies)
+            .select("doc_id", "source", "n_copies",
+                    F.explode(F.sequence(F.lit(1).cast("long"),
+                                         F.col("n_copies")))
+                    .alias("copy_idx")))

@@ -516,3 +516,23 @@ def test_mad_outliers_single_entity_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_collocations_prune_before_stat_joins(spark):
+    """Min-support must prune the bigram table BEFORE the unigram-count
+    joins (downward closure), survivors ride broadcasts, and the top-50
+    is a bounded TakeOrdered — never a global sort or cartesian."""
+    plan = plan_of(spark, "text_collocations")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_upsample_is_scan_side_explode(spark):
+    """Deterministic upsampling is one scan + a narrow explode — no
+    shuffle, no Python."""
+    plan = plan_of(spark, "sample_deterministic_upsample")
+    assert "Generate explode" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan

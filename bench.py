@@ -79,6 +79,7 @@ HEADLINE = [
     "events_mad_outliers",
     "text_collocations",
     "sample_deterministic_upsample",
+    "profile_key_skew",
 ]
 
 

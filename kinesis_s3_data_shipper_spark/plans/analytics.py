@@ -605,3 +605,64 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                             * F.col("n_baskets")
                             / (F.col("n_a") * F.col("n_b")), 6)
                      .alias("lift")))
+
+
+@register("profile_key_skew", oracle="""
+WITH kc AS (
+  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY l_suppkey
+), coc AS (
+  SELECT c, CAST(COUNT(*) AS BIGINT) AS k FROM kc GROUP BY c
+), tot AS (
+  SELECT CAST(SUM(k) AS BIGINT) AS n_keys,
+         CAST(SUM(c * k) AS BIGINT) AS n_rows,
+         MAX(c) AS max_count
+  FROM coc
+), cum AS (
+  SELECT c, SUM(k) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum
+  FROM coc
+)
+SELECT t.n_keys, t.n_rows, t.max_count,
+       (SELECT MIN(c) FROM cum, tot
+        WHERE cum >= CAST(ceil(0.5 * tot.n_keys) AS BIGINT))
+         AS p50_count,
+       (SELECT MIN(c) FROM cum, tot
+        WHERE cum >= CAST(ceil(0.99 * tot.n_keys) AS BIGINT))
+         AS p99_count,
+       ROUND(CAST(t.max_count AS DOUBLE) / t.n_rows, 6) AS top1_share
+FROM tot t
+""", doc="Join-key skew diagnostic — the measurement that decides "
+         "between a plain shuffle join, AQE skew-split, and explicit "
+         "salting (join_salted_skew): per-key row counts reduced to "
+         "the count-of-counts histogram, from which exact discrete "
+         "p50/p99 key sizes (the agg_quantiles ceil convention, "
+         "expressed as min count with cumulative keys >= ceil(q*n) — "
+         "identical pick), the max key size, and the heaviest key's "
+         "share of all rows are derived. Scale shape: ONE map-side-"
+         "combined shuffle to key counts, a second tiny agg to the "
+         "count-of-counts table, and the cumulative window runs over "
+         "DISTINCT COUNT VALUES — bounded by the heaviest key's "
+         "size in the worst case and practically a few thousand rows "
+         "at any corpus size, never |keys| and never |rows|.")
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    kc = li.groupBy("l_suppkey").agg(F.count("*").cast("long").alias("c"))
+    coc = kc.groupBy("c").agg(F.count("*").cast("long").alias("k"))
+    tot = coc.agg(F.sum("k").cast("long").alias("n_keys"),
+                  F.sum(F.col("c") * F.col("k")).cast("long")
+                  .alias("n_rows"),
+                  F.max("c").alias("max_count"))
+    w = W.orderBy("c").rowsBetween(W.unboundedPreceding, 0)
+    cum = (coc.withColumn("cum", F.sum("k").over(w))
+           .crossJoin(F.broadcast(tot)))
+    p50 = (cum.filter(F.col("cum")
+                      >= F.ceil(F.lit(0.5) * F.col("n_keys")).cast("long"))
+           .agg(F.min("c").alias("p50_count")))
+    p99 = (cum.filter(F.col("cum")
+                      >= F.ceil(F.lit(0.99) * F.col("n_keys")).cast("long"))
+           .agg(F.min("c").alias("p99_count")))
+    return (tot.crossJoin(F.broadcast(p50)).crossJoin(F.broadcast(p99))
+            .select("n_keys", "n_rows", "max_count", "p50_count",
+                    "p99_count",
+                    F.round(F.col("max_count").cast("double")
+                            / F.col("n_rows"), 6).alias("top1_share")))

@@ -54,7 +54,7 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
 #: so the union across rounds converges on the whole registry.
 #: Round-5 window, in strict priority order (never-checked beats
 #: changed beats stale-checked; stale ranked by last-green round from
-#: CORRECTNESS_r0{1..4}.json): (1) the seven queries first registered
+#: CORRECTNESS_r0{1..4}.json): (1) the eight queries first registered
 #: this round; (2) queries whose plan or oracle changed this round —
 #: compute_range_splits + customer_rfm_segments moved onto the
 #: distributed ranker, ann_ivf_probe grew the broadcast-centroid
@@ -69,6 +69,7 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     "compute_range_splits_sampled", "dedup_minhash_lsh_incremental",
     "dedup_paragraphs", "sample_quality_weighted", "events_mad_outliers",
     "text_collocations", "sample_deterministic_upsample",
+    "profile_key_skew",
     # (2) plan/oracle changed in round 5 — re-prove externally:
     "compute_range_splits", "customer_rfm_segments", "ann_ivf_probe",
     "events_cusum", "multimodal_dedup_phash",
@@ -85,7 +86,7 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     # (4) oldest r02-era block:
     "dedup_exact", "dedup_exact_hash", "dedup_clusters_cc",
     "dedup_simhash", "dedup_embedding_cosine", "dedup_ngram_jaccard",
-    "dedup_bloom_membership", "ann_bruteforce_topk",
+    "dedup_bloom_membership",
 )
 
 

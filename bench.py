@@ -8,6 +8,16 @@ Each query is forced with a cheap count() action (results are small
 aggregates; the work is the scan/join/shuffle, which count() executes
 fully). A warmup query runs first so JVM/codegen startup isn't charged
 to q1.
+
+OUTPUT CONTRACT (round-6 fix): the harness that records this bench
+keeps only the last ~2,000 characters of stdout, and the round-5
+official artifact was lost because the single JSON line grew past that
+with the per-query dispersion map. So: the FINAL stdout line is now
+the COMPACT record only ({metric, value, unit, queries, sf} with
+2-decimal timings and no whitespace — `tests/test_bench_output.py`
+pins it under the capture budget), and the full record (3-decimal
+timings + dispersion + errors) is written to $SPARK_GRAFT_BENCH_FULL
+(default ./BENCH_FULL_LOCAL.json) instead of stdout.
 """
 
 from __future__ import annotations
@@ -132,20 +142,35 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    record = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "dispersion": dispersion,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
+    }
+    compact = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 2),
+        "unit": "sec",
+        "queries": {n: round(t, 2) for n, t in timings.items()},
+        "sf": sf_val,
     }
     if errors:
         # A crashed query's timing is missing from `value`, so the
         # headline total must never be compared against a full run.
-        record["errors"] = errors
-        record["incomplete"] = True
-    print(json.dumps(record))
+        full["errors"] = errors
+        full["incomplete"] = True
+        compact["incomplete"] = True
+    full_path = os.environ.get("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL_LOCAL.json")
+    with open(full_path, "w") as fh:
+        json.dump(full, fh, indent=0)
+        fh.write("\n")
+    # FINAL line = compact record only; must fit the driver's ~2 KB
+    # stdout tail capture or the round's official artifact is lost.
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
 

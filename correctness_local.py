@@ -31,6 +31,11 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default="CORRECTNESS_LOCAL.json")
     ap.add_argument("--cpus", default="32")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated query names: run just these "
+                         "(iteration aid; the written record then covers "
+                         "only the subset, so don't commit it as the "
+                         "full-sweep artifact)")
     args = ap.parse_args()
 
     spark = (SparkSession.builder.master(f"local[{args.cpus}]")
@@ -43,10 +48,18 @@ def main() -> int:
     from tests.oracle_harness import duckdb_connection, run_pair
 
     all_queries()
+    only = set(args.only.split(",")) if args.only else None
+    if only:
+        unknown = only - set(REGISTRY)
+        if unknown:
+            print(f"unknown queries: {sorted(unknown)}", file=sys.stderr)
+            return 2
     t0 = time.time()
     out: dict[str, dict] = {}
     n_pass = n_fail = 0
     for name, spec in REGISTRY.items():
+        if only and name not in only:
+            continue
         rec: dict = {"rows_match": None, "schema_match": None,
                      "hash_match": None, "spark_rows": None,
                      "oracle_rows": None, "err": None}

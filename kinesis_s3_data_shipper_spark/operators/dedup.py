@@ -228,7 +228,8 @@ def minhash_lsh_index(docs: DataFrame, *, id_col: str, text_col: str,
 
 def minhash_lsh_pairs_incremental(base_index: DataFrame,
                                   delta_index: DataFrame, *,
-                                  threshold: float = 0.5) -> DataFrame:
+                                  threshold: float = 0.5,
+                                  eager_release: bool = True) -> DataFrame:
     """Near-dup pairs INVOLVING AT LEAST ONE DELTA doc — the
     append-only maintenance step of MinHash-LSH dedup (the streaming
     counterpart of :func:`minhash_lsh_pairs`): only the delta's band
@@ -239,6 +240,17 @@ def minhash_lsh_pairs_incremental(base_index: DataFrame,
     matches the batch pipeline filtered to delta-involving pairs
     (oracle-proven in plans/dedup.py); dedup decisions already made
     for the old corpus are therefore never revisited.
+
+    Cache lifetime: the unioned index is persisted because the plan
+    reads it three times (band probe + both verify sides). As the
+    designated PER-EPOCH maintenance step this would otherwise
+    accumulate cached blocks across invocations until eviction
+    pressure, so by default (``eager_release=True``) the small pair
+    output is materialized here (localCheckpoint) and the index cache
+    is dropped before returning. Pass ``eager_release=False`` to keep
+    the result lazy for plan composition — the CALLER then owns the
+    unioned index's cache lifetime (it is released only by eviction
+    or ``spark.catalog.clearCache()``).
     """
     full = (base_index.withColumn("_is_delta", F.lit(False))
             .unionByName(delta_index.withColumn("_is_delta", F.lit(True)))
@@ -254,17 +266,21 @@ def minhash_lsh_pairs_incremental(base_index: DataFrame,
                     F.greatest("a._id", "b._id").alias("doc_b"))
             .distinct())
     sh = full.select("_id", "_hsh")
-    return (cand
-            .join(sh.select(F.col("_id").alias("doc_a"),
-                            F.col("_hsh").alias("_sh_a")), "doc_a")
-            .join(sh.select(F.col("_id").alias("doc_b"),
-                            F.col("_hsh").alias("_sh_b")), "doc_b")
-            .select("doc_a", "doc_b",
-                    (F.size(F.array_intersect("_sh_a", "_sh_b"))
-                     .cast("double")
-                     / F.size(F.array_union("_sh_a", "_sh_b")))
-                    .alias("jaccard"))
-            .filter(F.col("jaccard") >= threshold))
+    out = (cand
+           .join(sh.select(F.col("_id").alias("doc_a"),
+                           F.col("_hsh").alias("_sh_a")), "doc_a")
+           .join(sh.select(F.col("_id").alias("doc_b"),
+                           F.col("_hsh").alias("_sh_b")), "doc_b")
+           .select("doc_a", "doc_b",
+                   (F.size(F.array_intersect("_sh_a", "_sh_b"))
+                    .cast("double")
+                    / F.size(F.array_union("_sh_a", "_sh_b")))
+                   .alias("jaccard"))
+           .filter(F.col("jaccard") >= threshold))
+    if eager_release:
+        out = out.localCheckpoint()
+        full.unpersist()
+    return out
 
 
 def connected_components(edges: DataFrame, *, src: str = "doc_a",

@@ -28,11 +28,27 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+def _boundary_sample_mod(df: DataFrame, num_parts: int,
+                         explicit: int | None) -> int:
+    """Hash-gate modulus for a boundary sample: the caller's explicit
+    value if given, else scaled from the row count via
+    ranks.auto_sample_mod so the driver-side collect stays near
+    ``num_parts * 1024`` rows at ANY table size (a fixed default like
+    16 would make the collect ~n/16 rows — unbounded as the table
+    grows). The count() against a parquet source is a metadata-only
+    job (no data read), the same cheap sizing step the plans layer
+    pays."""
+    if explicit is not None:
+        return explicit
+    from .ranks import auto_sample_mod
+    return auto_sample_mod(df.count(), num_parts)
+
+
 def compact_parquet_dir(spark: SparkSession, src_dir: str, dest_dir: str, *,
                         target_file_bytes: int = 128 * 1024 * 1024,
                         cluster_by: list[str] | None = None,
                         deterministic_splits: bool = False,
-                        split_sample_mod: int = 16) -> int:
+                        split_sample_mod: int | None = None) -> int:
     """Rewrite `src_dir` into ~target-sized parquet files at `dest_dir`.
 
     Output file count = ceil(current on-disk bytes / target) — sized
@@ -63,7 +79,8 @@ def compact_parquet_dir(spark: SparkSession, src_dir: str, dest_dir: str, *,
         from .ranks import (identity_partition_tokens, range_pid,
                             sample_order_keys, splits_from_sample)
         specs = [(c, "asc") for c in cluster_by]
-        sample = sample_order_keys(df, specs, sample_mod=split_sample_mod)
+        mod = _boundary_sample_mod(df, n_files, split_sample_mod)
+        sample = sample_order_keys(df, specs, sample_mod=mod)
         bounds = splits_from_sample(sample, n_files)
         # Route each range id through a probed token whose hash lands
         # on exactly that partition index: every output file then owns
@@ -86,7 +103,7 @@ def compact_parquet_dir(spark: SparkSession, src_dir: str, dest_dir: str, *,
 
 
 def zorder_key(spark: SparkSession, df: DataFrame, cols: list[str], *,
-               bits_per_col: int = 4, sample_mod: int = 16):
+               bits_per_col: int = 4, sample_mod: int | None = None):
     """Z-order (Morton) key expression over ``cols``: each column is
     quantized to ``2^bits_per_col`` equal-frequency buckets via the
     engine's sampled range splits, and the bucket bits are interleaved
@@ -103,10 +120,11 @@ def zorder_key(spark: SparkSession, df: DataFrame, cols: list[str], *,
 
     from .ranks import range_pid, sample_order_keys, splits_from_sample
     n_buckets = 2 ** bits_per_col
+    mod = _boundary_sample_mod(df, n_buckets, sample_mod)
     bucket_cols = []
     for c in cols:
         specs = [(c, "asc")]
-        sample = sample_order_keys(df, specs, sample_mod=sample_mod)
+        sample = sample_order_keys(df, specs, sample_mod=mod)
         bounds = splits_from_sample(sample, n_buckets)
         bucket_cols.append(range_pid(specs, bounds, unroll=True))
     k = len(cols)
@@ -122,7 +140,7 @@ def compact_parquet_dir_zorder(spark: SparkSession, src_dir: str,
                                dest_dir: str, *, zorder_by: list[str],
                                target_file_bytes: int = 128 * 1024 * 1024,
                                bits_per_col: int = 4,
-                               sample_mod: int = 16) -> int:
+                               sample_mod: int | None = None) -> int:
     """OPTIMIZE ZORDER: rewrite ``src_dir`` into ~target-sized files
     range-clustered by the interleaved :func:`zorder_key` over
     ``zorder_by`` — every output file covers a small sub-cube of the

@@ -240,7 +240,18 @@ def identity_partition_tokens(spark, n: int) -> dict[int, int]:
     hash-partitions, which maps ids to partitions with collisions —
     by routing each id through its probed token. Found empirically
     with one bounded driver job (coupon-collector, ~n·ln n probes);
-    deterministic because murmur3 is."""
+    deterministic because murmur3 is.
+
+    The probe equates ``F.hash`` (murmur3) with the placement
+    ``repartition(n, col)`` actually uses — true today, but that is
+    an internal Spark implementation detail, not a public contract.
+    So before returning, every token is round-tripped through a REAL
+    ``repartition(n, col)`` + ``spark_partition_id()`` (one tiny
+    n-row job): if a Spark upgrade ever changes the hash seed or
+    placement, callers get a loud error here instead of a silently
+    degraded one-range-per-file layout. The reproducible-layout test
+    (tests/test_compaction.py) guards the same invariant end-to-end.
+    """
     from pyspark.sql import functions as F
     need = set(range(n))
     tokens: dict[int, int] = {}
@@ -256,6 +267,19 @@ def identity_partition_tokens(spark, n: int) -> dict[int, int]:
                 tokens[r.t] = r.tok
                 need.discard(r.t)
         base += batch
+    placed = (spark.createDataFrame(
+                  [(t, tok) for t, tok in tokens.items()],
+                  "expected int, tok int")
+              .repartition(n, F.col("tok"))
+              .select("expected", F.spark_partition_id().alias("actual")))
+    misplaced = placed.filter(F.col("actual") != F.col("expected")).count()
+    if misplaced:
+        raise RuntimeError(
+            f"identity_partition_tokens: {misplaced}/{n} probed tokens "
+            "did not land on their expected partition — this Spark "
+            "version's HashPartitioning no longer matches "
+            "pmod(F.hash(col), n); deterministic layouts need a new "
+            "probe strategy")
     return tokens
 
 

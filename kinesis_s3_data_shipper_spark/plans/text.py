@@ -807,18 +807,23 @@ WITH w AS (
   FROM w WHERE len(ws) >= 2
 )
 SELECT bigram, c_ab,
-       ROUND(CAST(c_ab * t * t AS DOUBLE)
-             / CAST(b * ua.c * ub.c AS DOUBLE), 6) AS lift
+       ROUND((CAST(c_ab AS DOUBLE) * CAST(t AS DOUBLE) * CAST(t AS DOUBLE))
+             / (CAST(b AS DOUBLE) * CAST(ua.c AS DOUBLE)
+                * CAST(ub.c AS DOUBLE)), 6) AS lift
 FROM bc
 JOIN uc ua ON ua.word = string_split(bigram, ' ')[1]
 JOIN uc ub ON ub.word = string_split(bigram, ' ')[2]
 CROSS JOIN tot CROSS JOIN btot
 ORDER BY lift DESC, bigram LIMIT 50
 """, doc="Collocation mining: top-50 bigrams by LIFT — "
-         "P(ab)/(P(a)P(b)), the unlogged PMI, computed as the exact "
-         "integer ratio c_ab*T^2 / (B*c_a*c_b) so both engines agree "
-         "bit-for-bit (log-based PMI is avoided on purpose: libm "
-         "log differs across engines in the last ulp). The "
+         "P(ab)/(P(a)P(b)), the unlogged PMI, computed as the ratio "
+         "c_ab*T^2 / (B*c_a*c_b) with every operand cast to DOUBLE "
+         "BEFORE multiplying: at corpus scale (T ~ 1e9+) the BIGINT "
+         "products would exceed 2^63, where Spark silently wraps "
+         "while DuckDB raises — double products are IEEE-identical "
+         "across engines in the same left-assoc order, and the "
+         "result is rounded to 6 places so parity holds (log-based "
+         "PMI is still avoided: libm log differs in the last ulp). The "
          "text-side sibling of basket_pair_lift, and the standard "
          "multi-word-expression / tokenizer-merge-candidate signal. "
          "Scale shape: min-support (>=5) prunes the bigram table "
@@ -854,8 +859,11 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
               .crossJoin(F.broadcast(tot))
               .crossJoin(F.broadcast(btot))
               .select("bigram", "c_ab",
-                      F.round((F.col("c_ab") * F.col("t") * F.col("t"))
-                              .cast("double")
-                              / (F.col("b") * F.col("ca") * F.col("cb"))
-                              .cast("double"), 6).alias("lift")))
+                      F.round((F.col("c_ab").cast("double")
+                               * F.col("t").cast("double")
+                               * F.col("t").cast("double"))
+                              / (F.col("b").cast("double")
+                                 * F.col("ca").cast("double")
+                                 * F.col("cb").cast("double")),
+                              6).alias("lift")))
     return scored.orderBy(F.desc("lift"), "bigram").limit(50)

@@ -1,0 +1,48 @@
+"""Pin bench.py's final-stdout-line size under the driver's capture.
+
+Round 5's official bench artifact was lost (`BENCH_r05.json:
+"parsed": null`) because the single JSON line — grown to ~5.7 KB by
+the per-query dispersion map — exceeded the ~2,000-character stdout
+tail the recording harness keeps. bench.py now prints ONLY the
+compact record as its final line and routes dispersion/errors to a
+side file; this test proves the compact line cannot outgrow the
+capture budget even with worst-plausible timings, so the regression
+is structurally impossible rather than just currently absent.
+"""
+
+import json
+
+from bench import HEADLINE
+
+# Driver keeps the last ~2,000 chars; leave headroom for a trailing
+# newline and any final log line fragments that share the tail.
+CAPTURE_BUDGET = 1900
+
+
+def _compact_line(per_query_seconds: float) -> str:
+    compact = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(per_query_seconds * len(HEADLINE), 2),
+        "unit": "sec",
+        "queries": {n: round(per_query_seconds, 2) for n in HEADLINE},
+        "sf": 0.1,
+    }
+    return json.dumps(compact, separators=(",", ":"))
+
+
+def test_compact_line_fits_capture_budget_at_worst_plausible_timings():
+    # 999.99 s/query is far beyond anything observed (worst single
+    # query across five rounds: ~8 s); 6-char values are the widest
+    # rendering 2-decimal rounding produces below 1000 s.
+    line = _compact_line(999.99)
+    assert len(line) <= CAPTURE_BUDGET, (
+        f"compact bench line is {len(line)} chars at worst-case "
+        f"timings; trim HEADLINE or shorten the record"
+    )
+
+
+def test_compact_line_is_valid_driver_record():
+    rec = json.loads(_compact_line(1.23))
+    assert rec["metric"] == "headline_queries_total_runtime"
+    assert rec["unit"] == "sec"
+    assert set(rec["queries"]) == set(HEADLINE)

@@ -57,3 +57,20 @@ def sql_dsum(expr: str, alias: str) -> str:
 def sql_davg(expr: str, alias: str) -> str:
     return (f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
             f" / COUNT({expr}) AS {alias}")
+
+
+def fixed2_str(col: Column | str) -> Column:
+    """Engine-exact 2-decimal string rendering of a double, valid at
+    ANY magnitude. A bare double→string cast diverges between engines
+    at |x| >= 1e7 (Java flips to scientific notation, DuckDB stays
+    plain decimal), so renderings that feed a hash-checked output go
+    through this instead: ROUND(x, 2) — half-away-from-zero in both
+    engines — then DECIMAL(38,2), whose string form is plain decimal
+    with exactly two fraction digits everywhere (range 1e36, beyond
+    any realistic measure). Pair with :func:`sql_fixed2_str`."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c, 2).cast("decimal(38,2)").cast("string")
+
+
+def sql_fixed2_str(expr: str) -> str:
+    return f"CAST(CAST(ROUND({expr}, 2) AS DECIMAL(38,2)) AS VARCHAR)"

@@ -73,18 +73,55 @@ def make_raw_file(*, n_blocks: int, events_per_block: int, gzip_depth: int,
     return encode_blocks(blocks, gzip_depth)
 
 
-def fixture_files() -> list[tuple[str, bytes]]:
-    """The deterministic generation matrix from FIXTURES.md §B
-    (moderate event counts so the rows-only query stays fast)."""
-    files: list[tuple[str, bytes]] = []
+def fixture_matrix() -> list[tuple[str, list[dict], int]]:
+    """The §B generation matrix as ``(key, blocks, gzip_depth)`` —
+    the PRE-ENCODING ground truth. ``fixture_files`` encodes it to
+    wire bytes; the ``ingest_pipeline_agg`` oracle flattens the same
+    block dicts to a plain-JSON twin WITHOUT ever encoding, so the
+    splitter's gunzip→marker-scan→parse round trip is hash-checked
+    against events that never passed through it."""
+    out: list[tuple[str, list[dict], int]] = []
     for nb in (1, 3, 10):
         for epb in (1, 100):
             for gz in (0, 1, 2):
                 for si, shape in enumerate(LOG_STREAM_SHAPES[:4]):
                     key = f"prefix/raw/nb{nb}-epb{epb}-gz{gz}-s{si}.dat"
-                    files.append((key, make_raw_file(
-                        n_blocks=nb, events_per_block=epb, gzip_depth=gz,
-                        log_stream=shape)))
+                    blocks = [
+                        make_block(log_group="/aws/lambda/fn",
+                                   log_stream=shape, n_events=epb,
+                                   base_ts_ms=1_585_699_200_000 + 1000 * b,
+                                   event_offset=b * epb)
+                        for b in range(nb)
+                    ]
+                    out.append((key, blocks, gz))
+    return out
+
+
+def ground_truth_events() -> list[dict]:
+    """Flattened expected events of the matrix (valid files only —
+    the empty/hazard files below must yield ZERO events, which the
+    twin encodes by simply not containing them)."""
+    rows: list[dict] = []
+    for key, blocks, _gz in fixture_matrix():
+        for blk in blocks:
+            for ev in blk["logEvents"]:
+                rows.append({
+                    "file": key,
+                    "logGroup": blk["logGroup"],
+                    "logStream": blk["logStream"],
+                    "event_id": ev["id"],
+                    "timestamp_ms": ev["timestamp"],
+                    "message": ev["message"],
+                })
+    return rows
+
+
+def fixture_files() -> list[tuple[str, bytes]]:
+    """The deterministic generation matrix from FIXTURES.md §B
+    (moderate event counts so the rows-only query stays fast)."""
+    files: list[tuple[str, bytes]] = [
+        (key, encode_blocks(blocks, gz))
+        for key, blocks, gz in fixture_matrix()]
     # The warn path: a file with zero blocks (K:114-115).
     files.append(("prefix/raw/empty.dat", b"not a data message at all"))
     # The known mis-split hazard (SURVEY §7): the RAW marker bytes

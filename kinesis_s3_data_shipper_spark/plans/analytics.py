@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.decimal_safe import fixed2_str, sql_fixed2_str
 from ..sources.tables import load_table
 from .base import register
 
@@ -375,11 +376,11 @@ def recursive_ewma_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Column inventory the profiler walks, with the per-type VARCHAR
 #: rendering BOTH engines apply to min/max (bigints cast exactly;
-#: doubles via ROUND(x, 2) then cast — the corpus prices are 2-dp
-#: values so the round is identity and both engines print the same
-#: shortest-roundtrip decimal; timestamps via an explicit format
-#: string). Kept in ONE table so the Spark and SQL sides cannot
-#: drift column-by-column.
+#: doubles through the shared fixed2_str path — round-2 then
+#: DECIMAL(38,2)→string, plain decimal notation at ANY magnitude in
+#: both engines, so no |x| < 1e7 precondition; timestamps via an
+#: explicit format string). Kept in ONE table so the Spark and SQL
+#: sides cannot drift column-by-column.
 _PROFILE_COLS: tuple[tuple[str, str], ...] = (
     ("o_orderkey", "bigint"),
     ("o_custkey", "bigint"),
@@ -393,7 +394,7 @@ _PROFILE_COLS: tuple[tuple[str, str], ...] = (
 def _profile_sql() -> str:
     def fmt(expr: str, typ: str) -> str:
         if typ == "double":
-            return f"CAST(ROUND({expr}, 2) AS VARCHAR)"
+            return sql_fixed2_str(expr)
         if typ == "timestamp":
             return f"strftime({expr}, '%Y-%m-%d %H:%M:%S')"
         return f"CAST({expr} AS VARCHAR)"
@@ -432,7 +433,7 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def fmt(col: F.Column, typ: str) -> F.Column:
         if typ == "double":
-            return F.round(col, 2).cast("string")
+            return fixed2_str(col)
         if typ == "timestamp":
             return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
         return col.cast("string")

@@ -1961,10 +1961,13 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                ("monetary", "_rn_m", "m_score"))
     # ONE bounded sample job serves all three metrics: collect the
     # gated (custkey, metrics...) rows once, sort driver-side per
-    # metric ordering. Modulus scales with the parquet-metadata
-    # orders count — a free upper bound on |customers| (an
-    # overestimate only shrinks the sample, never unbounds it).
-    mod = auto_sample_mod(orders.count(), 32, target_per_part=128)
+    # metric ordering. Modulus scales with the orders row count read
+    # straight from the parquet FOOTER — no count() job — a free
+    # upper bound on |customers| (an overestimate only shrinks the
+    # sample, never unbounds it).
+    from ..sources.tables import table_row_count
+    mod = auto_sample_mod(table_row_count(sf_dir, "orders"), 32,
+                          target_per_part=128)
     sampled = mc
     if mod > 1:
         sampled = mc.filter(

@@ -18,7 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.decimal_safe import dsum, sql_dsum
+from ..functions.decimal_safe import (dsum, fixed2_str, sql_dsum,
+                                      sql_fixed2_str)
 from ..sources.tables import load_table
 from .base import register
 
@@ -103,16 +104,16 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.isNull().alias("is_current"))
 
 
-@register("diff_snapshots", oracle="""
+@register("diff_snapshots", oracle=f"""
 WITH snap_a AS (
   SELECT o_orderkey AS okey, o_orderstatus,
-         CAST(o_totalprice AS VARCHAR) AS price_str
+         {sql_fixed2_str("o_totalprice")} AS price_str
   FROM orders WHERE o_orderkey % 97 <> 0
 ), snap_b AS (
   SELECT o_orderkey AS okey, o_orderstatus,
-         CAST(CASE WHEN o_orderkey % 13 = 0
-                   THEN o_totalprice + 5.0
-                   ELSE o_totalprice END AS VARCHAR) AS price_str
+         {sql_fixed2_str("CASE WHEN o_orderkey % 13 = 0 "
+                         "THEN o_totalprice + 5.0 "
+                         "ELSE o_totalprice END")} AS price_str
   FROM orders WHERE o_orderkey % 89 <> 0
 ), diff AS (
   SELECT COALESCE(a.okey, b.okey) AS o_orderkey,
@@ -135,15 +136,12 @@ FROM diff WHERE diff_status <> 'unchanged'
          "are deterministic views of `orders` (B drops keys "
          "divisible by 89, adds keys divisible by 97, reprices keys "
          "divisible by 13 by a flat +5.00 — the same IEEE add on "
-         "both engines, so the diffed strings carry the identical "
-         "double with no rounding step to disagree on). "
-         "PRECONDITION on the bare double->string casts here (and in "
-         "profile_table_stats): Java flips to scientific notation at "
-         "|x| >= 1e7 while DuckDB prints plain decimal, so the "
-         "renderings agree only for |x| < 1e7 — o_totalprice tops "
-         "out ~600k. Reusing this pattern on larger-magnitude "
-         "columns requires an explicit shared format "
-         "(printf('%.2f')). Scale shape: ONE full-outer shuffle on "
+         "both engines). Prices render through the shared "
+         "fixed2_str/sql_fixed2_str path (round-2 then "
+         "DECIMAL(38,2)→string — plain decimal notation at any "
+         "magnitude in both engines), so the former |x| < 1e7 "
+         "precondition on bare double→string casts is gone. "
+         "Scale shape: ONE full-outer shuffle on "
          "the key, and the change test compares 16-byte md5 "
          "fingerprints of the non-key columns — at a real 100-column "
          "100 TB table the row fingerprint is computed in the scan "
@@ -154,14 +152,14 @@ def diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     base = orders.select(
         F.col("o_orderkey").alias("okey"), "o_orderstatus",
-        F.col("o_totalprice").cast("string").alias("price_str"))
+        fixed2_str("o_totalprice").alias("price_str"))
     snap_a = base.filter(F.col("okey") % 97 != 0)
     snap_b = orders.filter(F.col("o_orderkey") % 89 != 0).select(
         F.col("o_orderkey").alias("okey"), "o_orderstatus",
-        F.when(F.col("o_orderkey") % 13 == 0,
-               F.col("o_totalprice") + F.lit(5.0))
-         .otherwise(F.col("o_totalprice"))
-         .cast("string").alias("price_str"))
+        fixed2_str(
+            F.when(F.col("o_orderkey") % 13 == 0,
+                   F.col("o_totalprice") + F.lit(5.0))
+             .otherwise(F.col("o_totalprice"))).alias("price_str"))
     fp = lambda s, p: F.md5(F.concat(s, F.lit("|"), p))  # noqa: E731
     a = snap_a.select("okey", fp(F.col("o_orderstatus"),
                                  F.col("price_str")).alias("fp_a"),
@@ -221,12 +219,15 @@ def compute_range_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     from ..operators.ranks import attach_global_rank, auto_sample_mod
+    from ..sources.tables import table_row_count
     li = (load_table(spark, sf_dir, "lineitem")
           .select("l_orderkey", "l_linenumber"))
     specs = [("l_orderkey", "asc"), ("l_linenumber", "asc")]
-    # Boundary-sample modulus scales with n (one metadata-cheap count)
-    # so the driver-held sample stays ~num_parts*1k rows at any scale.
-    mod = auto_sample_mod(li.count(), 32, target_per_part=128)
+    # Boundary-sample modulus scales with n, read straight from the
+    # parquet footer (no count() job) so the driver-held sample stays
+    # ~num_parts*1k rows at any scale.
+    mod = auto_sample_mod(table_row_count(sf_dir, "lineitem"), 32,
+                          target_per_part=128)
     ranked, n = attach_global_rank(li, specs, rank_col="_rn",
                                    num_parts=32, sample_mod=mod,
                                    pid_unroll=True)
@@ -289,17 +290,23 @@ def compute_range_splits_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     from ..operators.ranks import attach_global_rank, auto_sample_mod
+    from ..sources.tables import table_row_count
     # Materialize the gated sample ONCE: the md5 gate costs a digest
     # per corpus row, so it must run in a single scan — every later
-    # job (modulus count, boundary sample, offsets, final ranks)
-    # reads the bounded checkpointed sample instead of re-scanning
-    # and re-hashing the corpus.
+    # job (boundary sample, offsets, final ranks) reads the bounded
+    # checkpointed sample instead of re-scanning and re-hashing the
+    # corpus.
     li = (load_table(spark, sf_dir, "lineitem")
           .select("l_orderkey", "l_linenumber")
           .filter(F.expr(_SPLIT_GATE_SPARK))
           .localCheckpoint(eager=True))
     specs = [("l_orderkey", "asc"), ("l_linenumber", "asc")]
-    mod = auto_sample_mod(li.count(), 8, target_per_part=128)
+    # Modulus sizing needs only n's order of magnitude: estimate the
+    # sample's size as footer-count/gate-modulus — no count() job
+    # (the EXACT sample count still comes from the ranker's own
+    # offsets pass below, as before).
+    est_n = max(1, table_row_count(sf_dir, "lineitem") // _SPLIT_SAMPLE_MOD)
+    mod = auto_sample_mod(est_n, 8, target_per_part=128)
     ranked, m = attach_global_rank(li, specs, rank_col="_rn",
                                    num_parts=8, sample_mod=mod,
                                    pid_unroll=True)

@@ -67,6 +67,38 @@ def table_path(sf_dir: str, name: str) -> str:
         f"{name}.parquet nor a {name}/ directory of part-files")
 
 
+#: (sf_dir, name) → row count. Footer metadata is immutable for a
+#: given file set, so a session-lifetime cache is safe; a refreshed
+#: table lands under a new sf_dir (the driver's layout) or a new file
+#: set, which changes nothing this cache has seen.
+_ROW_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count from the parquet FOOTER — no Spark job at all
+    (pyarrow reads metadata driver-side in milliseconds). This is how
+    sizing steps (boundary-sample moduli in the distributed ranker's
+    consumers) get n without paying a count() job per query: the
+    round-5 verdict flagged those prep jobs as the two most expensive
+    bench entries' overhead. Works for both layouts (single file or
+    directory of part-files); cached per (sf_dir, table) for the
+    session."""
+    key = (sf_dir, name)
+    hit = _ROW_COUNT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import pyarrow.parquet as pq
+    path = table_path(sf_dir, name)
+    if os.path.isdir(path):
+        n = sum(pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet") and not f.startswith(("_", ".")))
+    else:
+        n = pq.ParquetFile(path).metadata.num_rows
+    _ROW_COUNT_CACHE[key] = n
+    return n
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one named table from an sf directory (single-file or
     multi-file layout — see :func:`table_path`)."""

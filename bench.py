@@ -90,6 +90,14 @@ HEADLINE = [
     "text_collocations",
     "sample_deterministic_upsample",
     "profile_key_skew",
+    # round 6: ingest hash-check companion, OPTIMIZE oracle round-trip,
+    # int8 embedding quantization, BM25 retrieval (streaming_cusum is
+    # registered + oracle-gated but, like every streaming query, stays
+    # out of the headline: its runtime is streaming-startup-dominated).
+    "ingest_pipeline_agg",
+    "maintenance_compact_roundtrip",
+    "embedding_int8_quantize",
+    "text_bm25_topk",
 ]
 
 

@@ -623,15 +623,19 @@ WITH kc AS (
   SELECT c, SUM(k) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum
   FROM coc
 )
-SELECT t.n_keys, t.n_rows, t.max_count,
-       (SELECT MIN(c) FROM cum, tot
-        WHERE cum >= CAST(ceil(0.5 * tot.n_keys) AS BIGINT))
-         AS p50_count,
-       (SELECT MIN(c) FROM cum, tot
-        WHERE cum >= CAST(ceil(0.99 * tot.n_keys) AS BIGINT))
-         AS p99_count,
-       ROUND(CAST(t.max_count AS DOUBLE) / t.n_rows, 6) AS top1_share
-FROM tot t
+SELECT t.n_keys, t.n_rows, t.max_count, p.p50_count, p.p99_count,
+       ROUND(CAST(t.max_count AS DOUBLE) / t.n_rows, 6) AS top1_share,
+       CASE WHEN t.max_count <= 4 * p.p99_count THEN 'plain'
+            WHEN t.max_count <= 64 * p.p99_count THEN 'aqe-skew-split'
+            ELSE 'salt' END AS recommended_strategy
+FROM tot t CROSS JOIN (
+  SELECT (SELECT MIN(c) FROM cum, tot
+          WHERE cum >= CAST(ceil(0.5 * tot.n_keys) AS BIGINT))
+           AS p50_count,
+         (SELECT MIN(c) FROM cum, tot
+          WHERE cum >= CAST(ceil(0.99 * tot.n_keys) AS BIGINT))
+           AS p99_count
+) p
 """, doc="Join-key skew diagnostic — the measurement that decides "
          "between a plain shuffle join, AQE skew-split, and explicit "
          "salting (join_salted_skew): per-key row counts reduced to "
@@ -639,7 +643,16 @@ FROM tot t
          "p50/p99 key sizes (the agg_quantiles ceil convention, "
          "expressed as min count with cumulative keys >= ceil(q*n) — "
          "identical pick), the max key size, and the heaviest key's "
-         "share of all rows are derived. Scale shape: ONE map-side-"
+         "share of all rows are derived. The diagnostic now CLOSES "
+         "the loop with a recommended_strategy column (the same CASE "
+         "on both engines): 'plain' when the heaviest key is within "
+         "4x of the p99 key (hash partitioning already balances), "
+         "'aqe-skew-split' up to 64x (AQE's runtime partition "
+         "splitting absorbs it — the oversized key still fits a "
+         "task when split), 'salt' beyond that (join_salted_skew's "
+         "explicit key-spreading, for when one key is so dominant "
+         "that only pre-shuffle salting prevents a straggler task). "
+         "Scale shape: ONE map-side-"
          "combined shuffle to key counts, a second tiny agg to the "
          "count-of-counts table, and the cumulative window runs over "
          "DISTINCT COUNT VALUES — bounded by the heaviest key's "
@@ -662,8 +675,14 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     p99 = (cum.filter(F.col("cum")
                       >= F.ceil(F.lit(0.99) * F.col("n_keys")).cast("long"))
            .agg(F.min("c").alias("p99_count")))
+    strategy = (F.when(F.col("max_count") <= 4 * F.col("p99_count"),
+                       "plain")
+                .when(F.col("max_count") <= 64 * F.col("p99_count"),
+                      "aqe-skew-split")
+                .otherwise("salt"))
     return (tot.crossJoin(F.broadcast(p50)).crossJoin(F.broadcast(p99))
             .select("n_keys", "n_rows", "max_count", "p50_count",
                     "p99_count",
                     F.round(F.col("max_count").cast("double")
-                            / F.col("n_rows"), 6).alias("top1_share")))
+                            / F.col("n_rows"), 6).alias("top1_share"),
+                    strategy.alias("recommended_strategy")))

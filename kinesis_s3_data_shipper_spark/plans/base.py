@@ -52,41 +52,48 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
 #: local sweep (correctness_local.py / tests/test_oracle_parity.py);
 #: this list ROTATES which ones land in the externally-verified window
 #: so the union across rounds converges on the whole registry.
-#: Round-5 window, in strict priority order (never-checked beats
+#: Round-6 window, in strict priority order (never-checked beats
 #: changed beats stale-checked; stale ranked by last-green round from
-#: CORRECTNESS_r0{1..4}.json): (1) the eight queries first registered
-#: this round; (2) queries whose plan or oracle changed this round —
-#: compute_range_splits + customer_rfm_segments moved onto the
-#: distributed ranker, ann_ivf_probe grew the broadcast-centroid
-#: branch, events_cusum/multimodal_dedup_phash oracle edits (advisor
-#: fixes); (3) the r01-era TAIL that overflowed round 4's 50-slot
-#: window (window/agg/setops/scalar/pivot/events cohort — their green
-#: rows are THREE driver data generations old now); (4) the oldest
-#: r02-era block (dedup + multimodal + ingest-adjacent). The
-#: remaining r02 text/sampling cohort rotates to round 6.
+#: CORRECTNESS_r0{1..5}.json): (1) the five queries first registered
+#: this round (ingest hash-check companion, OPTIMIZE round-trip,
+#: stateful-streaming CUSUM, int8 embedding quantization, BM25
+#: retrieval); (2) queries whose plan or oracle changed this round —
+#: the fixed2_str rendering swap (diff_snapshots/profile_table_stats),
+#: the collocation double-cast overflow fix, the skew profiler's new
+#: recommended_strategy column, the ranker consumers' footer-count
+#: sizing, and the incremental-LSH eager cache release; (3) the
+#: 27-query r02-era cohort the round-5 verdict scheduled (text suite
+#: + sampling/splits + multimodal + streaming_dedup/enrich + misc —
+#: their newest green rows are 3+ driver data generations old);
+#: (4) pad to 50 from the oldest r03 block. Remaining r03 cohort
+#: rotates to round 7.
 _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     # (1) never externally checked (new this round):
-    "compute_range_splits_sampled", "dedup_minhash_lsh_incremental",
-    "dedup_paragraphs", "sample_quality_weighted", "events_mad_outliers",
-    "text_collocations", "sample_deterministic_upsample",
-    "profile_key_skew",
-    # (2) plan/oracle changed in round 5 — re-prove externally:
-    "compute_range_splits", "customer_rfm_segments", "ann_ivf_probe",
-    "events_cusum", "multimodal_dedup_phash",
-    # (3) r01-only cohort tail (stalest external rows):
-    "unpivot_measures", "agg_rollup", "agg_cube", "agg_grouping_sets",
-    "agg_pandas_median", "grouped_minmax_scale", "window_topk_per_group",
-    "window_rank", "window_running_sum", "window_rank_stats",
-    "agg_argminmax", "subquery_above_nation_avg", "scalar_array_funcs",
-    "scalar_math_funcs", "agg_approx_distinct", "set_union_all",
-    "set_intersect", "set_except", "set_intersect_all", "set_except_all",
-    "window_value_funcs", "scalar_null_funcs", "scalar_datetime",
-    "json_extract_agg", "events_hourly", "window_lag_lead", "sessionize",
-    "asof_join", "window_range_frame", "pivot_event_counts",
-    # (4) oldest r02-era block:
-    "dedup_exact", "dedup_exact_hash", "dedup_clusters_cc",
-    "dedup_simhash", "dedup_embedding_cosine", "dedup_ngram_jaccard",
-    "dedup_bloom_membership",
+    "ingest_pipeline_agg", "maintenance_compact_roundtrip",
+    "streaming_cusum", "embedding_int8_quantize", "text_bm25_topk",
+    # (2) plan/oracle changed in round 6 — re-prove externally:
+    "diff_snapshots", "profile_table_stats", "text_collocations",
+    "profile_key_skew", "compute_range_splits",
+    "compute_range_splits_sampled", "customer_rfm_segments",
+    "dedup_minhash_lsh_incremental",
+    # (3) the stale r02-era cohort (round-5 verdict's judge-computed
+    # list):
+    "text_stats", "text_quality", "text_lang_id",
+    "text_token_count_regex", "text_tfidf_top_terms", "text_pii_scrub",
+    "text_quality_filter", "text_repetition_filter",
+    "text_decontaminate", "text_fuzzy_match", "text_unigram_lm_score",
+    "doc_fingerprint", "text_chunk_udtf", "sample_hash_stratified",
+    "split_train_val_test", "pipeline_training_data",
+    "sample_balance_classes", "ann_bruteforce_topk", "ann_lsh_buckets",
+    "embedding_cosine_pairs", "multimodal_features",
+    "multimodal_frame_sample", "tag_prefix_derivation",
+    "streaming_dedup", "streaming_enrich", "agg_mode_per_user",
+    "merge_upsert_customers",
+    # (4) oldest r03 block, padding the window to 50:
+    "agg_approx_quantiles", "agg_collect_sorted", "agg_corr_covar",
+    "agg_histogram", "agg_sketch_merge_hll", "agg_sketch_merge_kll",
+    "agg_sketch_theta_setops", "ann_lsh_probe", "ann_pq_adc",
+    "dedup_minhash_lsh",
 )
 
 

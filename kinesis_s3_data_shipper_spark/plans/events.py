@@ -555,8 +555,10 @@ def events_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: level shifts larger than 50% of the baseline mean.
 _CUSUM_SLACK = 0.5
 
-
-@register("events_cusum", oracle=f"""
+#: Shared by the batch plan below AND the streaming stateful
+#: counterpart (plans/streaming.py::streaming_cusum): the two must
+#: produce the identical result, so they must share one oracle text.
+CUSUM_ORACLE = f"""
 WITH s AS (
   SELECT user_id, list(value ORDER BY ts, event_id) AS vals,
          CAST(COUNT(*) AS BIGINT) AS n,
@@ -573,7 +575,11 @@ WITH s AS (
 )
 SELECT user_id, n AS n_events, ROUND(s_last, 6) AS cusum_final
 FROM c
-""", doc="CUSUM drift detection per entity: the one-sided cumulative-"
+"""
+
+
+@register("events_cusum", oracle=CUSUM_ORACLE,
+    doc="CUSUM drift detection per entity: the one-sided cumulative-"
          "sum recursion S_i = max(0, S_(i-1) + (x_i - mu*(1+k))) over "
          "each user's event-value series — the classic sequential "
          "change detector, and a recursion NO window frame can "

@@ -968,3 +968,79 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("_hit").cast("long").alias("n_hit"),
                  F.round(F.count("_hit").cast("double") / F.count("*"), 6)
                   .alias("recall_at_3")))
+
+
+@register("embedding_int8_quantize", oracle="""
+WITH x AS (
+  SELECT vec_id, u.d, CAST(u.x AS DOUBLE) AS x
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS d) u
+), calib AS (
+  SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM x GROUP BY d
+), q AS (
+  SELECT x.d, x.x, c.mn, c.mx,
+         CASE WHEN c.mx = c.mn THEN 0.0
+              ELSE ROUND((x.x - c.mn) * 255 / (c.mx - c.mn)) END AS code
+  FROM x JOIN calib c ON x.d = c.d
+), e AS (
+  SELECT d, mn, mx, code,
+         abs(x - (mn + code * (mx - mn) / 255)) AS err
+  FROM q
+)
+SELECT d AS dim_idx, CAST(COUNT(*) AS BIGINT) AS n_vals,
+       ROUND(mn, 6) AS dim_min, ROUND(mx, 6) AS dim_max,
+       ROUND(CAST(SUM(CAST(err AS DECIMAL(24,15))) AS DOUBLE), 9)
+         AS sum_abs_err,
+       ROUND(MAX(err), 9) AS max_abs_err,
+       CAST(SUM(CASE WHEN code = 0 OR code = 255 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_saturated
+FROM e GROUP BY d, mn, mx
+""", doc="Embedding compression by per-dimension int8 scalar "
+         "quantization with min/max calibration — the standard 4x "
+         "index-shrink step (FAISS SQ8 / vector-DB 'scalar "
+         "quantization') a 100 TB embedding store runs before "
+         "serving: code = round((x - min_d) * 255 / (max_d - "
+         "min_d)), reported per dimension with reconstruction-error "
+         "stats (exact-decimal error sum so the double "
+         "accumulation is order-free, max error, and the saturated-"
+         "code count that tells you when min/max calibration needs "
+         "outlier clipping). Constant dimensions quantize to code 0 "
+         "(CASE-guarded division). Scale shape: calibration is ONE "
+         "map-side-combined shuffle of |dims| partial rows; the "
+         "quantize/dequantize itself is row-local arithmetic against "
+         "the broadcast |dims|-row calibration table, and the error "
+         "rollup rides the same |dims|-key shuffle — nothing is "
+         "ever ordered globally and the exchange never carries "
+         "vectors. All arithmetic is the identical IEEE double "
+         "expression text on both engines (round = half-away in "
+         "both), so the gate checks bit-parity, not tolerance.")
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("d0", "xf")).select(
+        "vec_id", (F.col("d0") + 1).alias("d"),
+        F.col("xf").cast("double").alias("x"))
+    calib = x.groupBy("d").agg(F.min("x").alias("mn"),
+                               F.max("x").alias("mx"))
+    j = x.join(F.broadcast(calib), "d")
+    code = (F.when(F.col("mx") == F.col("mn"), F.lit(0.0))
+            .otherwise(F.round((F.col("x") - F.col("mn")) * 255
+                               / (F.col("mx") - F.col("mn")))))
+    q = j.select("d", "x", "mn", "mx", code.alias("code"))
+    err = F.abs(F.col("x") - (F.col("mn") + F.col("code")
+                              * (F.col("mx") - F.col("mn")) / 255))
+    e = q.select("d", "mn", "mx", "code", err.alias("err"))
+    return (e.groupBy("d", "mn", "mx")
+            .agg(F.count("*").cast("long").alias("n_vals"),
+                 F.round(F.sum(F.col("err").cast("decimal(24,15)"))
+                         .cast("double"), 9).alias("sum_abs_err"),
+                 F.round(F.max("err"), 9).alias("max_abs_err"),
+                 F.sum(F.when((F.col("code") == 0)
+                              | (F.col("code") == 255), 1)
+                       .otherwise(0)).cast("long").alias("n_saturated"))
+            .select(F.col("d").alias("dim_idx"), "n_vals",
+                    F.round("mn", 6).alias("dim_min"),
+                    F.round("mx", 6).alias("dim_max"),
+                    "sum_abs_err", "max_abs_err", "n_saturated"))

@@ -23,6 +23,7 @@ from ..functions.decimal_safe import sql_dsum
 from ..streaming.jobs import (streaming_dedup_counts, streaming_hourly_counts,
                               streaming_session_windows)
 from .base import register
+from .events import CUSUM_ORACLE
 
 NS_PER_HOUR = 3_600_000_000_000
 
@@ -343,3 +344,71 @@ def streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (agg.select("hour_ms", "event_type", "n",
                        F.row_number().over(w).cast("long").alias("rank"))
             .filter(F.col("rank") <= 3))
+
+
+def _stage_time_slices(spark: SparkSession, sf_dir: str,
+                       n_slices: int = 3) -> tuple[str, str]:
+    """Stage the events table as ``n_slices`` ts-RANGE slice files
+    with strictly increasing mtimes: with ``maxFilesPerTrigger=1``
+    (and ``latestFirst=false``) micro-batch k then holds exactly the
+    k-th time slice, so order-sensitive stateful operators see events
+    in global time order across batches — the staging contract
+    ``streaming_cusum`` documents. Slice boundaries are pure integer
+    arithmetic on (min, max) ts: deterministic, and rows with equal
+    ts can never straddle a boundary."""
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+    ev = load_table(spark, sf_dir, "events")  # ts → epoch-nanos long
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = int(hi) - int(lo) + 1
+    work = tempfile.mkdtemp(prefix="ksds_stream_")
+    landing = os.path.join(work, "landing")
+    os.makedirs(landing)
+    for i in range(n_slices):
+        a = int(lo) + span * i // n_slices
+        b = int(lo) + span * (i + 1) // n_slices
+        slice_dir = os.path.join(work, f"slice_{i}")
+        (ev.filter((F.col("ts") >= a) & (F.col("ts") < b))
+         .coalesce(1).write.mode("overwrite").parquet(slice_dir))
+        part = glob.glob(os.path.join(slice_dir, "part-*.parquet"))[0]
+        dest = os.path.join(landing, f"slice_{i}.parquet")
+        os.rename(part, dest)
+        os.utime(dest, (1_000_000 + i, 1_000_000 + i))
+    return landing, os.path.join(work, "ckpt")
+
+
+@register("streaming_cusum", oracle=CUSUM_ORACLE,
+          doc="STATEFUL-STREAMING CUSUM through the oracle gate (the "
+              "other custom stateful ops are pytest-only): the per-"
+              "user one-sided drift statistic maintained across "
+              "micro-batches in explicit applyInPandasWithState group "
+              "state — s = max(0, s + (x - mu*(1+k))) folded batch by "
+              "batch, with the baseline mean joined in from a STATIC "
+              "calibration aggregate (stream-static broadcast join "
+              "ahead of the stateful op). The landing dir is staged "
+              "as ts-range slices with increasing mtimes + "
+              "maxFilesPerTrigger=1, so the cross-batch fold order "
+              "equals the batch plan's global (ts, event_id) sort and "
+              "the drained state hash-matches the SAME oracle as "
+              "events_cusum — streaming/batch parity for a non-linear "
+              "recursion no built-in streaming aggregate expresses. "
+              "State per user is one (s, seen) pair; the memory-sink "
+              "read keeps max_by(n_seen), the final emission.")
+def streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..plans.events import _CUSUM_SLACK
+    from ..sources.tables import load_table
+    from ..streaming.jobs import streaming_cusum_final
+    landing, checkpoint = _stage_time_slices(sf_dir=sf_dir, spark=spark)
+    ev = load_table(spark, sf_dir, "events")
+    baseline = (ev.groupBy("user_id")
+                .agg(F.count("*").cast("long").alias("n"),
+                     F.sum(F.col("value").cast("decimal(20,6)"))
+                     .cast("double").alias("sv"))
+                .filter(F.col("n") >= 4))
+    name = f"cusum_{uuid.uuid4().hex[:8]}"
+    return streaming_cusum_final(spark, landing, checkpoint=checkpoint,
+                                 query_name=name, baseline=baseline,
+                                 slack_mult=1.0 + _CUSUM_SLACK)

@@ -867,3 +867,120 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  * F.col("cb").cast("double")),
                               6).alias("lift")))
     return scored.orderBy(F.desc("lift"), "bigram").limit(50)
+
+
+#: Literal retrieval workload for text_bm25_topk: a fixed handful of
+#: (query_id, term) rows, the shape a batch retrieval-eval job feeds
+#: in. Terms are drawn from the corpus vocabulary so every query has
+#: matches; the same literals are inlined into the oracle VALUES.
+_BM25_QUERIES: tuple[tuple[str, str], ...] = (
+    ("q1", "hash"), ("q1", "join"),
+    ("q2", "window"), ("q2", "agg"), ("q2", "stream"),
+    ("q3", "customer"), ("q3", "order"), ("q3", "table"),
+    ("q4", "vector"), ("q4", "scan"),
+)
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_values_sql() -> str:
+    return ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
+
+
+@register("text_bm25_topk", oracle=f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM d
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CAST(dl AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+           AS avgdl
+  FROM dl
+), q(query_id, term) AS (VALUES {_bm25_values_sql()}),
+tf AS (
+  SELECT doc_id, u.w AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM d, LATERAL (SELECT unnest(ws) AS w) u
+  WHERE u.w IN (SELECT DISTINCT term FROM q)
+  GROUP BY doc_id, u.w
+), dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT q.query_id, t.doc_id,
+         CAST(((s.n_docs - f.df + 0.5) / (f.df + 0.5))
+              * (t.tf * {_BM25_K1 + 1.0!r})
+              / (t.tf + {_BM25_K1!r}
+                 * ({1.0 - _BM25_B!r} + {_BM25_B!r} * (dl.dl / s.avgdl)))
+           AS DECIMAL(28,12)) AS contrib
+  FROM q
+  JOIN tf t ON t.term = q.term
+  JOIN dfreq f ON f.term = q.term
+  JOIN dl ON dl.doc_id = t.doc_id
+  CROSS JOIN stats s
+), agg AS (
+  SELECT query_id, doc_id, SUM(contrib) AS score_dec
+  FROM scored GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id,
+       ROUND(CAST(score_dec AS DOUBLE), 6) AS bm25
+FROM (
+  SELECT query_id, doc_id, score_dec,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_dec DESC, doc_id) AS rn
+  FROM agg
+) WHERE rn <= 10
+""", doc="BM25 top-10 retrieval over the documents table for a "
+         "literal query workload — the lexical half of every RAG / "
+         "retrieval-eval pipeline, as one batch dataflow. Uses the "
+         "RSJ RATIONAL idf (N - df + 0.5)/(df + 0.5) instead of its "
+         "logarithm — per-term it is the same monotone evidence "
+         "weight, and avoiding libm keeps both engines bit-identical "
+         "(the repo-wide no-log convention; documented deviation "
+         "from textbook BM25). Per-term contributions are cast to "
+         "DECIMAL(28,12) before summing so the per-doc score is an "
+         "exact associative sum (no float-order drift), and the "
+         "top-10 ranks on the exact decimal with a doc_id tiebreak. "
+         "Scale shape: token explode is pre-filtered by the "
+         "BROADCAST query-term set, so tf/df shuffles carry only "
+         "query-term postings (|terms| tiny, postings bounded by "
+         "corpus df) — the corpus-wide vocabulary is never "
+         "shuffled; avgdl is one map-side-combined scalar; final "
+         "ranking is a per-query window over candidate docs only.")
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    dl = d.select("doc_id", F.size("ws").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.sum(F.col("dl").cast("decimal(18,6)")).cast("double")
+         / F.count("*")).alias("avgdl"))
+    q = spark.createDataFrame(list(_BM25_QUERIES), "query_id string, term string")
+    terms = q.select("term").distinct()
+    words = (d.select("doc_id", F.explode("ws").alias("term"))
+             .join(F.broadcast(terms), "term"))
+    tf = (words.groupBy("doc_id", "term")
+          .agg(F.count("*").cast("long").alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    contrib = (((F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+               * (F.col("tf") * F.lit(k1 + 1.0))
+               / (F.col("tf") + F.lit(k1)
+                  * (F.lit(1.0 - b)
+                     + F.lit(b) * (F.col("dl") / F.col("avgdl")))))
+    scored = (q.join(tf, "term")
+              .join(F.broadcast(dfreq), "term")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(stats))
+              .select("query_id", "doc_id",
+                      contrib.cast("decimal(28,12)").alias("contrib")))
+    agg = (scored.groupBy("query_id", "doc_id")
+           .agg(F.sum("contrib").alias("score_dec")))
+    w = W.partitionBy("query_id").orderBy(F.desc("score_dec"), "doc_id")
+    return (agg.select("query_id", "doc_id", "score_dec",
+                       F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= 10)
+            .select("query_id", "doc_id",
+                    F.round(F.col("score_dec").cast("double"), 6)
+                    .alias("bm25")))

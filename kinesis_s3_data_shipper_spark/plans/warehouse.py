@@ -15,6 +15,8 @@ same dataflow a Delta/Iceberg MERGE compiles to):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -380,3 +382,63 @@ def pit_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
                            .alias("pit_priority"))
             .agg(F.count("*").alias("n_orders"),
                  dsum("o_totalprice", "revenue")))
+
+
+@register("maintenance_compact_roundtrip", oracle=f"""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {sql_dsum('l_quantity', 'sum_qty')},
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       CAST(0 AS BIGINT) AS n_range_overlaps
+FROM lineitem GROUP BY l_returnflag
+""", doc="OPTIMIZE round-trip through the oracle gate (exercises "
+         "operators/maintenance.py end-to-end, previously pytest-"
+         "only): lineitem is first scattered into a many-small-files "
+         "layout (the state streaming sinks leave behind), then "
+         "compacted with DETERMINISTIC range clustering on "
+         "l_orderkey (sampled-boundary splits + probed partition "
+         "tokens — the same run → same layout property a real "
+         "OPTIMIZE audit trail needs), read back, and verified two "
+         "ways at once: content (per-returnflag counts / exact-"
+         "decimal quantity sums / distinct orders must equal the "
+         "ORIGINAL table — compaction moves bytes, never changes "
+         "them) and layout (n_range_overlaps counts output-file "
+         "pairs whose [min,max] l_orderkey ranges intersect — range "
+         "clustering guarantees 0, which is what makes file-level "
+         "min/max pruning effective; the oracle pins that "
+         "invariant). The per-file range check is a broadcast self-"
+         "join over ≤ file-count rows — driver never holds data.")
+def maintenance_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import tempfile
+
+    from ..operators.maintenance import _dir_bytes, compact_parquet_dir
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"ksds_compact_{tag}")
+    small, compacted = base + "_small", base + "_out"
+    # Scatter: 16 small files, the pre-OPTIMIZE state.
+    (load_table(spark, sf_dir, "lineitem")
+     .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+     .repartition(16)
+     .write.mode("overwrite").parquet(small))
+    # Compact to ~4 range-clustered files, deterministic layout.
+    compact_parquet_dir(spark, small, compacted,
+                        target_file_bytes=max(1, _dir_bytes(small) // 4),
+                        cluster_by=["l_orderkey"],
+                        deterministic_splits=True)
+    out = spark.read.parquet(compacted)
+    ranges = (out.groupBy(F.input_file_name().alias("f"))
+              .agg(F.min("l_orderkey").alias("lo"),
+                   F.max("l_orderkey").alias("hi")))
+    b = ranges.select(F.col("f").alias("f2"), F.col("lo").alias("lo2"),
+                      F.col("hi").alias("hi2"))
+    overlaps = (ranges.join(F.broadcast(b), F.col("f") < F.col("f2"))
+                .filter((F.col("lo") <= F.col("hi2"))
+                        & (F.col("lo2") <= F.col("hi")))
+                .agg(F.count("*").cast("long").alias("n_range_overlaps")))
+    return (out.groupBy("l_returnflag")
+            .agg(F.count("*").cast("long").alias("n_rows"),
+                 dsum("l_quantity", "sum_qty"),
+                 F.countDistinct("l_orderkey").cast("long")
+                 .alias("n_orders"))
+            .crossJoin(F.broadcast(overlaps)))

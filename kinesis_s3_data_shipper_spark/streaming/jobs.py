@@ -208,6 +208,74 @@ def streaming_session_windows(spark: SparkSession, events_dir: str, *,
     return spark.table(query_name).filter(F.col("user_id") != SENTINEL_USER)
 
 
+def streaming_cusum_final(spark: SparkSession, events_dir: str, *,
+                          checkpoint: str, query_name: str,
+                          baseline: DataFrame,
+                          slack_mult: float) -> DataFrame:
+    """Per-user one-sided CUSUM drift detector maintained ACROSS
+    micro-batches in explicit group state (applyInPandasWithState) —
+    the streaming counterpart of the batch ``events_cusum`` plan, and
+    a recursion no built-in streaming aggregate can express (the
+    max(0, ·) clamp is non-linear).
+
+    Dataflow: the event stream is enriched with the per-user baseline
+    ``(sv, n)`` via a stream-STATIC broadcast join (in production the
+    baseline is yesterday's calibration table; here it is the batch
+    aggregate over the same data so the drained result is
+    hash-comparable to the batch oracle), then each user's state
+    carries ``(s, seen)`` and every batch folds its rows in
+    (ts, event_id) order:  s = max(0, s + (x - (sv/n)*mult)).
+
+    EXACT batch parity requires the cross-batch fold order to equal
+    the batch plan's global (ts, event_id) sort — the caller stages
+    the landing dir as ts-RANGE slices with increasing mtimes and
+    ``maxFilesPerTrigger=1``, so batch k holds exactly the k-th time
+    slice and the concatenation of per-batch sorted folds IS the
+    global order. Arithmetic parity: the Python fold performs the
+    identical IEEE double ops in the identical order as the JVM/
+    DuckDB folds (scalar Python floats, never float32), so the final
+    statistic matches bit-for-bit before the shared round(6).
+
+    Emits (user_id, n_seen, s_last) per batch a user appears in;
+    ``n_seen`` is monotone, so the final state row is the max_by —
+    state never grows beyond one (s, seen) pair per user.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = _events_stream(spark, events_dir, max_files=1)
+    enriched = events.join(F.broadcast(baseline), "user_id")
+
+    def update(key, pdfs, state: GroupState):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        (s, seen) = state.get if state.exists else (0.0, 0)
+        for x, sv, n in zip(pdf["value"], pdf["sv"], pdf["n"]):
+            s = max(0.0, s + (float(x) - (float(sv) / int(n)) * slack_mult))
+            seen += 1
+        state.update((s, seen))
+        yield pd.DataFrame({"user_id": [key[0]], "n_seen": [seen],
+                            "s_last": [s]})
+
+    out = (enriched.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id LONG, n_seen LONG, s_last DOUBLE",
+        stateStructType="s DOUBLE, seen LONG",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout))
+    query = (out.writeStream.outputMode("update")
+             .format("memory").queryName(query_name)
+             .option("checkpointLocation", checkpoint)
+             .trigger(availableNow=True).start())
+    query.awaitTermination()
+    return (spark.table(query_name)
+            .groupBy("user_id")
+            .agg(F.max("n_seen").alias("n_events"),
+                 F.max_by("s_last", "n_seen").alias("s_final"))
+            .select("user_id", "n_events",
+                    F.round("s_final", 6).alias("cusum_final")))
+
+
 def streaming_running_user_counts(spark: SparkSession, events_dir: str, *,
                                   checkpoint: str, query_name: str,
                                   max_files_per_trigger: int = 1) -> DataFrame:

@@ -106,6 +106,100 @@ def test_batch_post_http_e2e(spark, landing, tmp_path):
         srv.shutdown()
 
 
+def test_post_outage_no_loss_no_dup_across_retry(spark, landing, tmp_path):
+    """Exactly-once delivery under an injected mid-run sink outage —
+    the regression test for the reference's lost-batch flaw (K:158
+    sets a failure flag but K:172-174 records the file as processed
+    anyway, silently dropping the failed batches forever).
+
+    Phase 1: a real local HTTP server accepts a few payloads, then is
+    killed (listening socket closed → connection refused for every
+    later POST). The run must FAIL — and, critically, must NOT record
+    the input files as processed, so nothing is lost.
+
+    Phase 2: the server restarts on the same port; the identical
+    command re-runs (the operational retry). It must succeed, deliver
+    EVERY payload, and re-send with the SAME idempotency keys, so a
+    dedup-by-key receiver ingests each payload exactly once across
+    both attempts — no loss (phase-2 alone covers the full set) and
+    no duplicates (dedup by key equals the payload table's key set,
+    with one body per key)."""
+    import hashlib
+    import http.server
+    import threading
+
+    out = str(tmp_path / "ev")
+    processed = tmp_path / "processed"
+    port_holder = {}
+    received: list[tuple[str, str, bytes]] = []  # (phase, key, body)
+    lock = threading.Lock()
+
+    def make_server(phase: str, kill_after: int | None):
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):
+                body = self.rfile.read(int(self.headers["Content-Length"]))
+                with lock:
+                    received.append(
+                        (phase, self.headers["X-Idempotency-Key"], body))
+                    n = sum(1 for p, _, _ in received if p == phase)
+                self.send_response(200)
+                self.end_headers()
+                if kill_after is not None and n >= kill_after:
+                    # Kill the server from outside the accept loop:
+                    # later POSTs get connection-refused, the mid-run
+                    # outage the reference mishandles.
+                    threading.Thread(target=srv.shutdown).start()
+                    srv.server_close()
+
+            def log_message(self, *args):
+                pass
+
+        srv = http.server.ThreadingHTTPServer(
+            ("127.0.0.1", port_holder.get("port", 0)), Handler)
+        port_holder["port"] = srv.server_address[1]
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv
+
+    srv1 = make_server("p1", kill_after=2)
+    args = lambda: ["--input", landing, "--output", out, "--payloads",  # noqa: E731
+                    "--post-url", f"http://127.0.0.1:{port_holder['port']}",
+                    "--processed-dir", str(processed), "--batch-size", "5"]
+    with pytest.raises(Exception):
+        main(args())
+    # The flaw under test: a failed delivery must NOT mark files done.
+    assert not os.path.exists(str(processed)), (
+        "files recorded as processed despite failed delivery — the "
+        "reference's lost-batch behavior")
+
+    srv2 = make_server("p2", kill_after=None)
+    try:
+        assert main(args()) == 0
+    finally:
+        srv2.shutdown()
+        srv2.server_close()
+        del srv1
+
+    # Ground truth: every payload row written in EITHER attempt,
+    # deduped by content key (re-runs append; content is identical).
+    expected = {hashlib.sha256(r.payload.encode()).hexdigest()
+                for r in spark.read.parquet(out + "_payloads").collect()}
+    p2_keys = {k for p, k, _ in received if p == "p2"}
+    # No loss: the retried run alone delivered the complete set.
+    assert p2_keys == expected
+    # Keys are honest (sha256 of the body they accompany) ...
+    for _, key, body in received:
+        assert hashlib.sha256(body).hexdigest() == key
+    # ... so dedup-by-key ingests each payload exactly once across
+    # both attempts: one distinct body per key, full coverage.
+    by_key: dict[str, set[bytes]] = {}
+    for _, key, body in received:
+        by_key.setdefault(key, set()).add(body)
+    assert set(by_key) == expected
+    assert all(len(bodies) == 1 for bodies in by_key.values())
+    # And the retried run marked the files processed.
+    assert os.path.exists(str(processed))
+
+
 def test_processed_dir_read_errors_are_fatal(spark, landing, tmp_path):
     """A corrupt processed-dir must FAIL the run, not silently disable
     tracking (which would re-append every previously-shipped file)."""

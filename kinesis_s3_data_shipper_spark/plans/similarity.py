@@ -1044,3 +1044,99 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("mn", 6).alias("dim_min"),
                     F.round("mx", 6).alias("dim_max"),
                     "sum_abs_err", "max_abs_err", "n_saturated"))
+
+
+@register("embedding_pca_power_step", oracle="""
+WITH x AS (
+  SELECT vec_id, u.d, CAST(u.x AS DOUBLE) AS x
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS d) u
+), nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+), mu AS (
+  SELECT d, CAST(SUM(CAST(x AS DECIMAL(27,18))) AS DOUBLE)
+              / (SELECT n FROM nn) AS mu
+  FROM x GROUP BY d
+), mus AS (
+  SELECT CAST(SUM(CAST(mu * 0.125 AS DECIMAL(30,20))) AS DOUBLE) AS mus
+  FROM mu
+), s AS (
+  SELECT vec_id,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(embedding,
+                                       e -> CAST(e AS DOUBLE) * 0.125)),
+           (a, b) -> a + b) - (SELECT mus FROM mus) AS s
+  FROM embeddings
+), w AS (
+  SELECT x.d,
+         CAST(SUM(CAST((x.x - mu.mu) * s.s AS DECIMAL(32,18)))
+              AS DOUBLE) / (SELECT n FROM nn) AS w
+  FROM x JOIN mu ON x.d = mu.d JOIN s ON x.vec_id = s.vec_id
+  GROUP BY x.d
+), nrm AS (
+  SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(36,24))) AS DOUBLE)) AS nrm
+  FROM w
+)
+SELECT w.d AS dim_idx,
+       ROUND(mu.mu, 6) AS dim_mean,
+       ROUND(w.w, 9) AS cov_v,
+       ROUND(w.w / (SELECT nrm FROM nrm), 6) AS v1
+FROM w JOIN mu ON w.d = mu.d
+""", doc="One POWER-ITERATION step toward the top principal component "
+         "of the embedding covariance — the inner loop of "
+         "PCA/whitening-based embedding compression and of the "
+         "spectral diagnostics (intrinsic-dimension, anisotropy) run "
+         "over large embedding stores: v1 = normalize(C v0) with "
+         "C = (1/n) Σ (x-μ)(x-μ)ᵀ and the deterministic start vector "
+         "v0 = (0.125,…) (exactly dyadic — no libm to seed). The "
+         "matrix C is NEVER materialized: the step uses the "
+         "covariance ACTION, s_i = x_i·v0 - μ·v0 per vector (an "
+         "in-row left fold, identical order both engines), then "
+         "w_d = Σ_i (x_id - μ_d)·s_i / n — per-dim partial sums as "
+         "exact decimals, so every corpus-sized accumulation is "
+         "order-free; the only irrational op is the final sqrt, "
+         "which IEEE 754 requires correctly rounded (unlike log/exp, "
+         "bit-identical across engines by spec). Iterating = feeding "
+         "v1 back as the next literal v0, one identical dataflow per "
+         "round. Scale shape: two |dims|-key map-side-combined "
+         "shuffles (μ and w) + one row-local fold — the exchanges "
+         "carry 64-row partials, never vectors; at a billion "
+         "embeddings this is two scans and nothing else.")
+def embedding_pca_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d0", "xf")).select(
+        "vec_id", (F.col("d0") + 1).alias("d"),
+        F.col("xf").cast("double").alias("x"))
+    nn = emb.agg(F.count("*").cast("long").alias("n"))
+    mu = (x.groupBy("d")
+          .agg(F.sum(F.col("x").cast("decimal(27,18)")).cast("double")
+               .alias("smu"))
+          .crossJoin(F.broadcast(nn))
+          .select("d", (F.col("smu") / F.col("n")).alias("mu")))
+    mus = (mu.agg(F.sum((F.col("mu") * F.lit(0.125))
+                        .cast("decimal(30,20)")).cast("double")
+                  .alias("mus")))
+    s = (emb.crossJoin(F.broadcast(mus))
+         .select("vec_id",
+                 (F.expr("aggregate(embedding, CAST(0.0 AS DOUBLE),"
+                         " (a, e) -> a + CAST(e AS DOUBLE) * 0.125)")
+                  - F.col("mus")).alias("s")))
+    w = (x.join(F.broadcast(mu), "d")
+         .join(s, "vec_id")
+         .groupBy("d")
+         .agg(F.sum(((F.col("x") - F.col("mu")) * F.col("s"))
+                    .cast("decimal(32,18)")).cast("double").alias("sw"))
+         .crossJoin(F.broadcast(nn))
+         .select("d", (F.col("sw") / F.col("n")).alias("w")))
+    nrm = w.agg(F.sqrt(F.sum((F.col("w") * F.col("w"))
+                             .cast("decimal(36,24)")).cast("double"))
+                .alias("nrm"))
+    return (w.join(F.broadcast(mu), "d")
+            .crossJoin(F.broadcast(nrm))
+            .select(F.col("d").alias("dim_idx"),
+                    F.round("mu", 6).alias("dim_mean"),
+                    F.round("w", 9).alias("cov_v"),
+                    F.round(F.col("w") / F.col("nrm"), 6).alias("v1")))

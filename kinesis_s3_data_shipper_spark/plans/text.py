@@ -984,3 +984,100 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "doc_id",
                     F.round(F.col("score_dec").cast("double"), 6)
                     .alias("bm25")))
+
+
+@register("text_bpe_merge_step", oracle="""
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+), wc AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w
+  WHERE regexp_matches(word, '^[a-z]+$') GROUP BY word
+), rep0 AS (
+  SELECT word, n,
+         array_to_string(regexp_extract_all(word, '.'), '|') AS seq
+  FROM wc
+), p0 AS (
+  SELECT syms[i] AS a, syms[i + 1] AS b, SUM(n) AS cnt
+  FROM (SELECT n, string_split(seq, '|') AS syms FROM rep0),
+       LATERAL (SELECT unnest(range(1, len(syms))) AS i)
+  GROUP BY a, b
+), best AS (
+  SELECT a AS ba, b AS bb FROM p0
+  ORDER BY cnt DESC, a, b LIMIT 1
+), rep1 AS (
+  SELECT n, replace(seq, ba || '|' || bb, ba || bb) AS seq, ba, bb
+  FROM rep0 CROSS JOIN best
+), p1 AS (
+  SELECT ba, bb, syms[i] AS sym_a, syms[i + 1] AS sym_b,
+         CAST(SUM(n) AS BIGINT) AS cnt
+  FROM (SELECT n, ba, bb, string_split(seq, '|') AS syms FROM rep1),
+       LATERAL (SELECT unnest(range(1, len(syms))) AS i)
+  GROUP BY ba, bb, sym_a, sym_b
+)
+SELECT rank, sym_a, sym_b, cnt, merged_pair FROM (
+  SELECT row_number() OVER (ORDER BY cnt DESC, sym_a, sym_b)
+           AS rank,
+         sym_a, sym_b, cnt, ba || '+' || bb AS merged_pair
+  FROM p1
+) WHERE rank <= 20
+""", doc="One BPE tokenizer-training merge iteration — the inner step "
+         "of training a byte-pair-encoding vocabulary over the "
+         "corpus, end to end: (1) weighted adjacent-symbol pair "
+         "counts over the word-frequency dictionary, (2) the argmax "
+         "pair (count desc, lexicographic tiebreak — deterministic "
+         "on both engines), (3) the merge APPLIED to every word's "
+         "symbol sequence via separator-joined string replace — "
+         "left-to-right non-overlapping in both engines, exactly "
+         "BPE's greedy merge semantics ('a a a' merges once, not "
+         "twice) — and (4) the post-merge top-20 pair counts, i.e. "
+         "the input to the NEXT iteration. Scale shape: everything "
+         "past the first groupBy operates on the DISTINCT-WORD "
+         "dictionary with frequency weights (the real BPE trainer's "
+         "data structure), never corpus rows — the word count is "
+         "one map-side-combined shuffle, pair counting shuffles "
+         "|vocab|-bounded pair partials, and the chosen pair joins "
+         "back as a broadcast 1-row table (no driver collect). "
+         "Iterating = re-running steps 1-4 on rep1, same dataflow "
+         "per round.")
+def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (docs.select(F.explode(F.split("text", " ")).alias("word"))
+          .filter(F.col("word").rlike("^[a-z]+$"))
+          .groupBy("word").agg(F.count("*").cast("long").alias("n")))
+    rep0 = wc.select(
+        "n", F.expr("array_join(regexp_extract_all(word, '.', 0), '|')")
+        .alias("seq"))
+
+    def pair_counts(rep, extra_cols):
+        syms = rep.select(*extra_cols, "n",
+                          F.split("seq", "[|]").alias("syms"))
+        pairs = syms.select(
+            *extra_cols, "n",
+            # sequence(1, 0) DESCENDS in Spark ([1, 0]), so 1-symbol
+            # words need the explicit empty branch (DuckDB's range(1,1)
+            # is empty on its own).
+            F.explode(F.expr(
+                "CASE WHEN size(syms) < 2 THEN"
+                " array() "
+                "ELSE transform(sequence(1, size(syms) - 1),"
+                " i -> named_struct('a', element_at(syms, i),"
+                " 'b', element_at(syms, i + 1))) END")).alias("p"))
+        return (pairs.select(*extra_cols, "n", "p.a", "p.b")
+                .groupBy(*extra_cols, "a", "b")
+                .agg(F.sum("n").cast("long").alias("cnt")))
+
+    p0 = pair_counts(rep0, [])
+    best = (p0.orderBy(F.desc("cnt"), "a", "b").limit(1)
+            .select(F.col("a").alias("ba"), F.col("b").alias("bb")))
+    rep1 = (rep0.crossJoin(F.broadcast(best))
+            .select("n", "ba", "bb",
+                    F.expr("replace(seq, concat(ba, '|', bb),"
+                           " concat(ba, bb))").alias("seq")))
+    p1 = (pair_counts(rep1, ["ba", "bb"])
+          .withColumnRenamed("a", "sym_a").withColumnRenamed("b", "sym_b"))
+    w = W.orderBy(F.desc("cnt"), "sym_a", "sym_b")
+    return (p1.select(F.row_number().over(w).cast("long").alias("rank"),
+                      "sym_a", "sym_b", "cnt",
+                      F.concat("ba", F.lit("+"), "bb").alias("merged_pair"))
+            .filter(F.col("rank") <= 20))

@@ -210,8 +210,8 @@ def streaming_session_windows(spark: SparkSession, events_dir: str, *,
 
 def streaming_cusum_final(spark: SparkSession, events_dir: str, *,
                           checkpoint: str, query_name: str,
-                          baseline: DataFrame,
-                          slack_mult: float) -> DataFrame:
+                          baseline: DataFrame, slack_mult: float,
+                          output_dir: str | None = None) -> DataFrame:
     """Per-user one-sided CUSUM drift detector maintained ACROSS
     micro-batches in explicit group state (applyInPandasWithState) —
     the streaming counterpart of the batch ``events_cusum`` plan, and
@@ -239,6 +239,16 @@ def streaming_cusum_final(spark: SparkSession, events_dir: str, *,
     Emits (user_id, n_seen, s_last) per batch a user appears in;
     ``n_seen`` is monotone, so the final state row is the max_by —
     state never grows beyond one (s, seen) pair per user.
+
+    Sinks: by default the update-mode MEMORY sink (light, but Spark
+    refuses to resume a memory-sink query from an existing
+    checkpoint). Pass ``output_dir`` to switch to a foreachBatch
+    parquet-append sink, which IS checkpoint-recoverable: a stopped
+    query restarted with the same checkpoint continues folding the
+    restored state over only the new files, and the parquet dir
+    accumulates every emission across runs, so the max_by read below
+    yields the up-to-date statistic for ALL users (the restart test's
+    subject, tests/test_stateful_streaming.py).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -263,12 +273,24 @@ def streaming_cusum_final(spark: SparkSession, events_dir: str, *,
         stateStructType="s DOUBLE, seen LONG",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout))
-    query = (out.writeStream.outputMode("update")
-             .format("memory").queryName(query_name)
-             .option("checkpointLocation", checkpoint)
-             .trigger(availableNow=True).start())
-    query.awaitTermination()
-    return (spark.table(query_name)
+    if output_dir is not None:
+        def sink(batch_df: DataFrame, _epoch: int) -> None:
+            batch_df.write.mode("append").parquet(output_dir)
+
+        query = (out.writeStream.outputMode("update")
+                 .foreachBatch(sink)
+                 .option("checkpointLocation", checkpoint)
+                 .trigger(availableNow=True).start())
+        query.awaitTermination()
+        emissions = spark.read.parquet(output_dir)
+    else:
+        query = (out.writeStream.outputMode("update")
+                 .format("memory").queryName(query_name)
+                 .option("checkpointLocation", checkpoint)
+                 .trigger(availableNow=True).start())
+        query.awaitTermination()
+        emissions = spark.table(query_name)
+    return (emissions
             .groupBy("user_id")
             .agg(F.max("n_seen").alias("n_events"),
                  F.max_by("s_last", "n_seen").alias("s_final"))

@@ -317,3 +317,68 @@ def test_vacuum_tolerates_stray_dirs(tmp_path):
     assert removed == {0: [0]}
     left = sorted(os.listdir(b))
     assert left == ["v=1", "v=1.bak", "v=2", "v=tmp"]
+
+
+def test_streaming_cusum_state_survives_checkpoint_restart(spark, tmp_path,
+                                                           sf_oracle):
+    """The stateful CUSUM's group state must survive a full STOP and
+    checkpoint-resume: drain the first two time slices, end the query,
+    then land the third slice and re-run with the SAME checkpoint. The
+    resumed query must fold only the new slice on top of the restored
+    (s, seen) state, and the final result must still equal the batch
+    events_cusum oracle over all three slices — the recovery semantics
+    a production drift monitor relies on after every deploy/crash.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kinesis_s3_data_shipper_spark.plans.events import _CUSUM_SLACK
+    from kinesis_s3_data_shipper_spark.plans.streaming import (
+        _stage_time_slices)
+    from kinesis_s3_data_shipper_spark.sources.tables import load_table
+    from kinesis_s3_data_shipper_spark.streaming.jobs import (
+        streaming_cusum_final)
+
+    landing, checkpoint = _stage_time_slices(spark, sf_oracle, n_slices=3)
+    third = os.path.join(landing, "slice_2.parquet")
+    hidden = os.path.join(os.path.dirname(landing), "slice_2.hold")
+    os.rename(third, hidden)
+
+    ev = load_table(spark, sf_oracle, "events")
+    baseline = (ev.groupBy("user_id")
+                .agg(F.count("*").cast("long").alias("n"),
+                     F.sum(F.col("value").cast("decimal(20,6)"))
+                     .cast("double").alias("sv"))
+                .filter(F.col("n") >= 4))
+
+    out_dir = str(tmp_path / "cusum_emissions")
+    partial = streaming_cusum_final(
+        spark, landing, checkpoint=checkpoint,
+        query_name="cusum_ckpt_a", baseline=baseline,
+        slack_mult=1.0 + _CUSUM_SLACK, output_dir=out_dir).collect()
+    assert len(partial) > 0
+    # The first drain saw only 2/3 of the data.
+    partial_n = {r.user_id: r.n_events for r in partial}
+
+    os.rename(hidden, third)
+    resumed = streaming_cusum_final(
+        spark, landing, checkpoint=checkpoint,
+        query_name="cusum_ckpt_b", baseline=baseline,
+        slack_mult=1.0 + _CUSUM_SLACK, output_dir=out_dir)
+    got = {r.user_id: (r.n_events, r.cusum_final)
+           for r in resumed.collect()}
+
+    # Batch ground truth over the full data (the events_cusum plan).
+    from kinesis_s3_data_shipper_spark.plans import REGISTRY, all_queries
+    all_queries()
+    want = {r.user_id: (r.n_events, r.cusum_final)
+            for r in REGISTRY["events_cusum"].spark(spark, sf_oracle)
+            .collect()}
+    assert got == want
+    # And the resume genuinely CONTINUED state (some user saw new
+    # events in slice 3, so their n grew past the partial drain's,
+    # proving the restored (s, seen) state was folded onto, not
+    # rebuilt from scratch).
+    grew = [u for u, (n, _) in got.items() if n > partial_n.get(u, 0)]
+    assert grew, "third slice added no events to any user — staging bug"

@@ -15,7 +15,7 @@ from ..functions.vectors import cosine, sql_cosine, sql_dot, sql_norm
 from ..operators.similarity import (cosine_pairs, cosine_topk, hyperplanes,
                                     lsh_bucket, lsh_bucket_stats,
                                     sql_lsh_bucket)
-from ..sources.tables import load_table
+from ..sources.tables import load_table, table_row_count
 from .base import register
 
 #: Query-vector selector shared by Spark and oracle: every 97th id for
@@ -221,7 +221,7 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import dot, norm
     from ..operators.similarity import ivf_assign_broadcast, ivf_cluster_arrow
     emb = load_table(spark, sf_dir, "embeddings")
-    k = _ivf_k(emb.count())
+    k = _ivf_k(table_row_count(sf_dir, "embeddings"))
     if k <= _IVF_CLOSURE_CAP:
         # Bounded driver-side collect: exactly K centroid vectors,
         # shipped inside the Arrow-assignment UDF (the hyperplanes
@@ -405,7 +405,7 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import dot, norm
     from ..operators.similarity import ivf_cluster_arrow, ivf_cosines_arrow
     emb = load_table(spark, sf_dir, "embeddings")
-    k = _ivf_k(emb.count())
+    k = _ivf_k(table_row_count(sf_dir, "embeddings"))
     cents = [list(map(float, r.embedding)) for r in
              emb.filter(F.col("vec_id") < k)
                 .orderBy("vec_id").collect()]
@@ -658,7 +658,7 @@ def ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         pq_adc_score, pq_codebook,
                                         pq_codes_arrow, pq_sumsq_literal)
     emb = load_table(spark, sf_dir, "embeddings")
-    k = _ivf_k(emb.count())
+    k = _ivf_k(table_row_count(sf_dir, "embeddings"))
     cents = [list(map(float, r.embedding)) for r in
              emb.filter(F.col("vec_id") < k)
                 .orderBy("vec_id").collect()]
@@ -669,17 +669,33 @@ def ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One scan projection carries the whole index: coarse cell + PQ
     # code + code-derived norm (round-robin first — same parallelism
     # rationale as ann_pq_adc's encode).
+    # The enc projection IS the IVFPQ index (cell id + 8-byte code +
+    # code norm per vector). Materialize it once: every real IVFPQ
+    # deployment builds the index in one pass and serves MANY queries
+    # from the stored copy — and without the barrier Catalyst re-plans
+    # the assignment UDF into both the probe join and the score
+    # projection (two Python eval nodes per stage, measured ~2x this
+    # query's steady-state cost). At 100 TB this localCheckpoint is
+    # the index-build job writing cells+codes to storage.
     enc = (emb.repartition(spark.sparkContext.defaultParallelism)
            .select("vec_id",
                    ivf_cluster_arrow("embedding", cents).alias("cluster"),
                    pq_codes_arrow("embedding", cb).alias("codes"))
            .withColumn("_n", F.sqrt(pq_adc_score(
-               pq_sumsq_literal(cb), "codes", _PQ_M))))
+               pq_sumsq_literal(cb), "codes", _PQ_M)))
+           .localCheckpoint(eager=True))
+    # Materialize the bounded query side once (|Q| <= 256 rows of
+    # LUT + scalars): its Arrow assignment/LUT UDFs otherwise re-plan
+    # into the broadcast-build AND the join stage (the executed plan
+    # showed the assign UDF twice per side), each paying a separate
+    # Python-worker round trip per job — measured ~2x the whole
+    # query's steady-state cost at sf0.1.
     q = (emb.filter(F.expr(_QUERY_PRED))
          .select(F.col("vec_id").alias("query_id"),
                  ivf_cluster_arrow("embedding", cents).alias("cluster"),
                  pq_adc_lut("embedding", cb).alias("_lut"),
-                 norm("embedding", _DIM).alias("_qn")))
+                 norm("embedding", _DIM).alias("_qn"))
+         .localCheckpoint(eager=True))
     scored = (enc.join(F.broadcast(q), "cluster")
               .filter(F.col("vec_id") != F.col("query_id"))
               .select("query_id", F.col("vec_id").alias("neighbor_id"),

@@ -686,3 +686,50 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("max_count").cast("double")
                             / F.col("n_rows"), 6).alias("top1_share"),
                     strategy.alias("recommended_strategy")))
+
+
+@register("events_funnel_window", oracle="""
+WITH c AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS c_us
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+), conv AS (
+  SELECT DISTINCT e.user_id
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase'
+    AND epoch_us(e.ts) > c.c_us
+    AND epoch_us(e.ts) <= c.c_us + 3600000000
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_clicked,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM conv) AS n_converted_1h,
+       ROUND(CAST((SELECT COUNT(*) FROM conv) AS DOUBLE)
+             / (SELECT COUNT(*) FROM c), 6) AS conversion_rate_1h
+""", doc="TIME-BOUNDED conversion funnel: users whose first click is "
+         "followed by a purchase WITHIN ONE HOUR — the windowed "
+         "attribution metric ('did the click convert inside the "
+         "session horizon?') that the ordered funnel (events_funnel) "
+         "cannot express, since ordering alone accepts conversions "
+         "days later. Dataflow: one conditional-MIN per-user "
+         "aggregate for the first click, then the purchase stream "
+         "joins back on the SAME user_id partitioning with the "
+         "interval test as a residual — exactly the PIT-join cost "
+         "model, one shuffle end to end. Microsecond comparisons on "
+         "both engines (ts div 1000) per the repo convention.")
+def events_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (load_table(spark, sf_dir, "events")
+          .select("user_id", "event_type",
+                  F.expr("ts div 1000").alias("ts_us")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .groupBy("user_id").agg(F.min("ts_us").alias("c_us"))
+         .persist())
+    conv = (ev.filter(F.col("event_type") == "purchase")
+            .join(c, "user_id")
+            .filter((F.col("ts_us") > F.col("c_us"))
+                    & (F.col("ts_us") <= F.col("c_us") + 3_600_000_000))
+            .select("user_id").distinct())
+    nc = c.agg(F.count("*").cast("long").alias("n_clicked"))
+    nv = conv.agg(F.count("*").cast("long").alias("n_converted_1h"))
+    return (nc.join(F.broadcast(nv))
+            .select("n_clicked", "n_converted_1h",
+                    F.round(F.col("n_converted_1h").cast("double")
+                            / F.col("n_clicked"), 6)
+                    .alias("conversion_rate_1h")))

@@ -54,10 +54,10 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
 #: so the union across rounds converges on the whole registry.
 #: Round-6 window, in strict priority order (never-checked beats
 #: changed beats stale-checked; stale ranked by last-green round from
-#: CORRECTNESS_r0{1..5}.json): (1) the seven queries first registered
+#: CORRECTNESS_r0{1..5}.json): (1) the eight queries first registered
 #: this round (ingest hash-check companion, OPTIMIZE round-trip,
 #: stateful-streaming CUSUM, int8 embedding quantization, BM25
-#: retrieval, BPE merge step, PCA power step); (2) queries whose
+#: retrieval, BPE merge step, PCA power step, windowed funnel); (2) queries whose
 #: plan or oracle changed this round —
 #: the fixed2_str rendering swap (diff_snapshots/profile_table_stats),
 #: the collocation double-cast overflow fix, the skew profiler's new
@@ -73,6 +73,7 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     "ingest_pipeline_agg", "maintenance_compact_roundtrip",
     "streaming_cusum", "embedding_int8_quantize", "text_bm25_topk",
     "text_bpe_merge_step", "embedding_pca_power_step",
+    "events_funnel_window",
     # (2) plan/oracle changed in round 6 — re-prove externally:
     "diff_snapshots", "profile_table_stats", "text_collocations",
     "profile_key_skew", "compute_range_splits",
@@ -94,7 +95,7 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     # (4) oldest r03 block, padding the window to 50:
     "agg_approx_quantiles", "agg_collect_sorted", "agg_corr_covar",
     "agg_histogram", "agg_sketch_merge_hll", "agg_sketch_merge_kll",
-    "agg_sketch_theta_setops", "ann_lsh_probe",
+    "agg_sketch_theta_setops",
 )
 
 

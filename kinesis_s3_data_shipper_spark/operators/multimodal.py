@@ -157,3 +157,68 @@ def ahash_bits(media: DataFrame, *, num_blocks: int = 16) -> DataFrame:
             })
 
     return media.select("doc_id", "payload").mapInPandas(op, AHASH_SCHEMA)
+
+
+CHUNK_SCHEMA = ("doc_id LONG, chunk_idx LONG, start_off LONG,"
+                " n_samples LONG, energy LONG, chunk_md5 STRING")
+
+
+def audio_chunks(media: DataFrame, *, window: int = 25, hop: int = 12,
+                 max_chunks: int = 8) -> DataFrame:
+    """STFT-style overlapping framing over binary payloads — the audio-
+    pipeline 1->many op (frame the waveform, featurize each frame).
+
+    Payload bytes stand in for PCM samples (no audio libs in this
+    environment; a real deployment decodes with torchaudio/soundfile in
+    this exact slot). Frames start every ``hop`` samples (overlapping
+    when hop < window, the standard spectrogram layout); an evenly-
+    strided subset of at most ``max_chunks`` frames is emitted per
+    payload with its EXACT integer energy (sum of sample bytes — the
+    integer analogue of frame RMS, engine-reproducible with no float
+    accumulation) and the frame's md5. Arrow-batched ``mapInPandas``
+    with the explode inside the worker, one output batch per input
+    batch — same distributed shape as :func:`sample_frames`.
+    """
+    import hashlib
+
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            offs: list[int] = []
+            lens: list[int] = []
+            energies: list[int] = []
+            digests: list[str] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                if n == 0:
+                    continue
+                n_chunks = (n + hop - 1) // hop
+                stride = max(n_chunks // max_chunks, 1)
+                arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                for k in range(max_chunks):
+                    ci = k * stride
+                    if ci >= n_chunks:
+                        break
+                    start = ci * hop
+                    ln = min(window, n - start)
+                    ids.append(int(doc_id))
+                    idxs.append(ci)
+                    offs.append(start)
+                    lens.append(ln)
+                    energies.append(int(arr[start:start + ln].sum()))
+                    digests.append(
+                        hashlib.md5(b[start:start + ln]).hexdigest())
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "chunk_idx": pd.Series(idxs, dtype="int64"),
+                "start_off": pd.Series(offs, dtype="int64"),
+                "n_samples": pd.Series(lens, dtype="int64"),
+                "energy": pd.Series(energies, dtype="int64"),
+                "chunk_md5": pd.Series(digests, dtype="object"),
+            })
+
+    return media.select("doc_id", "payload").mapInPandas(op, CHUNK_SCHEMA)

@@ -118,3 +118,48 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (h.groupBy("phash")
             .agg(F.count("*").alias("n_docs"),
                  F.min("doc_id").alias("keeper_doc_id")))
+
+
+@register("multimodal_audio_chunks", oracle="""
+WITH b AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+  WHERE length(text) > 0
+), c AS (
+  SELECT doc_id, text, n, (n + 11) // 12 AS n_chunks,
+         greatest(((n + 11) // 12) // 8, 1) AS stride
+  FROM b
+), s AS (
+  SELECT doc_id, text, n, n_chunks, stride, unnest(range(0, 8)) AS k
+  FROM c
+), w AS (
+  SELECT doc_id, text, k * stride AS ci, k * stride * 12 AS start,
+         least(25, n - k * stride * 12) AS ln
+  FROM s WHERE k * stride < n_chunks
+)
+SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+       CAST(start AS BIGINT) AS start_off,
+       CAST(ln AS BIGINT) AS n_samples,
+       CAST(list_sum(list_transform(
+            range(CAST(start + 1 AS INTEGER),
+                  CAST(start + ln + 1 AS INTEGER)),
+            j -> ord(substr(text, CAST(j AS INTEGER), 1))))
+         AS BIGINT) AS energy,
+       md5(substr(text, CAST(start + 1 AS INTEGER),
+                  CAST(ln AS INTEGER))) AS chunk_md5
+FROM w
+""", doc="Audio framing (the spectrogram-pipeline 1->many op): payload "
+         "bytes as PCM samples, overlapping 25-sample frames every 12 "
+         "samples (50%+ overlap, the standard STFT layout), an evenly-"
+         "strided sample of at most 8 frames per document with exact "
+         "integer frame energy and frame md5 — mapInPandas with the "
+         "explode inside the Arrow batch, a numpy kernel per payload. "
+         "The oracle recomputes the same windows from the source text "
+         "(ASCII corpus: byte == char == sample). Scale shape: one "
+         "narrow scan, output ≤ 8 rows/doc, no shuffle at all; a real "
+         "deployment swaps the byte-slice kernel for a decoder + "
+         "filterbank over the identical framing.")
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import audio_chunks
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, id_col="doc_id", text_col="text")
+    return audio_chunks(media, window=25, hop=12, max_chunks=8)

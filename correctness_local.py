@@ -26,17 +26,31 @@ import traceback
 from pyspark.sql import SparkSession
 
 
+def resolve_out_path(out_arg: str | None, only: bool) -> str:
+    """Pick the record path. A ``--only`` subset run must NEVER land on
+    the full-sweep artifact by default — round 6 lost the committed
+    178-query sf0.01 record to exactly that overwrite — so subsets go
+    to a scratch side file unless the caller names a path explicitly.
+    Pinned by tests/test_correctness_local_cli.py."""
+    if out_arg is not None:
+        return out_arg
+    return "CORRECTNESS_ONLY.json" if only else "CORRECTNESS_LOCAL.json"
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
-    ap.add_argument("--out", default="CORRECTNESS_LOCAL.json")
+    ap.add_argument("--out", default=None,
+                    help="record path; defaults to CORRECTNESS_LOCAL.json "
+                         "for a full sweep and CORRECTNESS_ONLY.json (a "
+                         "scratch side file) when --only is given")
     ap.add_argument("--cpus", default="32")
     ap.add_argument("--only", default=None,
                     help="comma-separated query names: run just these "
-                         "(iteration aid; the written record then covers "
-                         "only the subset, so don't commit it as the "
-                         "full-sweep artifact)")
+                         "(iteration aid; results go to the side file so "
+                         "the committed full-sweep artifact survives)")
     args = ap.parse_args()
+    args.out = resolve_out_path(args.out, bool(args.only))
 
     spark = (SparkSession.builder.master(f"local[{args.cpus}]")
              .config("spark.sql.shuffle.partitions", args.cpus)

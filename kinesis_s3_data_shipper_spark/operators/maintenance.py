@@ -28,20 +28,41 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+def _dir_row_count(path: str) -> int:
+    """Exact row count from the parquet FOOTERS of every part-file
+    under ``path`` — pyarrow reads metadata driver-side, no Spark job
+    (same footer-based sizing as sources.tables.table_row_count, but
+    for an arbitrary directory rather than an sf_dir table). A cluster
+    deployment swaps the os.walk for an object-store LIST, exactly as
+    the compaction listing itself does."""
+    import pyarrow.parquet as pq
+    total = 0
+    for dirpath, _dirs, names in os.walk(path):
+        for n in names:
+            if n.endswith(".parquet") and not n.startswith(("_", ".")):
+                total += pq.ParquetFile(
+                    os.path.join(dirpath, n)).metadata.num_rows
+    return total
+
+
 def _boundary_sample_mod(df: DataFrame, num_parts: int,
-                         explicit: int | None) -> int:
+                         explicit: int | None,
+                         row_count: int | None = None) -> int:
     """Hash-gate modulus for a boundary sample: the caller's explicit
     value if given, else scaled from the row count via
     ranks.auto_sample_mod so the driver-side collect stays near
     ``num_parts * 1024`` rows at ANY table size (a fixed default like
     16 would make the collect ~n/16 rows — unbounded as the table
-    grows). The count() against a parquet source is a metadata-only
-    job (no data read), the same cheap sizing step the plans layer
-    pays."""
+    grows). Callers that know the parquet source pass ``row_count``
+    from the footers (no job at all); the ``df.count()`` fallback for
+    opaque DataFrames is one full-scan count job — cheap (column-
+    pruned to zero columns, map-side combined) but NOT free, so prefer
+    the footer path where a path is known."""
     if explicit is not None:
         return explicit
     from .ranks import auto_sample_mod
-    return auto_sample_mod(df.count(), num_parts)
+    n = row_count if row_count is not None else df.count()
+    return auto_sample_mod(n, num_parts)
 
 
 def compact_parquet_dir(spark: SparkSession, src_dir: str, dest_dir: str, *,
@@ -79,7 +100,8 @@ def compact_parquet_dir(spark: SparkSession, src_dir: str, dest_dir: str, *,
         from .ranks import (identity_partition_tokens, range_pid,
                             sample_order_keys, splits_from_sample)
         specs = [(c, "asc") for c in cluster_by]
-        mod = _boundary_sample_mod(df, n_files, split_sample_mod)
+        mod = _boundary_sample_mod(df, n_files, split_sample_mod,
+                                   row_count=_dir_row_count(src_dir))
         sample = sample_order_keys(df, specs, sample_mod=mod)
         bounds = splits_from_sample(sample, n_files)
         # Route each range id through a probed token whose hash lands

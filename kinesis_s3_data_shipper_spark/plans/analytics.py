@@ -718,9 +718,13 @@ def events_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (load_table(spark, sf_dir, "events")
           .select("user_id", "event_type",
                   F.expr("ts div 1000").alias("ts_us")))
+    # localCheckpoint instead of persist: the first-click aggregate is
+    # read twice (the purchase join and the n_clicked count); eager
+    # checkpointing materializes it once and ties the blocks' lifetime
+    # to this DataFrame — no cached blocks outlive the query call.
     c = (ev.filter(F.col("event_type") == "click")
          .groupBy("user_id").agg(F.min("ts_us").alias("c_us"))
-         .persist())
+         .localCheckpoint(eager=True))
     conv = (ev.filter(F.col("event_type") == "purchase")
             .join(c, "user_id")
             .filter((F.col("ts_us") > F.col("c_us"))

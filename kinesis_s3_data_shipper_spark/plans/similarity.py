@@ -1121,32 +1121,46 @@ FROM w JOIN mu ON w.d = mu.d
          "carry 64-row partials, never vectors; at a billion "
          "embeddings this is two scans and nothing else.")
 def embedding_pca_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import table_row_count
     emb = load_table(spark, sf_dir, "embeddings")
+    # n from the parquet footer (no count() job); same value, same
+    # long→double division as the oracle's COUNT(*).
+    nlit = F.lit(table_row_count(sf_dir, "embeddings")).cast("long")
     x = emb.select(
         "vec_id", F.posexplode("embedding").alias("d0", "xf")).select(
         "vec_id", (F.col("d0") + 1).alias("d"),
         F.col("xf").cast("double").alias("x"))
-    nn = emb.agg(F.count("*").cast("long").alias("n"))
+    # μ is |dims| rows consumed three times (the v0 projection, the
+    # centering join, the output). Eagerly localCheckpoint it so the
+    # corpus is exploded ONCE for μ — lazy reuse would replay the
+    # whole scan+agg subtree per consumer.
     mu = (x.groupBy("d")
           .agg(F.sum(F.col("x").cast("decimal(27,18)")).cast("double")
                .alias("smu"))
-          .crossJoin(F.broadcast(nn))
-          .select("d", (F.col("smu") / F.col("n")).alias("mu")))
+          .select("d", (F.col("smu") / nlit).alias("mu"))
+          .localCheckpoint(eager=True))
     mus = (mu.agg(F.sum((F.col("mu") * F.lit(0.125))
                         .cast("decimal(30,20)")).cast("double")
                   .alias("mus")))
-    s = (emb.crossJoin(F.broadcast(mus))
-         .select("vec_id",
-                 (F.expr("aggregate(embedding, CAST(0.0 AS DOUBLE),"
-                         " (a, e) -> a + CAST(e AS DOUBLE) * 0.125)")
-                  - F.col("mus")).alias("s")))
-    w = (x.join(F.broadcast(mu), "d")
-         .join(s, "vec_id")
+    # The per-vector scalar s_i = x_i·v0 − μ·v0 is computed IN THE SAME
+    # PROJECTION as the posexplode, so (x_id − μ_d)·s_i is row-local —
+    # no vec_id self-join, no corpus-sized exchange.  The only shuffles
+    # in the whole step are the two |dims|-key map-side-combined aggs
+    # (μ and w); everything else rides broadcasts of ≤|dims|-row frames
+    # (pinned by tests/test_plan_quality.py::test_pca_power_step_no_
+    # vec_id_shuffle).
+    xs = (emb.crossJoin(F.broadcast(mus))
+          .select((F.expr("aggregate(embedding, CAST(0.0 AS DOUBLE),"
+                          " (a, e) -> a + CAST(e AS DOUBLE) * 0.125)")
+                   - F.col("mus")).alias("s"),
+                  F.posexplode("embedding").alias("d0", "xf"))
+          .select((F.col("d0") + 1).alias("d"),
+                  F.col("xf").cast("double").alias("x"), "s"))
+    w = (xs.join(F.broadcast(mu), "d")
          .groupBy("d")
          .agg(F.sum(((F.col("x") - F.col("mu")) * F.col("s"))
                     .cast("decimal(32,18)")).cast("double").alias("sw"))
-         .crossJoin(F.broadcast(nn))
-         .select("d", (F.col("sw") / F.col("n")).alias("w")))
+         .select("d", (F.col("sw") / nlit).alias("w")))
     nrm = w.agg(F.sqrt(F.sum((F.col("w") * F.col("w"))
                              .cast("decimal(36,24)")).cast("double"))
                 .alias("nrm"))

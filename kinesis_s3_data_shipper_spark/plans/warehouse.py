@@ -409,13 +409,20 @@ FROM lineitem GROUP BY l_returnflag
          "invariant). The per-file range check is a broadcast self-"
          "join over ≤ file-count rows — driver never holds data.")
 def maintenance_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
+    import shutil
     import tempfile
 
     from ..operators.maintenance import _dir_bytes, compact_parquet_dir
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"ksds_compact_{tag}")
-    small, compacted = base + "_small", base + "_out"
+    # mkdtemp per invocation (not a path keyed on sf_dir alone): two
+    # concurrent sessions on the same sf_dir must not race on one
+    # staging dir — an overwrite-mode delete mid-query would corrupt
+    # the other session's read. The scatter dir is removed as soon as
+    # compaction has consumed it; the compacted dir must outlive the
+    # call (the returned plan reads it lazily), so it stays until the
+    # tempdir sweeper collects it.
+    base = tempfile.mkdtemp(prefix="ksds_compact_")
+    small = os.path.join(base, "small")
+    compacted = os.path.join(base, "out")
     # Scatter: 16 small files, the pre-OPTIMIZE state.
     (load_table(spark, sf_dir, "lineitem")
      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
@@ -426,6 +433,7 @@ def maintenance_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
                         target_file_bytes=max(1, _dir_bytes(small) // 4),
                         cluster_by=["l_orderkey"],
                         deterministic_splits=True)
+    shutil.rmtree(small, ignore_errors=True)
     out = spark.read.parquet(compacted)
     ranges = (out.groupBy(F.input_file_name().alias("f"))
               .agg(F.min("l_orderkey").alias("lo"),

@@ -536,3 +536,18 @@ def test_upsample_is_scan_side_explode(spark):
     assert "Generate explode" in plan
     assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_pca_power_step_no_vec_id_shuffle(spark):
+    """The covariance ACTION w = Σ (x_d − μ_d)·s_i must NOT plan the
+    per-vector scalar s as a vec_id self-join against the exploded
+    elements (a corpus-sized exchange at a billion vectors — the
+    round-6 verdict's one scale-killer). s is computed in the SAME
+    projection as the posexplode, so the only hash exchanges are the
+    two |dims|-key map-side-combined aggs (μ and w); μ and the norm
+    ride back as broadcasts."""
+    plan = plan_of(spark, "embedding_pca_power_step")
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "BatchEvalPython" not in plan

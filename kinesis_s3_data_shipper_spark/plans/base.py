@@ -52,50 +52,45 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
 #: local sweep (correctness_local.py / tests/test_oracle_parity.py);
 #: this list ROTATES which ones land in the externally-verified window
 #: so the union across rounds converges on the whole registry.
-#: Round-6 window, in strict priority order (never-checked beats
+#: Round-7 window, in strict priority order (never-checked beats
 #: changed beats stale-checked; stale ranked by last-green round from
-#: CORRECTNESS_r0{1..5}.json): (1) the eight queries first registered
-#: this round (ingest hash-check companion, OPTIMIZE round-trip,
-#: stateful-streaming CUSUM, int8 embedding quantization, BM25
-#: retrieval, BPE merge step, PCA power step, windowed funnel); (2) queries whose
-#: plan or oracle changed this round —
-#: the fixed2_str rendering swap (diff_snapshots/profile_table_stats),
-#: the collocation double-cast overflow fix, the skew profiler's new
-#: recommended_strategy column, the ranker consumers' footer-count
-#: sizing, and the incremental-LSH eager cache release; (3) the
-#: 27-query r02-era cohort the round-5 verdict scheduled (text suite
-#: + sampling/splits + multimodal + streaming_dedup/enrich + misc —
-#: their newest green rows are 3+ driver data generations old);
-#: (4) pad to 50 from the oldest r03 block. Remaining r03 cohort
-#: rotates to round 7.
+#: CORRECTNESS_r0{1..6}.json): (1) queries with no external green row
+#: yet — the round-6 buzzer-beater multimodal_audio_chunks (the r06
+#: verdict's ask #2: slot 1) plus the two registered this round (the
+#: composed warehouse lifecycle, the chained 2-step BPE proof);
+#: (2) queries whose plan or oracle changed this round — the PCA
+#: power-step vec_id-self-join removal, the funnel-window cache-leak
+#: fix, the compaction staging-race fix, and BM25's query workload
+#: moving from a driver literal to a staged storage table;
+#: (3) the entire 41-query r03-green cohort (streaming family, TPC-H
+#: shapes, events/json scalars — their green rows are now 4 driver
+#: data generations old); (4) pad to 50 with the two oldest r04 rows.
+#: Remaining r04 cohort (~40) rotates to round 8.
 _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
-    # (1) never externally checked (new this round):
-    "ingest_pipeline_agg", "maintenance_compact_roundtrip",
-    "streaming_cusum", "embedding_int8_quantize", "text_bm25_topk",
-    "text_bpe_merge_step", "embedding_pca_power_step",
-    "events_funnel_window",
-    # (2) plan/oracle changed in round 6 — re-prove externally:
-    "diff_snapshots", "profile_table_stats", "text_collocations",
-    "profile_key_skew", "compute_range_splits",
-    "compute_range_splits_sampled", "customer_rfm_segments",
-    "dedup_minhash_lsh_incremental",
-    # (3) the stale r02-era cohort (round-5 verdict's judge-computed
-    # list):
-    "text_stats", "text_quality", "text_lang_id",
-    "text_token_count_regex", "text_tfidf_top_terms", "text_pii_scrub",
-    "text_quality_filter", "text_repetition_filter",
-    "text_decontaminate", "text_fuzzy_match", "text_unigram_lm_score",
-    "doc_fingerprint", "text_chunk_udtf", "sample_hash_stratified",
-    "split_train_val_test", "pipeline_training_data",
-    "sample_balance_classes", "ann_bruteforce_topk", "ann_lsh_buckets",
-    "embedding_cosine_pairs", "multimodal_features",
-    "multimodal_frame_sample", "tag_prefix_derivation",
-    "streaming_dedup", "streaming_enrich", "agg_mode_per_user",
-    "merge_upsert_customers",
-    # (4) oldest r03 block, padding the window to 50:
-    "agg_approx_quantiles", "agg_collect_sorted", "agg_corr_covar",
-    "agg_histogram", "agg_sketch_merge_hll", "agg_sketch_merge_kll",
-    "agg_sketch_theta_setops",
+    # (1) never externally checked:
+    "multimodal_audio_chunks", "warehouse_lifecycle",
+    "text_bpe_merge_2step",
+    # (2) plan/oracle changed in round 7 — re-prove externally:
+    "embedding_pca_power_step", "events_funnel_window",
+    "maintenance_compact_roundtrip", "text_bm25_topk",
+    # (3) the stale r03-era cohort, whole block:
+    "dedup_minhash_lsh", "ann_lsh_probe", "ann_pq_adc",
+    "semdedup_kmeans", "kmeans_lloyd_iter", "graph_pagerank_iter",
+    "streaming_hourly", "streaming_sessions", "streaming_late_data",
+    "streaming_interval_join", "streaming_outer_join", "events_funnel",
+    "events_retention_cohort", "streaming_sliding",
+    "scd2_priority_history", "q4_exists_priority", "q6_forecast_revenue",
+    "q13_order_distribution", "q17_small_qty_revenue", "q7_nation_volume",
+    "q15_top_supplier", "q21_sole_supplier", "q22_idle_customers",
+    "window_distribution", "join_full_outer", "q12_priority_by_status",
+    "q14_promo_revenue_share", "q19_disjunctive_revenue",
+    "q10_returned_revenue", "q8_market_share", "join_right_agg",
+    "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
+    "q16_supplier_cnt", "q20_excess_suppliers", "scalar_json_map",
+    "scalar_variant_json", "events_gap_fill", "events_anomaly_zscore",
+    "join_interval_binned",
+    # (4) oldest r04 rows, padding the window to 50:
+    "q1_pricing_summary", "q3_shipping_priority",
 )
 
 

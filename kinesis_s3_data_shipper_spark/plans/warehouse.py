@@ -450,3 +450,111 @@ def maintenance_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
                  F.countDistinct("l_orderkey").cast("long")
                  .alias("n_orders"))
             .crossJoin(F.broadcast(overlaps)))
+
+
+@register("warehouse_lifecycle", oracle="""
+SELECT user_id,
+       CAST(3 * COUNT(*) AS BIGINT) AS n,
+       CAST(3 * SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                         AS BIGINT)) AS BIGINT) AS sum_micros,
+       CAST(2 AS BIGINT) AS versions_per_bucket,
+       CAST(0 AS BIGINT) AS n_range_overlaps
+FROM events GROUP BY user_id
+""", doc="The COMPOSED warehouse lifecycle under one hash gate — "
+         "stream-MERGE, concurrent VACUUM, a crash-retried epoch, "
+         "OPTIMIZE, read-back. streaming_merge / vacuum_versions / "
+         "maintenance_compact_roundtrip each verify their own half; "
+         "this query exercises their interaction seams end to end: "
+         "(1) two stream epochs MERGE the events table into the "
+         "bucketed versioned table with vacuum(keep=2) running INSIDE "
+         "every epoch (housekeeping concurrent with the live stream); "
+         "(2) a third epoch is published, vacuumed, then REPLAYED with "
+         "the same batch id — the crash-before-checkpoint-commit "
+         "retry — which must rebuild from the newest version strictly "
+         "below itself, i.e. the retry base vacuum(keep=2) is "
+         "contractually required to preserve (keep=1 would have "
+         "deleted it and the hash would double-apply the delta); "
+         "(3) a final vacuum must leave exactly 2 versions in every "
+         "bucket (the versions_per_bucket column carries the measured "
+         "max so the oracle literal 2 pins it); (4) the current state "
+         "is compacted with deterministic range clustering on user_id "
+         "and read back — content must be EXACTLY 3x the single-copy "
+         "batch aggregate (exact integer micros, engine-wide decimal "
+         "convention) and the n_range_overlaps column pins the "
+         "disjoint-file-range layout invariant, both through the "
+         "oracle. Scale shape: every epoch touches only its delta's "
+         "buckets (O(|delta| x bucket-size), never a table rewrite), "
+         "vacuum is a driver-side listing + unlink, compaction is one "
+         "range shuffle of the aggregate state (|users| rows, not "
+         "events).")
+def warehouse_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..operators.maintenance import (_dir_bytes, compact_parquet_dir,
+                                         vacuum_versions)
+    from ..streaming.jobs import (_bucket_versions,
+                                  merge_delta_into_bucketed_table,
+                                  read_bucketed_table,
+                                  streaming_incremental_merge)
+    from .streaming import _stage_landing
+
+    landing, checkpoint = _stage_landing(sf_dir, copies=2)
+    work = os.path.dirname(landing)
+    table_dir = os.path.join(work, "table")
+    # (1) Two epochs (copies=2, one file per trigger), vacuum(keep=2)
+    # inside every epoch — concurrent housekeeping.
+    streaming_incremental_merge(
+        spark, landing, table_dir=table_dir, checkpoint=checkpoint,
+        query_name=f"lifecycle_{uuid.uuid4().hex[:8]}",
+        max_files_per_trigger=1, vacuum_keep=2)
+    # (2) One more epoch, published then RETRIED with the same batch
+    # id after a vacuum — the crash-before-checkpoint-commit path.
+    # The delta is the whole events table once more (same per-epoch
+    # content the stream shipped), computed with the identical exact-
+    # micros expression.
+    ev = load_table(spark, sf_dir, "events")
+    delta = (ev.select("user_id",
+                       (F.col("value").cast("decimal(18,6)") * 1_000_000)
+                       .cast("long").alias("vm"))
+             .groupBy("user_id")
+             .agg(F.count("*").alias("d_n"), F.sum("vm").alias("d_sum")))
+    retry_id = max(_bucket_versions(table_dir).values()) + 1
+    merge_delta_into_bucketed_table(spark, delta, retry_id, table_dir)
+    vacuum_versions(table_dir, keep=2)
+    # The retry: must rebuild from the newest version STRICTLY below
+    # retry_id, which the keep=2 vacuum above preserved. State after
+    # this call is identical to before it (idempotence) — any
+    # double-apply or lost-base defect lands in the hash.
+    merge_delta_into_bucketed_table(spark, delta, retry_id, table_dir)
+    # (3) Final vacuum; every bucket must hold exactly 2 versions.
+    vacuum_versions(table_dir, keep=2)
+    n_vers = max(
+        sum(1 for d in os.listdir(os.path.join(table_dir, b))
+            if d.startswith("v="))
+        for b in os.listdir(table_dir) if b.startswith("b="))
+    # (4) OPTIMIZE the current state: snapshot, range-compact on
+    # user_id with deterministic splits, read back.
+    snap = os.path.join(work, "snapshot")
+    read_bucketed_table(spark, table_dir).write.parquet(snap)
+    compacted = os.path.join(work, "compacted")
+    compact_parquet_dir(spark, snap, compacted,
+                        target_file_bytes=max(1, _dir_bytes(snap) // 4),
+                        cluster_by=["user_id"],
+                        deterministic_splits=True)
+    shutil.rmtree(snap, ignore_errors=True)
+    out = spark.read.parquet(compacted)
+    ranges = (out.groupBy(F.input_file_name().alias("f"))
+              .agg(F.min("user_id").alias("lo"),
+                   F.max("user_id").alias("hi")))
+    b2 = ranges.select(F.col("f").alias("f2"), F.col("lo").alias("lo2"),
+                       F.col("hi").alias("hi2"))
+    overlaps = (ranges.join(F.broadcast(b2), F.col("f") < F.col("f2"))
+                .filter((F.col("lo") <= F.col("hi2"))
+                        & (F.col("lo2") <= F.col("hi")))
+                .agg(F.count("*").cast("long").alias("n_range_overlaps")))
+    return (out.select("user_id", "n", "sum_micros")
+            .withColumn("versions_per_bucket",
+                        F.lit(n_vers).cast("long"))
+            .crossJoin(F.broadcast(overlaps)))

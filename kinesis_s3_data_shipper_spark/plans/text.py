@@ -967,9 +967,13 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # workload table joined/broadcast against the corpus (swap the
     # staged dir for the real workload path and nothing else changes).
     # mkdtemp per invocation: concurrent sessions never share staging.
+    # The rows are built as a JVM VALUES relation (functions/values.py)
+    # — createDataFrame over Python rows is a 32-partition Python RDD
+    # whose coalesce(1) write boots one Python worker per parent
+    # partition serially (measured 5 s for 19 rows on local[32]).
+    from ..functions.values import values_df
     qdir = os.path.join(tempfile.mkdtemp(prefix="ksds_bm25_"), "queries")
-    (spark.createDataFrame(list(_BM25_QUERIES),
-                           "query_id string, term string")
+    (values_df(spark, list(_BM25_QUERIES), "query_id string, term string")
      .coalesce(1).write.parquet(qdir))
     q = spark.read.parquet(qdir)
     terms = q.select("term").distinct()

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..functions.decimal_safe import (dsum, fixed2_str, sql_dsum,
                                       sql_fixed2_str)
+from ..functions.values import values_df
 from ..sources.tables import load_table
 from .base import register
 
@@ -235,7 +236,7 @@ def compute_range_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    pid_unroll=True)
     targets = [(i, math.ceil(i * n / _SPLIT_PARTS))
                for i in range(1, _SPLIT_PARTS)]
-    idx = spark.createDataFrame(targets, "split_idx long, _rn long")
+    idx = values_df(spark, targets, "split_idx long, _rn long")
     return (ranked.join(F.broadcast(idx), "_rn")
             .select("split_idx", F.col("l_orderkey").alias("split_key")))
 
@@ -314,7 +315,7 @@ def compute_range_splits_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    pid_unroll=True)
     targets = [(i, math.ceil(i * m / _SPLIT_PARTS))
                for i in range(1, _SPLIT_PARTS)]
-    idx = spark.createDataFrame(targets, "split_idx long, _rn long")
+    idx = values_df(spark, targets, "split_idx long, _rn long")
     return (ranked.join(F.broadcast(idx), "_rn")
             .select("split_idx", F.col("l_orderkey").alias("split_key")))
 

@@ -222,3 +222,58 @@ def audio_chunks(media: DataFrame, *, window: int = 25, hop: int = 12,
             })
 
     return media.select("doc_id", "payload").mapInPandas(op, CHUNK_SCHEMA)
+
+
+RESIZE_SCHEMA = ("doc_id LONG, px_idx LONG, src_off LONG,"
+                 " src_len LONG, px LONG")
+
+
+def box_resize(media: DataFrame, *, out_px: int = 32) -> DataFrame:
+    """Area-average (box-filter) downsampling over binary payloads —
+    the RESIZE step of an image/audio preprocessing pipeline, with the
+    real resampling arithmetic and the decode stubbed (payload bytes
+    stand in for pixel/sample values; a real deployment decodes to a
+    pixel array in this slot and runs the identical kernel per row).
+
+    Each payload of n bytes maps to exactly ``out_px`` output pixels;
+    output pixel j averages the byte box [floor(j*n/out_px),
+    floor((j+1)*n/out_px)) — PIL's BOX filter / torch's area
+    interpolation on the 1-D stand-in. The average is the exact
+    integer floor(sum/len) (no float means), so any engine reproduces
+    the pixels bit-for-bit. Payloads shorter than ``out_px`` are
+    skipped (upsampling is a different kernel). Arrow-batched
+    mapInPandas, explode inside the worker, no shuffle.
+    """
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            offs: list[int] = []
+            lens: list[int] = []
+            pxs: list[int] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                if n < out_px:
+                    continue
+                arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                bounds = (np.arange(out_px + 1) * n) // out_px
+                sums = np.add.reduceat(arr, bounds[:-1])
+                widths = np.diff(bounds)
+                vals = sums // widths
+                ids.extend([int(doc_id)] * out_px)
+                idxs.extend(range(out_px))
+                offs.extend(int(x) for x in bounds[:-1])
+                lens.extend(int(x) for x in widths)
+                pxs.extend(int(x) for x in vals)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "px_idx": pd.Series(idxs, dtype="int64"),
+                "src_off": pd.Series(offs, dtype="int64"),
+                "src_len": pd.Series(lens, dtype="int64"),
+                "px": pd.Series(pxs, dtype="int64"),
+            })
+
+    return media.select("doc_id", "payload").mapInPandas(op, RESIZE_SCHEMA)

@@ -57,7 +57,8 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
 #: CORRECTNESS_r0{1..6}.json): (1) queries with no external green row
 #: yet — the round-6 buzzer-beater multimodal_audio_chunks (the r06
 #: verdict's ask #2: slot 1) plus the two registered this round (the
-#: composed warehouse lifecycle, the chained 2-step BPE proof);
+#: composed warehouse lifecycle, the chained 2-step BPE proof, the
+#: box-filter resize closing the multimodal quartet);
 #: (2) queries whose plan or oracle changed this round — the PCA
 #: power-step vec_id-self-join removal, the funnel-window cache-leak
 #: fix, the compaction staging-race fix, BM25's query workload moving
@@ -71,7 +72,7 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
 _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     # (1) never externally checked:
     "multimodal_audio_chunks", "warehouse_lifecycle",
-    "text_bpe_merge_2step",
+    "text_bpe_merge_2step", "multimodal_image_resize",
     # (2) plan/oracle changed in round 7 — re-prove externally
     # (the last three via the values_df swap of their broadcast
     # split-target / probe-token frames):
@@ -93,9 +94,10 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     "q10_returned_revenue", "q8_market_share", "join_right_agg",
     "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
     "q16_supplier_cnt", "q20_excess_suppliers", "scalar_json_map",
-    "scalar_variant_json", "events_gap_fill", "events_anomaly_zscore",
-    # (join_interval_binned and the r04 cohort rotate to round 8 —
-    # the three values_df-changed queries took their slots.)
+    "scalar_variant_json", "events_gap_fill",
+    # (events_anomaly_zscore, join_interval_binned and the r04 cohort
+    # rotate to round 8 — the three values_df-changed queries and the
+    # resize op took their slots.)
 )
 
 

@@ -163,3 +163,41 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = attach_binary_payload(docs, id_col="doc_id", text_col="text")
     return audio_chunks(media, window=25, hop=12, max_chunks=8)
+
+
+@register("multimodal_image_resize", oracle="""
+WITH b AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+  WHERE length(text) >= 32
+), s AS (
+  SELECT doc_id, text, n, unnest(range(0, 32)) AS j FROM b
+)
+SELECT doc_id, CAST(j AS BIGINT) AS px_idx,
+       CAST((j * n) // 32 AS BIGINT) AS src_off,
+       CAST(((j + 1) * n) // 32 - (j * n) // 32 AS BIGINT) AS src_len,
+       CAST(list_sum(list_transform(
+            range(CAST((j * n) // 32 + 1 AS INTEGER),
+                  CAST(((j + 1) * n) // 32 + 1 AS INTEGER)),
+            i -> ord(substr(text, CAST(i AS INTEGER), 1))))
+            // (((j + 1) * n) // 32 - (j * n) // 32) AS BIGINT) AS px
+FROM s
+""", doc="Box-filter RESIZE (area-average downsampling) over binary "
+         "payloads — the resize step of every image/audio preprocessing "
+         "pipeline, closing the decode/feature-extract/RESIZE/"
+         "frame-sample quartet: each payload's n bytes map to exactly "
+         "32 output pixels, pixel j = floor(mean) of the byte box "
+         "[floor(j*n/32), floor((j+1)*n/32)) — PIL BOX / torch 'area' "
+         "interpolation on the 1-D stand-in, with the exact-integer "
+         "floor(sum/len) average so both engines reproduce pixels "
+         "bit-for-bit (no float means). Decode is stubbed (bytes stand "
+         "in for pixel values; a real deployment decodes in the same "
+         "mapInPandas slot and runs the identical numpy reduceat "
+         "kernel). Payloads shorter than 32 are skipped — upsampling "
+         "is a different kernel. Scale shape: one narrow scan, Arrow-"
+         "batched, explode inside the worker, fixed 32 rows/doc out, "
+         "no shuffle at all.")
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import box_resize
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, id_col="doc_id", text_col="text")
+    return box_resize(media, out_px=32)

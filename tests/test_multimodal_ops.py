@@ -102,3 +102,60 @@ def test_misra_gries_guarantee_under_spreading(spark):
         .filter(F.col("count") * k > n_total))
     assert sorted(r.word for r in got.collect()) == \
         sorted(r.word for r in exact.collect())
+
+
+def _naive_box_resize(b: bytes, out_px: int = 32):
+    n = len(b)
+    if n < out_px:
+        return []
+    rows = []
+    for j in range(out_px):
+        lo = (j * n) // out_px
+        hi = ((j + 1) * n) // out_px
+        seg = b[lo:hi]
+        rows.append((j, lo, hi - lo, sum(seg) // len(seg)))
+    return rows
+
+
+@given(st.binary(min_size=0, max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_box_resize_kernel_matches_naive(payload):
+    """The numpy reduceat kernel must equal the per-pixel naive box
+    average for any payload: exact integer floor(sum/len), boundaries
+    floor(j*n/out), short payloads skipped."""
+    import numpy as np
+    out_px = 32
+    naive = _naive_box_resize(payload, out_px)
+    n = len(payload)
+    if n < out_px:
+        assert naive == []
+        return
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    bounds = (np.arange(out_px + 1) * n) // out_px
+    sums = np.add.reduceat(arr, bounds[:-1])
+    widths = np.diff(bounds)
+    got = list(zip(range(out_px), (int(x) for x in bounds[:-1]),
+                   (int(x) for x in widths),
+                   (int(x) for x in sums // widths)))
+    assert got == naive
+
+
+def test_box_resize_spark_path(spark):
+    """End-to-end through mapInPandas: pixel count fixed at 32/doc for
+    eligible docs, short docs dropped, values match the naive kernel."""
+    from kinesis_s3_data_shipper_spark.operators.multimodal import (
+        attach_binary_payload, box_resize)
+    docs = spark.createDataFrame(
+        [(1, "a" * 100), (2, "short"), (3, "xyz" * 11)],
+        "doc_id long, text string")
+    media = attach_binary_payload(docs, id_col="doc_id", text_col="text")
+    rows = box_resize(media, out_px=32).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 3}  # doc 2 (5 bytes) skipped
+    assert all(len(v) == 32 for v in by_doc.values())
+    naive = _naive_box_resize(b"a" * 100)
+    got = sorted((r.px_idx, r.src_off, r.src_len, r.px)
+                 for r in by_doc[1])
+    assert got == naive

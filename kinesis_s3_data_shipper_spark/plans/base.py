@@ -58,7 +58,8 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
 #: yet — the round-6 buzzer-beater multimodal_audio_chunks (the r06
 #: verdict's ask #2: slot 1) plus the two registered this round (the
 #: composed warehouse lifecycle, the chained 2-step BPE proof, the
-#: box-filter resize closing the multimodal quartet);
+#: box-filter resize closing the multimodal quartet, the IVFPQ exact
+#: refine stage);
 #: (2) queries whose plan or oracle changed this round — the PCA
 #: power-step vec_id-self-join removal, the funnel-window cache-leak
 #: fix, the compaction staging-race fix, BM25's query workload moving
@@ -73,6 +74,7 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     # (1) never externally checked:
     "multimodal_audio_chunks", "warehouse_lifecycle",
     "text_bpe_merge_2step", "multimodal_image_resize",
+    "ann_ivfpq_refine",
     # (2) plan/oracle changed in round 7 — re-prove externally
     # (the last three via the values_df swap of their broadcast
     # split-target / probe-token frames):
@@ -94,10 +96,10 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     "q10_returned_revenue", "q8_market_share", "join_right_agg",
     "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
     "q16_supplier_cnt", "q20_excess_suppliers", "scalar_json_map",
-    "scalar_variant_json", "events_gap_fill",
-    # (events_anomaly_zscore, join_interval_binned and the r04 cohort
-    # rotate to round 8 — the three values_df-changed queries and the
-    # resize op took their slots.)
+    "scalar_variant_json",
+    # (events_gap_fill, events_anomaly_zscore, join_interval_binned
+    # and the r04 cohort rotate to round 8 — the values_df-changed
+    # queries and the resize/refine ops took their slots.)
 )
 
 

@@ -563,7 +563,7 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rank") <= 3))
 
 
-def _ivfpq_oracle() -> str:
+def _ivfpq_oracle(topk: int = 3) -> str:
     sub_a = "e.embedding[md.m*8+1 : md.m*8+8]"
     sub_c = "c.cv[md.m*8+1 : md.m*8+8]"
     sub_q = "q.qv[e.m*8+1 : e.m*8+8]"
@@ -631,7 +631,7 @@ SELECT query_id, neighbor_id, adc_cos, rank FROM (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY adc_cos DESC, neighbor_id) AS rank
   FROM scored
-) WHERE rank <= 3
+) WHERE rank <= {topk}
 """
 
 
@@ -653,6 +653,20 @@ SELECT query_id, neighbor_id, adc_cos, rank FROM (
               "LUT/codes machinery; the oracle composes the same two "
               "CTE blocks, so candidate sets and ranks match exactly.")
 def ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored, _q = _ivfpq_scored(spark, sf_dir)
+    w = W.partitionBy("query_id").orderBy(F.desc("adc_cos"), "neighbor_id")
+    return (scored.select("query_id", "neighbor_id", "adc_cos",
+                          F.row_number().over(w).cast("long").alias("rank"))
+            .filter(F.col("rank") <= 3))
+
+
+def _ivfpq_scored(spark: SparkSession, sf_dir: str, *,
+                  with_query_vec: bool = False):
+    """The shared IVFPQ dataflow: (ADC-scored candidate pairs, the
+    materialized bounded query side). ann_ivfpq_adc ranks it directly;
+    ann_ivfpq_refine shortlists then re-ranks exactly. With
+    ``with_query_vec`` the query side also carries its raw vector (for
+    the exact re-rank's fold)."""
     from ..functions.vectors import norm
     from ..operators.similarity import (ivf_cluster_arrow, pq_adc_lut,
                                         pq_adc_score, pq_codebook,
@@ -690,11 +704,14 @@ def ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # showed the assign UDF twice per side), each paying a separate
     # Python-worker round trip per job — measured ~2x the whole
     # query's steady-state cost at sf0.1.
+    qcols = [F.col("vec_id").alias("query_id"),
+             ivf_cluster_arrow("embedding", cents).alias("cluster"),
+             pq_adc_lut("embedding", cb).alias("_lut"),
+             norm("embedding", _DIM).alias("_qn")]
+    if with_query_vec:
+        qcols.append(F.col("embedding").alias("_qv"))
     q = (emb.filter(F.expr(_QUERY_PRED))
-         .select(F.col("vec_id").alias("query_id"),
-                 ivf_cluster_arrow("embedding", cents).alias("cluster"),
-                 pq_adc_lut("embedding", cb).alias("_lut"),
-                 norm("embedding", _DIM).alias("_qn"))
+         .select(*qcols)
          .localCheckpoint(eager=True))
     scored = (enc.join(F.broadcast(q), "cluster")
               .filter(F.col("vec_id") != F.col("query_id"))
@@ -702,9 +719,61 @@ def ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(pq_adc_score("_lut", "codes", _PQ_M)
                               / (F.col("_qn") * F.col("_n")), 6)
                        .alias("adc_cos")))
-    w = W.partitionBy("query_id").orderBy(F.desc("adc_cos"), "neighbor_id")
-    return (scored.select("query_id", "neighbor_id", "adc_cos",
-                          F.row_number().over(w).cast("long").alias("rank"))
+    return scored, q
+
+
+
+@register("ann_ivfpq_refine", oracle=f"""
+WITH short AS ({_ivfpq_oracle(topk=10)}
+), ref AS (
+  SELECT s.query_id, s.neighbor_id,
+         ROUND({sql_cosine('qe.embedding', 'ne.embedding')}, 6)
+           AS exact_cos
+  FROM short s
+  JOIN embeddings qe ON qe.vec_id = s.query_id
+  JOIN embeddings ne ON ne.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, exact_cos, rank FROM (
+  SELECT query_id, neighbor_id, exact_cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY exact_cos DESC, neighbor_id) AS rank
+  FROM ref
+) WHERE rank <= 3
+""", doc="IVFPQ with an exact REFINE stage -- the two-stage serving "
+         "pattern every production FAISS deployment runs (IndexRefine "
+         "/ IVFPQR): the compressed-domain ADC pass shortlists top-10 "
+         "candidates per query from the probed cell, then ONLY those "
+         "<=10 rows per query are re-ranked by exact full-precision "
+         "cosine against the raw vectors, fixing the quantization "
+         "error ADC ranks carry. Scale shape: the expensive pass "
+         "stays sub-linear (IVF routing) and decode-free (ADC); the "
+         "refine joins the tiny shortlist back to the corpus as a "
+         "BROADCAST (|Q| x 10 rows into one corpus scan -- the "
+         "at-scale form is a point-lookup against the vector store), "
+         "so exact-distance work is O(|Q| x 10 x dims), independent "
+         "of corpus size. Oracle composes the full IVFPQ CTE at "
+         "topk=10 with the identical exact-cosine fold, so shortlist "
+         "membership AND refined ranks match exactly.")
+def ann_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import cosine
+    scored, q = _ivfpq_scored(spark, sf_dir, with_query_vec=True)
+    ws = W.partitionBy("query_id").orderBy(F.desc("adc_cos"), "neighbor_id")
+    short = (scored
+             .select("query_id", "neighbor_id",
+                     F.row_number().over(ws).alias("_rn"))
+             .filter(F.col("_rn") <= 10).drop("_rn"))
+    nbr = (load_table(spark, sf_dir, "embeddings")
+           .select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("_nv")))
+    out = (nbr.join(F.broadcast(short), "neighbor_id")
+           .join(F.broadcast(q.select("query_id", "_qv")), "query_id")
+           .select("query_id", "neighbor_id",
+                   F.round(cosine("_qv", "_nv", _DIM), 6)
+                    .alias("exact_cos")))
+    wr = W.partitionBy("query_id").orderBy(F.desc("exact_cos"),
+                                           "neighbor_id")
+    return (out.select("query_id", "neighbor_id", "exact_cos",
+                       F.row_number().over(wr).cast("long").alias("rank"))
             .filter(F.col("rank") <= 3))
 
 

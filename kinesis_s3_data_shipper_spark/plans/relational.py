@@ -2013,3 +2013,118 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_from_rank("_rn_r", ends).alias("r_score"),
         bucket_from_rank("_rn_f", ends).alias("f_score"),
         bucket_from_rank("_rn_m", ends).alias("m_score"))
+
+
+@register("agg_distinct_twophase", oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+""", doc="Exact distinct under KEY SKEW, the manual two-phase rewrite: "
+         "phase 1 pre-aggregates on the FULL (event_type, user_id) "
+         "pair — a hot event_type is spread across partitions by the "
+         "user dimension, so no task ever owns a whole hot key — and "
+         "phase 2 counts pre-agg rows per type, which map-side "
+         "combine collapses to one partial row per (task, type) "
+         "before the exchange. Contrast agg_distinct's native "
+         "COUNT(DISTINCT): Catalyst plans an Expand + two-phase agg "
+         "that shuffles expanded rows; this form also lets the SAME "
+         "pre-aggregate serve the distinct count AND the plain count "
+         "(n_events rides along for free). Plan-pinned: exactly two "
+         "hash exchanges, no Expand, both aggs partial+final "
+         "(tests/test_plan_quality.py::test_twophase_distinct_shape).")
+def agg_distinct_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    pre = (ev.groupBy("event_type", "user_id")
+           .agg(F.count("*").alias("_c")))
+    return (pre.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_users"),
+                 F.sum("_c").cast("long").alias("n_events")))
+
+
+#: Runtime-filter bloom: m bits, k=3 md5-derived positions — same
+#: portable hash family as dedup_bloom_membership, over the join key.
+_JBLOOM_M = 8192
+
+
+def _jbloom_pos_spark(col: str) -> list[str]:
+    return [f"CAST(conv(substring(md5(CAST({col} AS STRING)),"
+            f" {j * 8 + 1}, 8), 16, 10) AS BIGINT) % {_JBLOOM_M}"
+            for j in range(3)]
+
+
+def _jbloom_pos_duck(col: str) -> list[str]:
+    return [f"CAST('0x' || substr(md5(CAST({col} AS VARCHAR)),"
+            f" {j * 8 + 1}, 8) AS BIGINT) % {_JBLOOM_M}"
+            for j in range(3)]
+
+
+@register("join_bloom_prefilter", oracle=f"""
+WITH bld AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+), pos AS (
+  SELECT DISTINCT unnest([{",".join(_jbloom_pos_duck('c_custkey'))}]) AS p
+  FROM bld
+), passed AS (
+  SELECT o.* FROM orders o
+  WHERE {" AND ".join(f"({e}) IN (SELECT p FROM pos)"
+                      for e in _jbloom_pos_duck('o.o_custkey'))}
+), np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bloom_pass FROM passed)
+SELECT o.o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_dsum('o.o_totalprice', 'revenue')},
+       (SELECT n_bloom_pass FROM np) AS n_bloom_pass
+FROM passed o JOIN bld c ON o.o_custkey = c.c_custkey
+GROUP BY o.o_orderpriority
+""", doc="Runtime BLOOM-FILTER join pruning (sideways information "
+         "passing — what Spark's runtime.bloomFilter injection and "
+         "Delta/Iceberg dynamic file pruning do, in explicit oracle-"
+         "checkable form): the filtered dim side (BUILDING customers) "
+         "builds an m=8192/k=3 bloom over the join key with the "
+         "engine's portable md5 hash family; its set-bit positions — "
+         "at most m ints, the bitmap's exact information content — "
+         "come back as ONE bounded driver collect and the probe "
+         "becomes a PURE scan-side expression on the fact table, so "
+         "at 100 TB the fact SHUFFLE (when the dim is too big to "
+         "broadcast) carries only bloom survivors: true matches plus "
+         "the (1-e^(-kn/m))^k false-positive tail. The exact join "
+         "then drops false positives; n_bloom_pass rides along as a "
+         "checked column so the filter's pruning arithmetic — not "
+         "just the final answer — is hash-verified (the oracle "
+         "replays the identical bit positions). Exact integer/decimal "
+         "aggregates per the engine convention.")
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    bld = cust.filter(F.col("c_mktsegment") == "BUILDING")
+    # Build: distinct set-bit positions of the dim-side keys (ONE
+    # bounded collect, <= min(3*|dim|, m) ints — at scale this is the
+    # runtime-filter build job every engine pays).
+    pos_rows = (bld.select(F.explode(F.array(
+        *[F.expr(e) for e in _jbloom_pos_spark("c_custkey")])).alias("p"))
+        .distinct().collect())
+    bits = {int(r.p) for r in pos_rows}
+    # Probe: pure expression against the BIT-PACKED bitmap (m/64 long
+    # words as an array literal; element_at + shiftright is O(1) per
+    # probe). NOT a character bitmap probed with substring():
+    # UTF8String.substring walks bytes to count codepoints, so each
+    # probe would cost O(position) — measured 10x this filter's whole
+    # runtime at m=8192. No join, no shuffle: the filter evaluates
+    # inside the fact scan stage.
+    words = [0] * (_JBLOOM_M // 64)
+    for b in bits:
+        words[b // 64] |= 1 << (b % 64)
+    arr = "array(" + ",".join(
+        f"{w - (1 << 64) if w >= (1 << 63) else w}L" for w in words) + ")"
+    probe = [F.expr(f"(shiftright(element_at({arr},"
+                    f" CAST(({e}) DIV 64 AS INT) + 1),"
+                    f" CAST(({e}) % 64 AS INT)) & 1) = 1")
+             for e in _jbloom_pos_spark("o_custkey")]
+    orders = load_table(spark, sf_dir, "orders")
+    passed = orders.filter(probe[0] & probe[1] & probe[2])
+    np_ = passed.agg(F.count("*").cast("long").alias("n_bloom_pass"))
+    return (passed.join(F.broadcast(bld.select("c_custkey")),
+                        passed.o_custkey == F.col("c_custkey"))
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(F.count("*").cast("long").alias("n_orders"),
+                 dsum("o_totalprice", "revenue"))
+            .crossJoin(F.broadcast(np_)))

@@ -551,3 +551,24 @@ def test_pca_power_step_no_vec_id_shuffle(spark):
     assert "ShuffledHashJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "BatchEvalPython" not in plan
+
+
+def test_twophase_distinct_shape(spark):
+    """The manual two-phase exact distinct: pair pre-agg then key agg —
+    exactly two hash exchanges, both aggs partial+final, and no Expand
+    node (the native COUNT DISTINCT planning artifact it replaces)."""
+    plan = plan_of(spark, "agg_distinct_twophase")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Expand" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x 2 phases
+
+
+def test_bloom_prefilter_is_scan_side(spark):
+    """The bloom probe must be a pure filter expression (no join, no
+    exchange) feeding the broadcast exact join; only the final agg
+    hash-partitions."""
+    plan = plan_of(spark, "join_bloom_prefilter")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan

@@ -65,3 +65,31 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str, ts_col: str,
 
     return (unioned.filter(F.col("_is_left") == 1)
             .drop("_side", "_is_left"))
+
+
+def asof_join_forward(left: DataFrame, right: DataFrame, *, on: str,
+                      ts_col: str, strict: bool = True,
+                      right_value_cols: Sequence[str] = (),
+                      right_alias: str = "right") -> DataFrame:
+    """For each left row, attach the NEAREST FUTURE right row —
+    strictly-after (``strict=True``) or at-or-after (``strict=False``)
+    its ts: pandas ``merge_asof(direction='forward')``, the other half
+    of the PIT-join family (e.g. "first purchase after signup",
+    "next maintenance event after an alert").
+
+    Implemented by running the backward machinery over NEGATED
+    timestamps (a total-order flip, exact on integer ts): same single
+    key shuffle, same running last_value, no new dataflow. Carried
+    right columns named like ``ts_col`` are un-negated on the way out.
+    """
+    lneg = left.withColumn(ts_col, -F.col(ts_col))
+    rneg = right.withColumn(ts_col, -F.col(ts_col))
+    out = asof_join(lneg, rneg, on=on, ts_col=ts_col, strict=strict,
+                    right_value_cols=right_value_cols,
+                    right_alias=right_alias)
+    out = out.withColumn(ts_col, -F.col(ts_col))
+    for src in right_value_cols:
+        if src == ts_col:
+            dst = f"{right_alias}_{src}"
+            out = out.withColumn(dst, -F.col(dst))
+    return out

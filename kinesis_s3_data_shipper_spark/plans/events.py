@@ -666,3 +666,38 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("med", 6).alias("median"),
                     F.round("mad", 6).alias("mad"),
                     n_out.alias("n_outliers"))
+
+
+@register("asof_join_forward", oracle="""
+SELECT s.event_id, s.user_id,
+       epoch_ns(s.ts) AS ts_ns,
+       (SELECT MIN(epoch_ns(p.ts)) FROM events p
+        WHERE p.event_type = 'purchase' AND p.user_id = s.user_id
+          AND p.ts >= s.ts) AS next_purchase_ns
+FROM events s WHERE s.event_type = 'signup'
+""", doc="FORWARD as-of join: each signup matched to the user's "
+         "nearest at-or-after purchase — pandas merge_asof"
+         "(direction='forward'), the other half of the PIT-join "
+         "family ('time to first purchase after signup'). Spark has "
+         "no native as-of in either direction; the forward variant "
+         "runs the engine's backward union + running-last_value "
+         "machinery over NEGATED integer timestamps (an exact "
+         "total-order flip), so it inherits the same cost model: ONE "
+         "shuffle on the key, a within-partition sort, no per-row "
+         "Python, NULL where no future match exists. The oracle is "
+         "the obviously-correct correlated MIN over future rows.")
+def asof_join_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join_forward
+    # ts truncated to micros (DuckDB parquet TIMESTAMP_NS limit).
+    ev = (load_table(spark, sf_dir, "events")
+          .withColumn("ts", F.expr("(ts div 1000) * 1000")))
+    signups = ev.filter(F.col("event_type") == "signup")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    joined = asof_join_forward(signups, purchases, on="user_id",
+                               ts_col="ts", strict=False,
+                               right_value_cols=("ts",),
+                               right_alias="next_purchase")
+    return joined.select(
+        "event_id", "user_id",
+        F.col("ts").alias("ts_ns"),
+        F.col("next_purchase_ts").alias("next_purchase_ns"))

@@ -60,7 +60,8 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
 #: composed warehouse lifecycle, the chained 2-step BPE proof, the
 #: box-filter resize closing the multimodal quartet, the IVFPQ exact
 #: refine stage, the two-phase skew-safe distinct, the bloom
-#: runtime-filter join, the forward as-of);
+#: runtime-filter join, the forward as-of, the hybrid
+#: lexical->semantic dedup);
 #: (2) queries whose plan or oracle changed this round — the PCA
 #: power-step vec_id-self-join removal, the funnel-window cache-leak
 #: fix, the compaction staging-race fix, BM25's query workload moving
@@ -76,7 +77,7 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     "multimodal_audio_chunks", "warehouse_lifecycle",
     "text_bpe_merge_2step", "multimodal_image_resize",
     "ann_ivfpq_refine", "agg_distinct_twophase", "join_bloom_prefilter",
-    "asof_join_forward",
+    "asof_join_forward", "dedup_hybrid_lsh_semantic",
     # (2) plan/oracle changed in round 7 — re-prove externally
     # (the last three via the values_df swap of their broadcast
     # split-target / probe-token frames):
@@ -97,8 +98,8 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     "q14_promo_revenue_share", "q19_disjunctive_revenue",
     "q10_returned_revenue", "q8_market_share", "join_right_agg",
     "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
-    "q16_supplier_cnt",
-    # (q20_excess_suppliers, scalar_json_map, scalar_variant_json, events_gap_fill,
+    # (q16_supplier_cnt, q20_excess_suppliers, scalar_json_map,
+    # scalar_variant_json, events_gap_fill,
     # events_anomaly_zscore, join_interval_binned and the r04 cohort
     # rotate to round 8 — the values_df-changed queries and the five
     # new round-7 ops took their slots.)

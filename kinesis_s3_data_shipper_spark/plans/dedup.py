@@ -541,3 +541,56 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n_sent"),
                  F.sum(F.when(F.col("keeper") == F.col("doc_id"), 1)
                        .otherwise(0)).cast("long").alias("n_kept")))
+
+
+def _hybrid_oracle() -> str:
+    from ..functions.vectors import sql_cosine
+    cos = sql_cosine("ea.embedding", "eb.embedding")
+    return f"""
+WITH {sql_minhash_cand_ctes('documents')}
+SELECT c.doc_a, c.doc_b, ROUND({cos}, 6) AS cos,
+       {cos} >= 0.35 AS semantic_confirm
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.doc_a
+JOIN embeddings eb ON eb.vec_id = c.doc_b
+"""
+
+
+@register("dedup_hybrid_lsh_semantic", oracle=_hybrid_oracle(),
+          doc="HYBRID lexical->semantic dedup — the modern two-stage "
+              "near-dup pipeline (lexical candidate recall, semantic "
+              "verify precision): MinHash-LSH band buckets generate "
+              "candidate pairs from the TEXT (catching paraphrase-"
+              "resistant lexical overlap at O(candidates), never "
+              "O(n^2)), and each candidate is verified by exact "
+              "embedding COSINE >= 0.35 (dropping bucket collisions "
+              "that are lexically close but semantically unrelated — "
+              "boilerplate, templates); every candidate is emitted with its "
+              "cosine and the verify DECISION as a checked column — on the "
+              "synthetic corpus embeddings are text-independent, so the "
+              "decision column (mostly false) is exactly what the hybrid "
+              "stage contributes. This is the composition "
+              "SemDeDup-style pipelines run when pure embedding "
+              "clustering over-merges and pure MinHash under-merges. "
+              "Scale shape: candidate generation is the proven "
+              "band-bucket equi-join; the verify joins candidates to "
+              "the embedding store on id (two bounded equi-shuffles, "
+              "pairs x dims work) — identical cost model to "
+              "text_fuzzy_match's levenshtein verify, swapping the "
+              "kernel. The oracle replays the identical salted-md5 "
+              "MinHash banding AND the identical cosine fold, so "
+              "candidate membership and verified pairs hash-match.")
+def dedup_hybrid_lsh_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import cosine
+    from ..operators.dedup import minhash_lsh_candidates
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(docs, id_col="doc_id", text_col="text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    ea = emb.select(F.col("vec_id").alias("doc_a"),
+                    F.col("embedding").alias("_va"))
+    eb = emb.select(F.col("vec_id").alias("doc_b"),
+                    F.col("embedding").alias("_vb"))
+    c = cosine("_va", "_vb")
+    return (cand.join(ea, "doc_a").join(eb, "doc_b")
+            .select("doc_a", "doc_b", F.round(c, 6).alias("cos"),
+                    (c >= 0.35).alias("semantic_confirm")))

@@ -78,6 +78,8 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     "text_bpe_merge_2step", "multimodal_image_resize",
     "ann_ivfpq_refine", "agg_distinct_twophase", "join_bloom_prefilter",
     "asof_join_forward", "dedup_hybrid_lsh_semantic",
+    "cdc_apply_changes", "warehouse_deletion_vectors",
+    "embedding_matryoshka_recall",
     # (2) plan/oracle changed in round 7 — re-prove externally
     # (the last three via the values_df swap of their broadcast
     # split-target / probe-token frames):
@@ -97,12 +99,13 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     "window_distribution", "join_full_outer", "q12_priority_by_status",
     "q14_promo_revenue_share", "q19_disjunctive_revenue",
     "q10_returned_revenue", "q8_market_share", "join_right_agg",
-    "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
-    # (q16_supplier_cnt, q20_excess_suppliers, scalar_json_map,
+    # (q2_min_cost_supplier, q9_product_profit, q11_important_stock,
+    # q16_supplier_cnt, q20_excess_suppliers, scalar_json_map,
     # scalar_variant_json, events_gap_fill,
     # events_anomaly_zscore, join_interval_binned and the r04 cohort
-    # rotate to round 8 — the values_df-changed queries and the five
-    # new round-7 ops took their slots.)
+    # rotate to round 8 — the values_df-changed queries and the
+    # new round-7 ops (incl. the CDC apply, the deletion-vector read
+    # path, and the Matryoshka recall eval) took their slots.)
 )
 
 

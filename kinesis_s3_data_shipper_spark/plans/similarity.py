@@ -1239,3 +1239,114 @@ def embedding_pca_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("mu", 6).alias("dim_mean"),
                     F.round("w", 9).alias("cov_v"),
                     F.round(F.col("w") / F.col("nrm"), 6).alias("v1")))
+
+
+def _mrl_recall_oracle() -> str:
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, embedding[1:48] AS e48 FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv, e48 AS q48 FROM b
+  WHERE {_QUERY_PRED}
+), exact3 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY ROUND({sql_cosine('q.qv', 'e.embedding')}, 6) DESC,
+                        e.vec_id) AS rank
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id
+  ) WHERE rank <= 3
+), trunc3 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY ROUND({sql_cosine('q.q48', 'b.e48')}, 6) DESC,
+                        b.vec_id) AS rank
+    FROM b CROSS JOIN q
+    WHERE b.vec_id <> q.query_id
+  ) WHERE rank <= 3
+)
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_hit,
+       ROUND(CAST(COUNT(t.neighbor_id) AS DOUBLE) / COUNT(*), 6)
+         AS recall_at_3
+FROM exact3 e
+LEFT JOIN trunc3 t
+  ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@register("embedding_matryoshka_recall", oracle=_mrl_recall_oracle(),
+          doc="Matryoshka (MRL) truncation quality: recall@3 of "
+              "48-of-64-dim truncated-cosine search against full-dim "
+              "exact search, per query — THE measurement run before "
+              "shipping truncated embeddings (the index-shrink "
+              "lever modern embedding models advertise: keep the "
+              "prefix dims, renormalize, serve). Truncation is a "
+              "row-local slice; the cosine over the slice "
+              "renormalizes implicitly (prefix dot / prefix norms). "
+              "Both arms are bounded |Q|-query broadcast scans — like "
+              "ann_recall_eval, quality eval pays ground truth on a "
+              "SAMPLE, never the corpus; the production serving path "
+              "for the truncated vectors is the same IVF/LSH family "
+              "(the 16-dim slice drops into those plans unchanged, "
+              "25% less IO per candidate). Low-recall rows are the "
+              "evidence for keeping all 64 dims instead. Scale shape: "
+              "two |Q|xN broadcast nested loops with per-query "
+              "windows partitioned by query_id; no corpus shuffle, "
+              "no pairs materialized beyond rank<=3.")
+def embedding_matryoshka_recall(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from ..functions.vectors import dot, norm
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id", "embedding",
+        F.slice("embedding", 1, 48).alias("e48"),
+        norm("embedding").alias("_n"),
+        norm("slice(embedding, 1, 48)").alias("_n48"))
+    q = (b.filter(F.expr(_QUERY_PRED))
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qv"),
+                 F.col("e48").alias("q48"),
+                 F.col("_n").alias("_qn"),
+                 F.col("_n48").alias("_qn48")))
+    wq = W.partitionBy("query_id")
+    exact3 = (b.select("vec_id", "embedding", "_n")
+              .join(F.broadcast(q.select("query_id", "qv", "_qn")),
+                    F.lit(True))
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      F.round(dot("qv", "embedding")
+                              / (F.col("_qn") * F.col("_n")), 6)
+                      .alias("c"))
+              .select("query_id", "neighbor_id",
+                      F.row_number().over(
+                          wq.orderBy(F.desc("c"), "neighbor_id"))
+                      .alias("rank"))
+              .filter(F.col("rank") <= 3).drop("rank"))
+    trunc3 = (b.select("vec_id", "e48", "_n48")
+              .join(F.broadcast(q.select("query_id", "q48", "_qn48")),
+                    F.lit(True))
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      F.round(dot("q48", "e48")
+                              / (F.col("_qn48") * F.col("_n48")), 6)
+                      .alias("c"))
+              .select("query_id", "neighbor_id",
+                      F.row_number().over(
+                          wq.orderBy(F.desc("c"), "neighbor_id"))
+                      .alias("rank"))
+              .filter(F.col("rank") <= 3).drop("rank"))
+    # Both sides are <= |Q|*3 rows; Spark can't see that through the
+    # rank windows, so broadcast the hit side explicitly.
+    hit = trunc3.withColumn("_hit", F.lit(1))
+    return (exact3.join(F.broadcast(hit), ["query_id", "neighbor_id"],
+                        "left")
+            .groupBy("query_id")
+            .agg(F.count("*").cast("long").alias("n_exact"),
+                 F.count("_hit").cast("long").alias("n_hit"),
+                 F.round(F.count("_hit").cast("double") / F.count("*"), 6)
+                  .alias("recall_at_3")))

@@ -559,3 +559,133 @@ def warehouse_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("versions_per_bucket",
                         F.lit(n_vers).cast("long"))
             .crossJoin(F.broadcast(overlaps)))
+
+
+@register("cdc_apply_changes", oracle=f"""
+WITH base AS (
+  SELECT c_custkey AS custkey, c_acctbal FROM customer
+  WHERE c_nationkey < 20
+), chg AS (
+  SELECT o_custkey, o_orderstatus, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+), last AS (
+  SELECT o_custkey, o_orderstatus, o_totalprice FROM chg WHERE rn = 1
+)
+SELECT COALESCE(custkey, o_custkey) AS custkey,
+       CASE WHEN o_custkey IS NULL THEN 'keep'
+            WHEN custkey IS NULL THEN 'insert'
+            ELSE 'update' END AS cdc_action,
+       CASE WHEN o_custkey IS NULL THEN {sql_fixed2_str('c_acctbal')}
+            ELSE {sql_fixed2_str('o_totalprice')} END AS final_acctbal
+FROM base FULL JOIN last ON custkey = o_custkey
+WHERE o_orderstatus IS NULL OR o_orderstatus <> 'P'
+""", doc="CDC APPLY CHANGES (the dataflow behind Delta's "
+         "APPLY CHANGES INTO / Debezium-style changelog replay): an "
+         "ordered change stream — here 1996+ orders as upserts, with "
+         "status 'P' meaning delete — collapses to the LAST change per "
+         "key (row_number over the per-key change sequence, orderkey "
+         "tiebreak), then applies to the base snapshot: last-op delete "
+         "drops the key, upsert replaces the balance, untouched base "
+         "rows keep. Differs from MERGE (merge_upsert_customers) in "
+         "exactly the two ways real CDC differs: the source carries "
+         "MULTIPLE ordered changes per key (last-writer-wins dedup is "
+         "part of the operator) and carries deletes as data, not as a "
+         "separate tombstone scan. Scale shape: the dedup is one "
+         "key-shuffle window whose sort is within-partition; the apply "
+         "is a key-equi full-outer join that reuses the same hash "
+         "partitioning (AQE exchange reuse), and on the daily path the "
+         "deduped delta is small enough to broadcast instead. Balances "
+         "render via fixed2_str so the hash gate is engine-exact.")
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    base = (cust.filter(F.col("c_nationkey") < 20)
+            .select(F.col("c_custkey").alias("custkey"), "c_acctbal"))
+    chg = (orders
+           .filter(F.col("o_orderdate") >= F.lit("1996-01-01"))
+           .select("o_custkey", "o_orderstatus", "o_totalprice",
+                   "o_orderdate", "o_orderkey"))
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.desc("o_orderdate"), F.desc("o_orderkey")))
+    last = (chg.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("o_custkey", "o_orderstatus", "o_totalprice"))
+    merged = base.join(last, base.custkey == last.o_custkey, "full_outer")
+    return (merged
+            .filter(F.col("o_orderstatus").isNull()
+                    | (F.col("o_orderstatus") != "P"))
+            .select(
+                F.coalesce("custkey", "o_custkey").alias("custkey"),
+                F.when(F.col("o_custkey").isNull(), "keep")
+                 .when(F.col("custkey").isNull(), "insert")
+                 .otherwise("update").alias("cdc_action"),
+                F.when(F.col("o_custkey").isNull(),
+                       fixed2_str("c_acctbal"))
+                 .otherwise(fixed2_str("o_totalprice"))
+                 .alias("final_acctbal")))
+
+
+@register("warehouse_deletion_vectors", oracle="""
+SELECT CAST(l_orderkey % 32 AS BIGINT) AS file_id,
+       CAST(COUNT(*) FILTER (WHERE l_returnflag <> 'R') AS BIGINT)
+         AS n_live,
+       CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+         AS n_deleted,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+              FILTER (WHERE l_returnflag <> 'R') AS DOUBLE)
+         AS live_revenue
+FROM lineitem
+GROUP BY 1
+""", doc="Deletion-vector read path (Delta DVs / Iceberg position "
+         "deletes): soft-deleted rows are recorded as a per-file "
+         "BITMAP of row positions — a sidecar, not a rewrite — and "
+         "the scan drops them by probing the bitmap at read time. "
+         "Here: 32 synthetic files (orderkey mod), positions from a "
+         "per-file row_number (simulating physical row position, "
+         "which a real reader gets free as a metadata column), "
+         "deletes = returned items. The DV is packed 64 positions "
+         "per BIGINT word via bit_or(shiftleft) — the same "
+         "O(1)-probe bit-packing that fixed join_bloom_prefilter's "
+         "10x substring regression — and the read is the scan plus a "
+         "BROADCAST left join on (file, word) with a shiftright/AND "
+         "probe per row: no corpus shuffle, deleted-row positions "
+         "travel as bits (64 rows per word), and n_deleted comes "
+         "from bit_count over the DV words, never a second scan of "
+         "the deleted rows. The oracle states the logical spec "
+         "(filter by flag), so the hash gate proves the whole "
+         "build-pack-probe machinery reproduces it exactly. At "
+         "scale, DVs stay file-local and sparse; the broadcast "
+         "carries only files that HAVE deletes, and compaction "
+         "(maintenance_compact_roundtrip) eventually folds them in.")
+def warehouse_deletion_vectors(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select((F.col("l_orderkey") % 32).cast("long").alias("file_id"),
+                  "l_orderkey", "l_linenumber", "l_returnflag",
+                  "l_extendedprice"))
+    wpos = (Window.partitionBy("file_id")
+            .orderBy("l_orderkey", "l_linenumber"))
+    pos = li.withColumn("pos", F.row_number().over(wpos) - F.lit(1))
+    pos = pos.withColumn("word_idx", F.expr("pos div 64"))
+    dv = (pos.filter(F.col("l_returnflag") == "R")
+          .groupBy("file_id", "word_idx")
+          .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT),"
+                      " CAST(pos % 64 AS INT)))").alias("word")))
+    deleted = (dv.groupBy("file_id")
+               .agg(F.sum(F.bit_count("word")).cast("long")
+                    .alias("n_deleted")))
+    live = (pos.join(F.broadcast(dv), ["file_id", "word_idx"], "left")
+            .filter(F.col("word").isNull()
+                    | (F.expr("shiftright(word, CAST(pos % 64 AS INT))"
+                              " & 1") == 0))
+            .groupBy("file_id")
+            .agg(F.count("*").cast("long").alias("n_live"),
+                 dsum("l_extendedprice", "live_revenue")))
+    return (live.join(F.broadcast(deleted), "file_id", "left")
+            .select("file_id", "n_live",
+                    F.coalesce("n_deleted", F.lit(0)).cast("long")
+                     .alias("n_deleted"),
+                    "live_revenue"))

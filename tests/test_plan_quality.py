@@ -572,3 +572,37 @@ def test_bloom_prefilter_is_scan_side(spark):
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_deletion_vectors_probe_is_broadcast(spark):
+    """The DV read path must probe the bitmap via a BROADCAST join on
+    (file, word) — never a shuffled corpus join — and the only hash
+    exchanges are the per-file window/agg keys. Deleted-row counting
+    rides bit_count over the DV words, not a second corpus pass."""
+    plan = plan_of(spark, "warehouse_deletion_vectors")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_cdc_apply_no_extra_exchange(spark):
+    """CDC apply: the last-writer-wins window and the full-outer apply
+    both key on custkey. The plan must stay JVM-side with no
+    Python eval and no cartesian; the changelog dedup is a
+    row_number window (within-partition sort only)."""
+    plan = plan_of(spark, "cdc_apply_changes")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # one exchange for the changelog window + join sides on the key
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_matryoshka_no_corpus_shuffle(spark):
+    """MRL recall eval: both arms are |Q|-bounded broadcast nested
+    loops; the per-query rank windows partition by query_id. No
+    corpus-sized hash exchange, no Python."""
+    plan = plan_of(spark, "embedding_matryoshka_recall")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan

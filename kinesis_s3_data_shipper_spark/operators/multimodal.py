@@ -277,3 +277,72 @@ def box_resize(media: DataFrame, *, out_px: int = 32) -> DataFrame:
             })
 
     return media.select("doc_id", "payload").mapInPandas(op, RESIZE_SCHEMA)
+
+
+VAD_SCHEMA = ("doc_id LONG, seg_idx LONG, first_frame LONG,"
+              " last_frame LONG, n_frames LONG, seg_energy LONG")
+
+
+def vad_segments(media: DataFrame, *, window: int = 25, hop: int = 12,
+                 energy_per_sample: int = 100) -> DataFrame:
+    """Energy-threshold voice-activity detection over binary payloads:
+    frame the waveform (same overlapping layout as
+    :func:`audio_chunks`), mark frames whose mean energy clears the
+    threshold, and merge CONSECUTIVE active frames into segments
+    (run-length islands) — the silence-removal step every speech
+    pipeline runs before transcription.
+
+    The threshold test is the exact integer cross-product
+    ``energy >= energy_per_sample * frame_len`` (never a float mean),
+    and the island merge runs INSIDE the Arrow batch with numpy — a
+    document's frames always live in one batch, so VAD needs no
+    shuffle at all: one narrow scan in, segment rows out. Payload
+    bytes stand in for PCM samples as in :func:`audio_chunks`.
+    """
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            segs: list[int] = []
+            firsts: list[int] = []
+            lasts: list[int] = []
+            counts: list[int] = []
+            senergy: list[int] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                if n == 0:
+                    continue
+                n_frames = (n + hop - 1) // hop
+                arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                starts = np.arange(n_frames, dtype=np.int64) * hop
+                lens = np.minimum(window, n - starts)
+                cum = np.concatenate(([0], np.cumsum(arr)))
+                energies = cum[starts + lens] - cum[starts]
+                active = energies >= energy_per_sample * lens
+                if not active.any():
+                    continue
+                # Island boundaries: active frame whose predecessor
+                # is inactive (or frame 0).
+                prev = np.concatenate(([False], active[:-1]))
+                seg_id = np.cumsum(active & ~prev)
+                for s in range(1, int(seg_id[active].max()) + 1):
+                    m = active & (seg_id == s)
+                    idx = np.nonzero(m)[0]
+                    ids.append(int(doc_id))
+                    segs.append(s)
+                    firsts.append(int(idx[0]))
+                    lasts.append(int(idx[-1]))
+                    counts.append(int(idx.size))
+                    senergy.append(int(energies[m].sum()))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "seg_idx": pd.Series(segs, dtype="int64"),
+                "first_frame": pd.Series(firsts, dtype="int64"),
+                "last_frame": pd.Series(lasts, dtype="int64"),
+                "n_frames": pd.Series(counts, dtype="int64"),
+                "seg_energy": pd.Series(senergy, dtype="int64"),
+            })
+
+    return media.select("doc_id", "payload").mapInPandas(op, VAD_SCHEMA)

@@ -737,3 +737,60 @@ def events_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_converted_1h").cast("double")
                             / F.col("n_clicked"), 6)
                     .alias("conversion_rate_1h")))
+
+
+@register("agg_weighted_quantile", oracle="""
+WITH v AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS price,
+         SUM(CAST(l_quantity AS DECIMAL(18,6))) AS w
+  FROM lineitem GROUP BY 1, 2
+), c AS (
+  SELECT flag, price, w,
+         SUM(w) OVER (PARTITION BY flag ORDER BY price
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(w) OVER (PARTITION BY flag) AS total
+  FROM v
+)
+SELECT flag AS l_returnflag,
+       CAST(MIN(CASE WHEN cum * 4 >= total THEN price END)
+            AS DOUBLE) AS wq25,
+       CAST(MIN(CASE WHEN cum * 2 >= total THEN price END)
+            AS DOUBLE) AS wq50,
+       CAST(MIN(CASE WHEN cum * 4 >= total * 3 THEN price END)
+            AS DOUBLE) AS wq75
+FROM c GROUP BY flag
+""", doc="Weighted quantiles (p25/p50/p75 of extendedprice weighted by "
+         "quantity, per returnflag) — the sampling-weights statistic "
+         "behind mixture reweighting and importance-weighted corpus "
+         "stats, which approx_percentile cannot express (it has no "
+         "weight argument). Lower weighted quantile: the smallest "
+         "value whose cumulative weight reaches q of the total. "
+         "Scale shape: a (group, value)-key MAP-SIDE-COMBINED pre-agg "
+         "collapses the corpus to the distinct-value distribution "
+         "BEFORE any window — the per-group cumulative scan then runs "
+         "over distinct values only (for continuous measures, "
+         "quantize first or route through the compute_range_splits "
+         "ranker). Threshold tests are integer-decimal cross-products "
+         "(cum*4 >= total, never cum >= total/4), so no division "
+         "enters the exact arithmetic and both engines agree "
+         "bit-for-bit.")
+def agg_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    v = (li.groupBy(F.col("l_returnflag").alias("flag"),
+                    F.col("l_extendedprice").alias("price"))
+         .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+              .alias("w")))
+    wc = (W.partitionBy("flag").orderBy("price")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wt = W.partitionBy("flag")
+    c = v.select(
+        "flag", "price",
+        F.sum("w").over(wc).alias("cum"),
+        F.sum("w").over(wt).alias("total"))
+    pick = lambda cond, name: (F.min(F.when(cond, F.col("price")))  # noqa: E731
+                               .cast("double").alias(name))
+    return (c.groupBy(F.col("flag").alias("l_returnflag"))
+            .agg(pick(F.col("cum") * 4 >= F.col("total"), "wq25"),
+                 pick(F.col("cum") * 2 >= F.col("total"), "wq50"),
+                 pick(F.col("cum") * 4 >= F.col("total") * 3, "wq75")))

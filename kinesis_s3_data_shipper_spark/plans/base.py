@@ -79,7 +79,9 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     "ann_ivfpq_refine", "agg_distinct_twophase", "join_bloom_prefilter",
     "asof_join_forward", "dedup_hybrid_lsh_semantic",
     "cdc_apply_changes", "warehouse_deletion_vectors",
-    "embedding_matryoshka_recall",
+    "embedding_matryoshka_recall", "agg_weighted_quantile",
+    "asof_join_nearest", "multimodal_audio_vad",
+    "feature_hash_vectorize",
     # (2) plan/oracle changed in round 7 — re-prove externally
     # (the last three via the values_df swap of their broadcast
     # split-target / probe-token frames):
@@ -97,9 +99,10 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     "q13_order_distribution", "q17_small_qty_revenue", "q7_nation_volume",
     "q15_top_supplier", "q21_sole_supplier", "q22_idle_customers",
     "window_distribution", "join_full_outer", "q12_priority_by_status",
-    "q14_promo_revenue_share", "q19_disjunctive_revenue",
-    "q10_returned_revenue", "q8_market_share", "join_right_agg",
-    # (q2_min_cost_supplier, q9_product_profit, q11_important_stock,
+    "q14_promo_revenue_share",
+    # (q19_disjunctive_revenue, q10_returned_revenue, q8_market_share,
+    # join_right_agg, q2_min_cost_supplier, q9_product_profit,
+    # q11_important_stock,
     # q16_supplier_cnt, q20_excess_suppliers, scalar_json_map,
     # scalar_variant_json, events_gap_fill,
     # events_anomaly_zscore, join_interval_binned and the r04 cohort

@@ -701,3 +701,86 @@ def asof_join_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id",
         F.col("ts").alias("ts_ns"),
         F.col("next_purchase_ts").alias("next_purchase_ns"))
+
+
+@register("asof_join_nearest", oracle="""
+WITH s AS (
+  SELECT event_id, user_id, epoch_ns(ts) AS ts_ns FROM events
+  WHERE event_type = 'signup'
+), p AS (
+  SELECT user_id, epoch_ns(ts) AS pts FROM events
+  WHERE event_type = 'purchase'
+), m AS (
+  SELECT s.event_id, s.user_id, s.ts_ns,
+         (SELECT MAX(p.pts) FROM p
+          WHERE p.user_id = s.user_id AND p.pts <= s.ts_ns) AS prev_ns,
+         (SELECT MIN(p.pts) FROM p
+          WHERE p.user_id = s.user_id AND p.pts >= s.ts_ns) AS next_ns
+  FROM s
+)
+SELECT event_id, user_id, ts_ns,
+       CASE WHEN prev_ns IS NULL THEN next_ns
+            WHEN next_ns IS NULL THEN prev_ns
+            WHEN ts_ns - prev_ns <= next_ns - ts_ns THEN prev_ns
+            ELSE next_ns END AS nearest_purchase_ns,
+       CASE WHEN prev_ns IS NULL AND next_ns IS NULL THEN NULL
+            WHEN next_ns IS NULL THEN 'backward'
+            WHEN prev_ns IS NULL THEN 'forward'
+            WHEN ts_ns - prev_ns <= next_ns - ts_ns THEN 'backward'
+            ELSE 'forward' END AS direction
+FROM m
+""", doc="NEAREST as-of join (pandas merge_asof direction='nearest'): "
+         "each signup matched to the user's closest purchase in "
+         "EITHER time direction, ties to the earlier (backward) side "
+         "— the PIT-family member for 'closest reading to this label "
+         "timestamp' feature extraction where before/after doesn't "
+         "matter but distance does. ONE pass, not two composed "
+         "as-ofs: union the sides, sort each user partition once by "
+         "(ts, side), then two frames over the SAME sort — running "
+         "last(right ts) over the preceding frame (backward arm, "
+         "at-or-equal) and first(right ts) over the following frame "
+         "(forward arm, strictly-after) — and a row-local CASE on "
+         "the two deltas. An equal-ts match lands in the backward "
+         "arm with delta 0, which the tie rule picks anyway, so the "
+         "asymmetric frames reproduce the oracle's symmetric spec "
+         "exactly. Cost: ONE user_id shuffle + one in-partition "
+         "sort, both frames in one Window operator — no self-join, "
+         "no second exchange (the two-asof compose would join two "
+         "corpus-sized outputs back on event_id). The oracle states "
+         "the spec as correlated MAX-before/MIN-after.")
+def asof_join_nearest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (load_table(spark, sf_dir, "events")
+          .withColumn("ts", F.expr("(ts div 1000) * 1000")))
+    s = (ev.filter(F.col("event_type") == "signup")
+         .select("event_id", "user_id", "ts",
+                 F.lit(1).alias("_is_left")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.lit(None).cast("long").alias("event_id"), "user_id",
+                 "ts", F.lit(0).alias("_is_left")))
+    u = s.unionByName(p)
+    # At equal ts the purchase (side 0) sorts BEFORE the signup, so
+    # the preceding frame sees it (at-or-equal backward) and the
+    # following frame does not (strictly-after forward).
+    base = W.partitionBy("user_id").orderBy("ts", "_is_left")
+    wprev = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+    wnext = base.rowsBetween(W.currentRow, W.unboundedFollowing)
+    right_ts = F.when(F.col("_is_left") == 0, F.col("ts"))
+    j = (u.withColumn("prev_ns",
+                      F.last(right_ts, ignorenulls=True).over(wprev))
+         .withColumn("next_ns",
+                     F.first(right_ts, ignorenulls=True).over(wnext))
+         .filter(F.col("_is_left") == 1))
+    prev_closer = (F.col("ts") - F.col("prev_ns")
+                   <= F.col("next_ns") - F.col("ts"))
+    return j.select(
+        "event_id", "user_id", F.col("ts").alias("ts_ns"),
+        F.when(F.col("prev_ns").isNull(), F.col("next_ns"))
+         .when(F.col("next_ns").isNull(), F.col("prev_ns"))
+         .when(prev_closer, F.col("prev_ns"))
+         .otherwise(F.col("next_ns")).alias("nearest_purchase_ns"),
+        F.when(F.col("prev_ns").isNull() & F.col("next_ns").isNull(),
+               F.lit(None).cast("string"))
+         .when(F.col("next_ns").isNull(), F.lit("backward"))
+         .when(F.col("prev_ns").isNull(), F.lit("forward"))
+         .when(prev_closer, F.lit("backward"))
+         .otherwise(F.lit("forward")).alias("direction"))

@@ -201,3 +201,59 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = attach_binary_payload(docs, id_col="doc_id", text_col="text")
     return box_resize(media, out_px=32)
+
+
+@register("multimodal_audio_vad", oracle="""
+WITH b AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+  WHERE length(text) > 0
+), f AS (
+  SELECT doc_id, text, n, unnest(range(0, (n + 11) // 12)) AS i FROM b
+), e AS (
+  SELECT doc_id, i, least(25, n - i * 12) AS ln,
+         list_sum(list_transform(
+           range(CAST(i * 12 + 1 AS INTEGER),
+                 CAST(i * 12 + least(25, n - i * 12) + 1 AS INTEGER)),
+           j -> ord(substr(text, CAST(j AS INTEGER), 1)))) AS energy
+  FROM f
+), a AS (
+  SELECT doc_id, i, energy, (energy >= 100 * ln) AS active FROM e
+), flg AS (
+  SELECT doc_id, i, energy, active,
+         CASE WHEN active AND NOT coalesce(
+                lag(active) OVER (PARTITION BY doc_id ORDER BY i),
+                FALSE) THEN 1 ELSE 0 END AS is_start
+  FROM a
+), isl AS (
+  SELECT doc_id, i, energy, active,
+         SUM(is_start) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS seg
+  FROM flg
+)
+SELECT doc_id, CAST(seg AS BIGINT) AS seg_idx,
+       CAST(MIN(i) AS BIGINT) AS first_frame,
+       CAST(MAX(i) AS BIGINT) AS last_frame,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(energy) AS BIGINT) AS seg_energy
+FROM isl WHERE active
+GROUP BY doc_id, seg
+""", doc="Energy-threshold VAD (voice-activity detection / silence "
+         "removal): frame the payload with the audio_chunks layout "
+         "(25-sample windows every 12), mark frames whose exact "
+         "integer energy clears 100/sample, merge consecutive active "
+         "frames into segments. The run-length island merge happens "
+         "INSIDE the Arrow batch (numpy cumsum over frame flags) — a "
+         "document's frames never leave the worker, so unlike the "
+         "generic gaps-and-islands dataflow (sessionize) this needs "
+         "NO shuffle: one narrow scan in, segment rows out. The "
+         "oracle restates framing + threshold + islands relationally "
+         "(lag/cumsum windows), so the hash gate proves the in-batch "
+         "kernel equals the declarative spec. Scale: per-doc work is "
+         "O(bytes), output is segments only; the real deployment "
+         "swaps byte energy for decoded-frame RMS in the same slot.")
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import vad_segments
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, id_col="doc_id", text_col="text")
+    return vad_segments(media, window=25, hop=12, energy_per_sample=100)

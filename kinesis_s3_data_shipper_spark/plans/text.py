@@ -1215,3 +1215,56 @@ def text_bpe_merge_2step(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rank") <= 20)
             .crossJoin(F.broadcast(m1))
             .crossJoin(F.broadcast(m2)))
+
+
+@register("feature_hash_vectorize", oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents
+), bt AS (
+  SELECT (CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) % 64)
+           AS bucket,
+         token, COUNT(*) AS n
+  FROM tok GROUP BY 1, 2
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+       MIN(token) AS example_token
+FROM bt GROUP BY bucket
+""", doc="Feature hashing (the hashing trick, "
+         "sklearn.HashingVectorizer / VW): tokens map to a FIXED "
+         "64-bucket feature space via a content hash — no vocabulary "
+         "dictionary to build, broadcast, or keep consistent across "
+         "workers, which is why the trick scales where vocab-indexed "
+         "bag-of-words (text_tfidf_top_terms' dictionary) doesn't. "
+         "Bucket = md5-derived 60-bit uniform int mod 64, the "
+         "engine-identical gate the sampling suite already pins. "
+         "Reported per bucket: total token mass, distinct tokens "
+         "(collisions made visible — the trick's accuracy cost), an "
+         "example token. Scale shape: tokenize is scan-side explode; "
+         "the (bucket, token) pre-agg map-side-combines the corpus "
+         "down to the vocabulary before the 64-key rollup — the "
+         "corpus-sized stream never shuffles raw, and per-doc hashed "
+         "vectors (the training-time form) would be the same "
+         "dataflow grouped by (doc_id, bucket), still "
+         "dictionary-free.")
+def feature_hash_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            "regexp_extract_all(lower(text), '[a-z]+', 0)"))
+        .alias("token"))
+    bt = (tok.groupBy(
+            F.expr("pmod(CAST(conv(substring(md5(token), 1, 15), 16, 10)"
+                   " AS BIGINT), 64)").alias("bucket"),
+            "token")
+          .agg(F.count("*").alias("n")))
+    return (bt.groupBy("bucket")
+            .agg(F.sum("n").cast("long").alias("n_tokens"),
+                 F.count("*").cast("long").alias("n_distinct_tokens"),
+                 F.min("token").alias("example_token"))
+            .select(F.col("bucket").cast("long").alias("bucket"),
+                    "n_tokens", "n_distinct_tokens", "example_token"))

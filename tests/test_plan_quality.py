@@ -606,3 +606,45 @@ def test_matryoshka_no_corpus_shuffle(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_weighted_quantile_preaggs_before_window(spark):
+    """Exact weighted quantiles must collapse the corpus to the
+    distinct-value distribution with a map-side-combined pre-agg
+    BEFORE any window touches it, and the threshold picks are plain
+    aggregates — no join, no Python, bounded exchanges."""
+    plan = plan_of(spark, "agg_weighted_quantile")
+    assert "HashAggregate" in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_asof_nearest_single_pass(spark):
+    """direction='nearest' must be ONE union + two frames over the
+    same per-key sort — never two composed as-ofs re-joined on the
+    left key (a second corpus-sized exchange). Zero joins, exactly
+    one hash exchange (user_id), no Python."""
+    plan = plan_of(spark, "asof_join_nearest")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_audio_vad_no_shuffle(spark):
+    """VAD's island merge runs inside the Arrow batch: the whole plan
+    is scan -> ArrowEvalPython/mapInPandas -> result with no exchange
+    at all (unlike sessionize, whose islands shuffle on the key)."""
+    plan = plan_of(spark, "multimodal_audio_vad")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+
+
+def test_feature_hash_dictionary_free(spark):
+    """The hashing trick must not build/broadcast a vocabulary: no
+    join anywhere, and the corpus collapses via the (bucket, token)
+    map-side pre-agg before the 64-key rollup."""
+    plan = plan_of(spark, "feature_hash_vectorize")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2

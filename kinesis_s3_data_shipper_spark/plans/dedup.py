@@ -594,3 +594,67 @@ def dedup_hybrid_lsh_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cand.join(ea, "doc_a").join(eb, "doc_b")
             .select("doc_a", "doc_b", F.round(c, 6).alias("cos"),
                     (c >= 0.35).alias("semantic_confirm")))
+
+
+@register("dedup_cluster_canonicalize", oracle=f"""
+WITH RECURSIVE {_SQL_MINHASH_CTES},
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), nodes AS (
+  SELECT DISTINCT s AS node FROM edges
+), reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.node, e.d FROM reach JOIN edges e ON reach.r = e.s
+), comp AS (
+  SELECT node, MIN(r) AS component_id FROM reach GROUP BY node
+), m AS (
+  SELECT c.node AS doc_id, c.component_id, d.n_chars
+  FROM comp c JOIN documents d ON d.doc_id = c.node
+)
+SELECT doc_id, component_id, n_chars,
+       first_value(doc_id) OVER (
+         PARTITION BY component_id
+         ORDER BY n_chars DESC, doc_id) AS canonical_id,
+       CASE WHEN doc_id = first_value(doc_id) OVER (
+              PARTITION BY component_id
+              ORDER BY n_chars DESC, doc_id)
+            THEN 'keep' ELSE 'drop' END AS action
+FROM m
+""", doc="The dedup DECISION step: downstream of the near-dup "
+         "transitive closure (dedup_clusters_cc), pick ONE canonical "
+         "representative per component — longest text wins, lowest "
+         "doc_id breaks ties (the CCNet/RefinedWeb keep rule) — and "
+         "emit an explicit keep/drop action per clustered document, "
+         "i.e. the drop-list the corpus filter actually consumes. "
+         "Composition: verified LSH pairs -> min-label-propagation "
+         "components (iterative, non-SQL on the Spark side) -> a "
+         "doc_id equi-join to the metadata -> a per-COMPONENT window "
+         "for the canonical pick. Scale shape: everything past the "
+         "pair stage runs on the CLUSTERED-doc set (pairs-derived, "
+         "orders of magnitude below the corpus); the metadata join "
+         "is a key equi-join, and the canonical window partitions by "
+         "component — components are dup clusters, bounded fan-in, "
+         "no global window anywhere. The oracle replays the closure "
+         "as a recursive CTE and the pick as the same two-key "
+         "ordered window, so canonical choice and every action "
+         "hash-match.")
+def dedup_cluster_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    from ..operators.dedup import connected_components
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, id_col="doc_id", text_col="text",
+                              shingle_k=3, num_hashes=16, num_bands=4,
+                              threshold=0.5)
+    comps = connected_components(pairs, src="doc_a", dst="doc_b")
+    m = (comps.withColumnRenamed("node", "doc_id")
+         .join(docs.select("doc_id", "n_chars"), "doc_id"))
+    w = W.partitionBy("component_id").orderBy(F.desc("n_chars"), "doc_id")
+    canon = F.first("doc_id").over(w)
+    return m.select(
+        "doc_id", "component_id", "n_chars",
+        canon.alias("canonical_id"),
+        F.when(F.col("doc_id") == canon, F.lit("keep"))
+         .otherwise(F.lit("drop")).alias("action"))

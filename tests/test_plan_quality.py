@@ -648,3 +648,15 @@ def test_feature_hash_dictionary_free(spark):
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_zorder_single_rollup_shuffle(spark):
+    """Morton clustering must be: 1-row stats agg broadcast back +
+    row-local bit-interleave + ONE bounded-key rollup shuffle. Any
+    SortMergeJoin or extra exchange means the stats pass shuffled the
+    corpus."""
+    plan = plan_of(spark, "warehouse_zorder_cluster")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -257,3 +257,56 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = attach_binary_payload(docs, id_col="doc_id", text_col="text")
     return vad_segments(media, window=25, hop=12, energy_per_sample=100)
+
+
+@register("multimodal_video_scenecut", oracle="""
+WITH b AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+  WHERE length(text) > 0
+), f AS (
+  SELECT doc_id, text, n, unnest(range(0, (n + 15) // 16)) AS i FROM b
+), e AS (
+  SELECT doc_id, i,
+         list_sum(list_transform(
+           range(CAST(i * 16 + 1 AS INTEGER),
+                 CAST(i * 16 + least(16, n - i * 16) + 1 AS INTEGER)),
+           j -> ord(substr(text, CAST(j AS INTEGER), 1)))) AS sig
+  FROM f
+), flg AS (
+  SELECT doc_id, i, sig,
+         CASE WHEN i = 0 OR abs(sig - lag(sig) OVER (
+                PARTITION BY doc_id ORDER BY i)) >= 150
+              THEN 1 ELSE 0 END AS is_start
+  FROM e
+), isl AS (
+  SELECT doc_id, i, sig,
+         SUM(is_start) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS scene
+  FROM flg
+)
+SELECT doc_id, CAST(scene AS BIGINT) AS scene_idx,
+       CAST(MIN(i) AS BIGINT) AS first_frame,
+       CAST(MAX(i) AS BIGINT) AS last_frame,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(sig) AS BIGINT) AS scene_sig_sum
+FROM isl GROUP BY doc_id, scene
+""", doc="Frame-differencing scene-cut detection (shot segmentation): "
+         "frame the payload into consecutive 16-byte frames, exact "
+         "integer byte-sum signature per frame, new scene wherever "
+         "|sig_i - sig_{i-1}| >= 150. The video analog of "
+         "multimodal_audio_vad's change-point family — DIFF-based "
+         "(relative change vs the previous frame) where VAD is "
+         "LEVEL-based (absolute energy threshold) — and the upstream "
+         "of keyframe selection (pick one frame per scene). The "
+         "cumulative cut-flag fold runs inside the Arrow batch "
+         "(numpy), so the plan is one narrow scan -> mapInPandas -> "
+         "scene rows: NO shuffle, per-doc O(bytes) work, output "
+         "bounded by scene count. The oracle restates framing, "
+         "lag-diff threshold, and island rollup relationally, "
+         "proving the in-batch kernel equals the declarative spec.")
+def multimodal_video_scenecut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import scene_cuts
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, id_col="doc_id", text_col="text")
+    return scene_cuts(media, frame_bytes=16, cut_threshold=150)

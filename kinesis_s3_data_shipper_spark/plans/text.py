@@ -1268,3 +1268,119 @@ def feature_hash_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("token").alias("example_token"))
             .select(F.col("bucket").cast("long").alias("bucket"),
                     "n_tokens", "n_distinct_tokens", "example_token"))
+
+
+@register("text_bpe_encode", oracle="""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), wa AS (
+  SELECT doc_id, word FROM w WHERE regexp_matches(word, '^[a-z]+$')
+), wc AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM wa GROUP BY word
+), rep0 AS (
+  SELECT word, n,
+         array_to_string(regexp_extract_all(word, '.'), '|') AS seq
+  FROM wc
+), p0 AS (
+  SELECT syms[i] AS a, syms[i + 1] AS b, SUM(n) AS cnt
+  FROM (SELECT n, string_split(seq, '|') AS syms FROM rep0),
+       LATERAL (SELECT unnest(range(1, len(syms))) AS i)
+  GROUP BY a, b
+), best1 AS (
+  SELECT a AS ba, b AS bb FROM p0
+  ORDER BY cnt DESC, a, b LIMIT 1
+), rep1 AS (
+  SELECT word, n, replace(seq, ba || '|' || bb, ba || bb) AS seq
+  FROM rep0 CROSS JOIN best1
+), p1 AS (
+  SELECT syms[i] AS a, syms[i + 1] AS b, SUM(n) AS cnt
+  FROM (SELECT n, string_split(seq, '|') AS syms FROM rep1),
+       LATERAL (SELECT unnest(range(1, len(syms))) AS i)
+  GROUP BY a, b
+), best2 AS (
+  SELECT a AS ba2, b AS bb2 FROM p1
+  ORDER BY cnt DESC, a, b LIMIT 1
+), rep2 AS (
+  SELECT word, n, replace(seq, ba2 || '|' || bb2, ba2 || bb2) AS seq
+  FROM rep1 CROSS JOIN best2
+), tok AS (
+  SELECT word, CAST(len(string_split(seq, '|')) AS BIGINT) AS n_tok
+  FROM rep2
+)
+SELECT wa.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(wa.word)) AS BIGINT) AS n_chars,
+       CAST(SUM(t.n_tok) AS BIGINT) AS n_tokens
+FROM wa JOIN tok t ON t.word = wa.word
+GROUP BY wa.doc_id
+""", doc="BPE ENCODE — the apply side that completes the "
+         "text_bpe_merge_step/2step learn side: train two merges on "
+         "the corpus (identical argmax/apply dataflow, word identity "
+         "retained through the merge rounds), derive each distinct "
+         "word's encoded TOKEN COUNT from its merged symbol "
+         "sequence, and tokenize every document against that learned "
+         "dictionary — per doc: word count, character count, and "
+         "post-BPE token count (chars - tokens = merges fired, the "
+         "compression the vocabulary buys). This is the real "
+         "token-budget accounting step of a training-data pipeline, "
+         "with the tokenizer LEARNED FROM the corpus it encodes, "
+         "end to end in one plan. Scale shape: the merge rounds run "
+         "on the checkpointed distinct-word dictionary (|vocab| "
+         "rows, Heaps-law sublinear); encoding joins the per-doc "
+         "word counts to that dictionary on the word key — a "
+         "map-side-combined (doc, word) pre-agg keeps the join input "
+         "at distinct-words-per-doc, and the final rollup is one "
+         "doc_id-key agg. No corpus-sized operand ever carries "
+         "symbol sequences; documents exchange only (word, count) "
+         "pairs.")
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wa = (docs.select("doc_id",
+                      F.explode(F.split("text", " ")).alias("word"))
+          .filter(F.col("word").rlike("^[a-z]+$")))
+    wc = (wa.groupBy("word").agg(F.count("*").cast("long").alias("n")))
+    rep0 = (wc.select(
+        "word", "n",
+        F.expr("array_join(regexp_extract_all(word, '.', 0), '|')")
+        .alias("seq"))
+        .localCheckpoint(eager=True))
+
+    def pair_counts(rep):
+        syms = rep.select("n", F.split("seq", "[|]").alias("syms"))
+        pairs = syms.select(
+            "n",
+            F.explode(F.expr(
+                "CASE WHEN size(syms) < 2 THEN"
+                " array() "
+                "ELSE transform(sequence(1, size(syms) - 1),"
+                " i -> named_struct('a', element_at(syms, i),"
+                " 'b', element_at(syms, i + 1))) END")).alias("p"))
+        return (pairs.select("n", "p.a", "p.b")
+                .groupBy("a", "b")
+                .agg(F.sum("n").cast("long").alias("cnt")))
+
+    def choose_and_apply(rep):
+        best = (pair_counts(rep).orderBy(F.desc("cnt"), "a", "b").limit(1)
+                .select(F.col("a").alias("ba"), F.col("b").alias("bb")))
+        return (rep.crossJoin(F.broadcast(best))
+                .select("word", "n",
+                        F.expr("replace(seq, concat(ba, '|', bb),"
+                               " concat(ba, bb))").alias("seq"))
+                .localCheckpoint(eager=True))
+
+    rep2 = choose_and_apply(choose_and_apply(rep0))
+    tok = rep2.select(
+        "word",
+        F.expr("CAST(size(split(seq, '[|]')) AS BIGINT)").alias("n_tok"))
+    # Map-side combine: (doc, word) counts before the dictionary join,
+    # so the join input is distinct-words-per-doc, not raw tokens.
+    dw = (wa.groupBy("doc_id", "word")
+          .agg(F.count("*").cast("long").alias("k")))
+    return (dw.join(tok, "word")
+            .groupBy("doc_id")
+            .agg(F.sum("k").cast("long").alias("n_words"),
+                 F.sum(F.col("k") * F.length("word")).cast("long")
+                 .alias("n_chars"),
+                 F.sum(F.col("k") * F.col("n_tok")).cast("long")
+                 .alias("n_tokens")))

@@ -660,3 +660,23 @@ def test_zorder_single_rollup_shuffle(spark):
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_scenecut_no_shuffle(spark):
+    """Scene-cut's change-point fold runs inside the Arrow batch:
+    scan -> mapInPandas -> rows, no exchange, no join (the diff-based
+    sibling of multimodal_audio_vad's level-based islands)."""
+    plan = plan_of(spark, "multimodal_video_scenecut")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+
+
+def test_bpe_encode_corpus_exchanges_are_word_counts(spark):
+    """Encoding must join per-doc WORD COUNTS to the learned
+    dictionary — never ship symbol sequences corpus-wide, and never
+    drop into Python. Merge learning is checkpoint-truncated; the
+    final plan is the (doc,word) pre-agg + word-key join + doc
+    rollup."""
+    plan = plan_of(spark, "text_bpe_encode")
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 4

@@ -784,3 +784,103 @@ def asof_join_nearest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
          .when(F.col("prev_ns").isNull(), F.lit("forward"))
          .when(prev_closer, F.lit("backward"))
          .otherwise(F.lit("forward")).alias("direction"))
+
+
+@register("asof_join_tolerance", oracle="""
+WITH p AS (
+  SELECT event_id, user_id, epoch_ns(ts) AS ts_ns FROM events
+  WHERE event_type = 'purchase'
+), s AS (
+  SELECT user_id, epoch_ns(ts) AS sts FROM events
+  WHERE event_type = 'signup'
+), m AS (
+  SELECT p.event_id, p.user_id, p.ts_ns,
+         (SELECT MAX(s.sts) FROM s
+          WHERE s.user_id = p.user_id AND s.sts < p.ts_ns) AS sts
+  FROM p
+)
+SELECT event_id, user_id, ts_ns,
+       CASE WHEN ts_ns - sts <= 86400000000000 * 30 THEN sts END
+         AS signup_ts_ns,
+       (sts IS NOT NULL
+        AND ts_ns - sts > 86400000000000 * 30) AS match_expired
+FROM m
+""", doc="As-of join with TOLERANCE (pandas merge_asof's tolerance "
+         "parameter): each purchase matched to the most recent "
+         "strictly-earlier signup ONLY IF it is at most 30 days "
+         "stale — older matches are nulled and flagged, the "
+         "max-staleness rule every PIT feature store enforces so a "
+         "model never trains on a feature value that would have been "
+         "expired at serving time. Completes the as-of family "
+         "(backward / forward / nearest / tolerance). The staleness "
+         "gate is a ROW-LOCAL post-filter on the matched timestamp "
+         "delta, so the plan is byte-identical to the backward as-of "
+         "— union + per-key running last_value, ONE user_id shuffle "
+         "— plus one projection; tolerance adds zero exchanges at "
+         "any scale. The oracle states the spec as correlated "
+         "MAX-before + the same expiry CASE.")
+def asof_join_tolerance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (load_table(spark, sf_dir, "events")
+          .withColumn("ts", F.expr("(ts div 1000) * 1000")))
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    signups = ev.filter(F.col("event_type") == "signup")
+    joined = asof_join(purchases, signups, on="user_id", ts_col="ts",
+                       strict=True, right_value_cols=("ts",),
+                       right_alias="signup")
+    tol = 86400000000000 * 30
+    stale = F.col("ts") - F.col("signup_ts") > tol
+    return joined.select(
+        "event_id", "user_id",
+        F.col("ts").alias("ts_ns"),
+        F.when(~stale, F.col("signup_ts")).alias("signup_ts_ns"),
+        (F.col("signup_ts").isNotNull() & stale).alias("match_expired"))
+
+
+@register("events_sliding_distinct", oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day
+  FROM events
+), span AS (
+  SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM ud
+), contrib AS (
+  SELECT DISTINCT ud.user_id, ud.day + o.off AS wday
+  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS off) o
+)
+SELECT CAST(c.wday AS BIGINT) AS day,
+       CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS users_7d
+FROM contrib c CROSS JOIN span
+WHERE c.wday <= span.dmax
+GROUP BY c.wday
+""", doc="Sliding-window COUNT DISTINCT (trailing-7-day active "
+         "users, per day) — the metric that breaks naive plans at "
+         "scale because distinct over OVERLAPPING windows can't "
+         "map-side combine and a per-day self-join of the event log "
+         "is quadratic in the window. The standard bounded rewrite: "
+         "dedupe to (user, active-day) pairs first (one exact "
+         "distinct, corpus -> activity matrix), then each pair "
+         "CONTRIBUTES to exactly W=7 window-days via a small-range "
+         "explode, dedupe (user, window-day), and count per day — "
+         "total shuffle volume W x |activity pairs|, independent of "
+         "raw event count, and every stage partial-aggregates. "
+         "Days past the observed horizon are clipped; early days "
+         "aggregate the partial (ramp-up) window like every "
+         "trailing metric. The production variant swaps the exact "
+         "distinct for HLL partials (agg_sketch_merge_hll) in the "
+         "same dataflow when W x pairs outgrows the cluster.")
+def events_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = (ev.select("user_id",
+                    F.expr("CAST(ts div 86400000000000 AS BIGINT)")
+                    .alias("day"))
+          .distinct())
+    span = ud.agg(F.max("day").alias("dmax"))
+    contrib = (ud.select(
+        "user_id",
+        F.explode(F.expr("sequence(day, day + 6)")).alias("wday"))
+        .distinct())
+    return (contrib.crossJoin(F.broadcast(span))
+            .filter(F.col("wday") <= F.col("dmax"))
+            .groupBy(F.col("wday").cast("long").alias("day"))
+            .agg(F.countDistinct("user_id").cast("long")
+                 .alias("users_7d")))

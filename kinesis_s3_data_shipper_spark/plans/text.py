@@ -1384,3 +1384,75 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_chars"),
                  F.sum(F.col("k") * F.col("n_tok")).cast("long")
                  .alias("n_tokens")))
+
+
+@register("text_bigram_lm_score", oracle="""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS syms FROM documents
+), bg AS (
+  SELECT doc_id, syms[i] AS a, syms[i + 1] AS b
+  FROM d, LATERAL (SELECT unnest(range(1, len(syms))) AS i)
+), cb AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY a, b
+), top_bg AS (
+  SELECT a, b, c FROM (
+    SELECT a, b, c, row_number() OVER (ORDER BY c DESC, a, b) AS rn
+    FROM cb
+  ) WHERE rn <= 1000
+), cu AS (
+  SELECT a, CAST(SUM(c) AS BIGINT) AS c FROM cb GROUP BY a
+)
+SELECT bg.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(COALESCE(t.c, 0)) AS BIGINT) AS sum_bigram_freq,
+       CAST(SUM(CASE WHEN t.a IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov_bigrams,
+       CAST(SUM(u.c) AS BIGINT) AS sum_context_freq,
+       CAST(SUM(COALESCE(t.c, 0)) AS DOUBLE)
+         / CAST(SUM(u.c) AS DOUBLE) AS cond_mass
+FROM bg
+LEFT JOIN top_bg t ON t.a = bg.a AND t.b = bg.b
+JOIN cu u ON u.a = bg.a
+GROUP BY bg.doc_id
+""", doc="Bigram language-model quality score — the conditional "
+         "upgrade of text_unigram_lm_score's CCNet-style LM filter: "
+         "documents are scored by how much CORPUS BIGRAM MASS their "
+         "adjacent-token pairs carry relative to their contexts' "
+         "total continuation mass (sum c(a,b) / sum c(a,*)), plus "
+         "an out-of-model bigram count against a top-1000 capped "
+         "bigram table. Production swaps the count tables for KenLM "
+         "log-probs; the statistic here is exact-integer sums + ONE "
+         "IEEE division, so the oracle hash-matches while the "
+         "dataflow is the production shape: corpus bigram counts "
+         "(one map-side-combined pair shuffle), the capped model "
+         "via TakeOrderedAndProject broadcast back, CONTEXT totals "
+         "derived from the bigram counts (|vocab| rows, never a "
+         "second corpus pass), and per-doc scoring as one "
+         "word-key join + doc rollup. Single-token documents have "
+         "no bigram and drop out on both engines.")
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (docs.select(
+        "doc_id", F.split("text", " ").alias("syms"))
+        .select("doc_id", F.explode(F.expr(
+            "CASE WHEN size(syms) < 2 THEN array() "
+            "ELSE transform(sequence(1, size(syms) - 1),"
+            " i -> named_struct('a', element_at(syms, i),"
+            " 'b', element_at(syms, i + 1))) END")).alias("p"))
+        .select("doc_id", "p.a", "p.b"))
+    cb = (bg.groupBy("a", "b").agg(F.count("*").cast("long").alias("c"))
+          .localCheckpoint(eager=True))
+    top_bg = (cb.orderBy(F.desc("c"), "a", "b").limit(1000)
+              .withColumnRenamed("c", "cb"))
+    cu = (cb.groupBy("a").agg(F.sum("c").cast("long").alias("cu")))
+    j = (bg.join(F.broadcast(top_bg), ["a", "b"], "left")
+         .join(cu, "a"))
+    return (j.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_bigrams"),
+                 F.sum(F.coalesce("cb", F.lit(0))).cast("long")
+                 .alias("sum_bigram_freq"),
+                 F.sum(F.when(F.col("cb").isNull(), 1).otherwise(0))
+                 .cast("long").alias("n_oov_bigrams"),
+                 F.sum("cu").cast("long").alias("sum_context_freq"),
+                 (F.sum(F.coalesce("cb", F.lit(0))).cast("double")
+                  / F.sum("cu").cast("double")).alias("cond_mass")))

@@ -680,3 +680,35 @@ def test_bpe_encode_corpus_exchanges_are_word_counts(spark):
     plan = plan_of(spark, "text_bpe_encode")
     assert "BatchEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_asof_tolerance_adds_no_exchange(spark):
+    """The staleness gate is a row-local projection on the matched
+    delta: the plan must stay byte-identical in shape to the backward
+    as-of — one user_id exchange, zero joins, no Python."""
+    plan = plan_of(spark, "asof_join_tolerance")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_sliding_distinct_bounded_rewrite(spark):
+    """Sliding count-distinct must ride the W-x-activity-pairs
+    rewrite: dedupe, explode(7), dedupe, count — never a per-day
+    self-join of the event log (no SMJ; the only join is the
+    broadcast 1-row horizon clip)."""
+    plan = plan_of(spark, "events_sliding_distinct")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_bigram_lm_model_broadcast_back(spark):
+    """The capped bigram model must come back as a broadcast (top-k
+    via TakeOrderedAndProject), context totals derive from the
+    bigram counts (no second corpus pass), and scoring never drops
+    into Python."""
+    plan = plan_of(spark, "text_bigram_lm_score")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2

@@ -81,7 +81,10 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     "cdc_apply_changes", "warehouse_deletion_vectors",
     "embedding_matryoshka_recall", "agg_weighted_quantile",
     "asof_join_nearest", "multimodal_audio_vad",
-    "feature_hash_vectorize",
+    "feature_hash_vectorize", "warehouse_zorder_cluster",
+    "dedup_cluster_canonicalize", "text_bpe_encode",
+    "multimodal_video_scenecut", "asof_join_tolerance",
+    "events_sliding_distinct", "text_bigram_lm_score",
     # (2) plan/oracle changed in round 7 — re-prove externally
     # (the last three via the values_df swap of their broadcast
     # split-target / probe-token frames):
@@ -97,10 +100,10 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     "events_retention_cohort", "streaming_sliding",
     "scd2_priority_history", "q4_exists_priority", "q6_forecast_revenue",
     "q13_order_distribution", "q17_small_qty_revenue", "q7_nation_volume",
-    "q15_top_supplier", "q21_sole_supplier", "q22_idle_customers",
-    "window_distribution", "join_full_outer", "q12_priority_by_status",
-    "q14_promo_revenue_share",
-    # (q19_disjunctive_revenue, q10_returned_revenue, q8_market_share,
+    # (q15_top_supplier, q21_sole_supplier,
+    # q22_idle_customers, window_distribution, join_full_outer,
+    # q12_priority_by_status, q14_promo_revenue_share,
+    # q19_disjunctive_revenue, q10_returned_revenue, q8_market_share,
     # join_right_agg, q2_min_cost_supplier, q9_product_profit,
     # q11_important_stock,
     # q16_supplier_cnt, q20_excess_suppliers, scalar_json_map,
@@ -108,7 +111,9 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     # events_anomaly_zscore, join_interval_binned and the r04 cohort
     # rotate to round 8 — the values_df-changed queries and the
     # new round-7 ops (incl. the CDC apply, the deletion-vector read
-    # path, and the Matryoshka recall eval) took their slots.)
+    # path, the Matryoshka recall eval, the Z-order layout, the
+    # canonicalize/encode/scenecut/tolerance/sliding-distinct/bigram
+    # batch) took their slots.)
 )
 
 

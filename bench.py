@@ -98,6 +98,19 @@ HEADLINE = [
     "maintenance_compact_roundtrip",
     "embedding_int8_quantize",
     "text_bm25_topk",
+    # round 7: the two-stage ANN serving pattern, runtime-filter join,
+    # skew-safe distinct, hybrid lexical->semantic dedup, Morton
+    # layout, the learned-tokenizer encode, sliding count-distinct,
+    # bigram LM filter, and the one-pass nearest as-of.
+    "ann_ivfpq_refine",
+    "join_bloom_prefilter",
+    "agg_distinct_twophase",
+    "dedup_hybrid_lsh_semantic",
+    "warehouse_zorder_cluster",
+    "text_bpe_encode",
+    "events_sliding_distinct",
+    "text_bigram_lm_score",
+    "asof_join_nearest",
 ]
 
 

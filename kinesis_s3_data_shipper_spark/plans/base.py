@@ -85,6 +85,7 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_cluster_canonicalize", "text_bpe_encode",
     "multimodal_video_scenecut", "asof_join_tolerance",
     "events_sliding_distinct", "text_bigram_lm_score",
+    "grouped_quantile_normalize", "dedup_containment",
     # (2) plan/oracle changed in round 7 — re-prove externally
     # (the last three via the values_df swap of their broadcast
     # split-target / probe-token frames):
@@ -99,8 +100,9 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     "streaming_interval_join", "streaming_outer_join", "events_funnel",
     "events_retention_cohort", "streaming_sliding",
     "scd2_priority_history", "q4_exists_priority", "q6_forecast_revenue",
-    "q13_order_distribution", "q17_small_qty_revenue", "q7_nation_volume",
-    # (q15_top_supplier, q21_sole_supplier,
+    "q13_order_distribution",
+    # (q17_small_qty_revenue, q7_nation_volume,
+    # q15_top_supplier, q21_sole_supplier,
     # q22_idle_customers, window_distribution, join_full_outer,
     # q12_priority_by_status, q14_promo_revenue_share,
     # q19_disjunctive_revenue, q10_returned_revenue, q8_market_share,

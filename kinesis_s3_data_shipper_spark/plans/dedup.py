@@ -658,3 +658,63 @@ def dedup_cluster_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         canon.alias("canonical_id"),
         F.when(F.col("doc_id") == canon, F.lit("keep"))
          .otherwise(F.lit("drop")).alias("action"))
+
+
+@register("dedup_containment", oracle=f"""
+WITH {_SQL_MINHASH_CTES}
+SELECT doc_a, doc_b, cont_a_in_b, cont_b_in_a,
+       CASE WHEN cont_a_in_b >= cont_b_in_a THEN 'a_in_b'
+            ELSE 'b_in_a' END AS direction
+FROM (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE)
+           / len(sa.hsh) AS cont_a_in_b,
+         CAST(len(list_intersect(sa.hsh, sb.hsh)) AS DOUBLE)
+           / len(sb.hsh) AS cont_b_in_a
+  FROM cand c
+  JOIN hs sa ON sa.doc_id = c.doc_a
+  JOIN hs sb ON sb.doc_id = c.doc_b
+)
+WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.7
+""", doc="CONTAINMENT dedup — the asymmetric sibling of Jaccard "
+         "near-dup detection: containment(A in B) = |A∩B|/|A| finds "
+         "documents NESTED inside others (quotes, excerpts, "
+         "boilerplate-wrapped reposts) that symmetric Jaccard "
+         "misses, because a short doc fully contained in a long one "
+         "has tiny Jaccard but containment 1.0. Candidates come "
+         "from the SAME proven MinHash band-bucket equi-join "
+         "(containment >= tau implies Jaccard >= tau·|A|/(|A|+|B|), "
+         "so symmetric LSH recalls nested pairs whose size ratio "
+         "is bounded; production adds asymmetric datar-gionis "
+         "transformations for extreme ratios, same dataflow), and "
+         "the verify computes BOTH directions' exact containment "
+         "over the 8-byte shingle-hash sets plus the dominant "
+         "direction tag. Cost model identical to dedup_minhash_lsh: "
+         "band-bucket join + pairs x shingle-set verify, never "
+         "all-pairs; the exchanges carry hashes, not text. The "
+         "oracle replays the identical md5 shingle pipeline, so "
+         "candidate membership, both ratios (two raw IEEE "
+         "divisions of exact ints), and the tag hash-match.")
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (minhash_lsh_candidates, shingle_hashes,
+                                   word_shingles)
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(docs, id_col="doc_id", text_col="text")
+    sh = (docs.select(F.col("doc_id").alias("_id"),
+                      word_shingles("text", 3).alias("_shingles"))
+          .withColumn("_hsh", shingle_hashes("_shingles"))
+          .select("_id", "_hsh"))
+    j = (cand
+         .join(sh.select(F.col("_id").alias("doc_a"),
+                         F.col("_hsh").alias("_sh_a")), "doc_a")
+         .join(sh.select(F.col("_id").alias("doc_b"),
+                         F.col("_hsh").alias("_sh_b")), "doc_b"))
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
+    ca = (inter / F.size("_sh_a")).alias("cont_a_in_b")
+    cb = (inter / F.size("_sh_b")).alias("cont_b_in_a")
+    out = j.select("doc_a", "doc_b", ca, cb)
+    return (out.filter(F.greatest("cont_a_in_b", "cont_b_in_a") >= 0.7)
+            .withColumn("direction",
+                        F.when(F.col("cont_a_in_b")
+                               >= F.col("cont_b_in_a"), "a_in_b")
+                        .otherwise("b_in_a")))

@@ -1456,3 +1456,75 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("cu").cast("long").alias("sum_context_freq"),
                  (F.sum(F.coalesce("cb", F.lit(0))).cast("double")
                   / F.sum("cu").cast("double")).alias("cond_mass")))
+
+
+@register("grouped_quantile_normalize", oracle="""
+WITH d AS (
+  SELECT doc_id, lang, n_chars FROM documents
+), g AS (
+  SELECT d.*,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars, doc_id) AS r,
+         COUNT(*) OVER (PARTITION BY lang) AS n_g,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS grank,
+         COUNT(*) OVER () AS n
+  FROM d
+), p AS (
+  SELECT doc_id, lang, n_chars, r, n_g,
+         CASE WHEN n_g > 1 THEN 1 + ((r - 1) * (n - 1)) // (n_g - 1)
+              ELSE 1 + (n - 1) // 2 END AS pos
+  FROM g
+)
+SELECT p.doc_id, p.lang, p.n_chars,
+       CAST(p.r AS BIGINT) AS grp_rank,
+       CAST(p.n_g AS BIGINT) AS n_g,
+       CAST(g2.n_chars AS BIGINT) AS norm_chars
+FROM p JOIN g g2 ON g2.grank = p.pos
+""", doc="Quantile normalization across groups — the rank-based "
+         "distribution-matching transform (limma/batch-effect "
+         "correction, feature calibration across corpora): each "
+         "document's length feature is replaced by the GLOBAL "
+         "distribution's value at the document's within-group "
+         "quantile, so every language's length distribution becomes "
+         "the same (the pooled) distribution while preserving "
+         "within-group order. The inverse-CDF pick is pure integer "
+         "position arithmetic (pos = 1 + (r-1)(N-1) div (n_g-1), "
+         "singleton groups map to the median) followed by an "
+         "EQUI-join on global rank — no theta join, no value "
+         "interpolation, engine-identical. Scale shape: the "
+         "within-group rank is a per-lang window; the GLOBAL rank — "
+         "the step that naively needs a single-partition window over "
+         "the corpus — composes the distributed exact ranker "
+         "(operators.ranks.attach_global_rank: bounded footer-sized "
+         "sample, range-partitioned pid windows, <=num_parts count "
+         "rows collected), the same machinery customer_rfm_segments "
+         "and compute_range_splits already prove; the final lookup "
+         "shuffles on the integer position key. The oracle states "
+         "the same spec with ordinary global windows.")
+def grouped_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    from ..operators.ranks import attach_global_rank, auto_sample_mod
+    from ..sources.tables import table_row_count
+    d = (load_table(spark, sf_dir, "documents")
+         .select("doc_id", "lang", "n_chars")
+         .localCheckpoint(eager=True))
+    wg = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ng = d.groupBy("lang").agg(F.count("*").alias("n_g"))
+    r = (d.withColumn("r", F.row_number().over(wg))
+         .join(F.broadcast(ng), "lang"))
+    mod = auto_sample_mod(table_row_count(sf_dir, "documents"), 32,
+                          target_per_part=128)
+    ranked, total = attach_global_rank(
+        d, [("n_chars", "asc"), ("doc_id", "asc")],
+        rank_col="grank", num_parts=32, sample_mod=mod)
+    pos = (F.when(F.col("n_g") > 1,
+                  F.expr(f"1 + ((r - 1) * {total - 1}) div (n_g - 1)"))
+           .otherwise(F.lit(1 + (total - 1) // 2)))
+    glook = ranked.select(F.col("grank").alias("pos"),
+                          F.col("n_chars").alias("norm_chars"))
+    return (r.withColumn("pos", pos)
+            .join(glook, "pos")
+            .select("doc_id", "lang", "n_chars",
+                    F.col("r").cast("long").alias("grp_rank"),
+                    F.col("n_g").cast("long").alias("n_g"),
+                    F.col("norm_chars").cast("long").alias("norm_chars")))

@@ -712,3 +712,24 @@ def test_bigram_lm_model_broadcast_back(spark):
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_quantile_normalize_no_global_window(spark):
+    """The global-rank step must ride the distributed ranker: no
+    single-partition window anywhere in the executed plan, and the
+    inverse-CDF pick is an EQUI-join on the position key (no
+    NestedLoop/theta join), no Python."""
+    plan = plan_of(spark, "grouped_quantile_normalize")
+    assert "SinglePartition" not in plan
+    assert "NestedLoop" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_containment_rides_band_join(spark):
+    """Containment verify must reuse the LSH candidate machinery:
+    equi-joins only (band buckets + id lookups), no cartesian, no
+    Python, and the verify operand is the 8-byte hash arrays."""
+    plan = plan_of(spark, "dedup_containment")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan

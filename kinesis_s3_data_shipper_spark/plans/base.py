@@ -86,6 +86,7 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     "multimodal_video_scenecut", "asof_join_tolerance",
     "events_sliding_distinct", "text_bigram_lm_score",
     "grouped_quantile_normalize", "dedup_containment",
+    "events_interpolate_linear", "sample_negatives_per_user",
     # (2) plan/oracle changed in round 7 — re-prove externally
     # (the last three via the values_df swap of their broadcast
     # split-target / probe-token frames):
@@ -99,9 +100,9 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     "streaming_hourly", "streaming_sessions", "streaming_late_data",
     "streaming_interval_join", "streaming_outer_join", "events_funnel",
     "events_retention_cohort", "streaming_sliding",
-    "scd2_priority_history", "q4_exists_priority", "q6_forecast_revenue",
-    "q13_order_distribution",
-    # (q17_small_qty_revenue, q7_nation_volume,
+    "scd2_priority_history", "q4_exists_priority",
+    # (q6_forecast_revenue, q13_order_distribution,
+    # q17_small_qty_revenue, q7_nation_volume,
     # q15_top_supplier, q21_sole_supplier,
     # q22_idle_customers, window_distribution, join_full_outer,
     # q12_priority_by_status, q14_promo_revenue_share,

@@ -884,3 +884,95 @@ def events_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("wday").cast("long").alias("day"))
             .agg(F.countDistinct("user_id").cast("long")
                  .alias("users_7d")))
+
+
+@register("events_interpolate_linear", oracle="""
+WITH hourly AS (
+  SELECT user_id, epoch_ns(ts) // 3600000000000 AS hr,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+  FROM events GROUP BY 1, 2
+), spine AS (
+  SELECT user_id, unnest(range(min(hr), max(hr) + 1)) AS hr
+  FROM hourly GROUP BY user_id
+), j AS (
+  SELECT s.user_id, s.hr, COALESCE(h.n, 0) AS n, h.sum_v,
+         last_value(h.sum_v IGNORE NULLS) OVER w_prev AS prev_v,
+         last_value(CASE WHEN h.sum_v IS NOT NULL THEN s.hr END
+                    IGNORE NULLS) OVER w_prev AS prev_hr,
+         first_value(h.sum_v IGNORE NULLS) OVER w_next AS next_v,
+         first_value(CASE WHEN h.sum_v IS NOT NULL THEN s.hr END
+                     IGNORE NULLS) OVER w_next AS next_hr
+  FROM spine s LEFT JOIN hourly h
+    ON s.user_id = h.user_id AND s.hr = h.hr
+  WINDOW
+    w_prev AS (PARTITION BY s.user_id ORDER BY s.hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY s.user_id ORDER BY s.hr
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, hr * 3600000 AS hour_ms, CAST(n AS BIGINT) AS n,
+       CASE WHEN sum_v IS NOT NULL THEN sum_v
+            WHEN prev_v IS NULL THEN next_v
+            WHEN next_v IS NULL THEN prev_v
+            ELSE prev_v + (next_v - prev_v) * (hr - prev_hr)
+                          / (next_hr - prev_hr) END AS v,
+       CASE WHEN sum_v IS NOT NULL THEN 'obs'
+            WHEN prev_v IS NULL THEN 'bfill'
+            WHEN next_v IS NULL THEN 'ffill'
+            ELSE 'interp' END AS src
+FROM j
+""", doc="Linear interpolation over the densified per-user hourly "
+         "spine — pandas resample().interpolate('linear'), the "
+         "other half of the resampler pair next to events_gap_fill's "
+         "LOCF: gap hours get prev + (next-prev)·(t-t_prev)/"
+         "(t_next-t_prev) between the nearest observed neighbors, "
+         "edges fall back to bfill/ffill, and every row carries its "
+         "provenance tag (obs/interp/ffill/bfill — the column a "
+         "training pipeline filters or weights on). Both neighbor "
+         "scans are frames over the SAME per-user spine sort (the "
+         "asof_join_nearest two-frame trick), so the whole plan is "
+         "the hourly map-side-combined agg + the bounded per-user "
+         "spine explode + ONE user_id shuffle with two window "
+         "frames — no self-join of the spine to the observations. "
+         "The interpolation arithmetic is a fixed expression tree "
+         "evaluated once per row ((next-prev)·Δt first, then the "
+         "divide, then the add), so IEEE-754 makes both engines "
+         "bit-identical.")
+def events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy("user_id",
+                         F.expr("ts div 3600000000000").alias("hr"))
+              .agg(F.count("*").alias("n"),
+                   F.sum(F.col("value").cast("decimal(18,6)"))
+                   .cast("double").alias("sum_v")))
+    spine = (hourly.groupBy("user_id")
+             .agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+             .select("user_id",
+                     F.explode(F.expr("sequence(h0, h1)")).alias("hr")))
+    j = spine.join(hourly, ["user_id", "hr"], "left")
+    wp = (W.partitionBy("user_id").orderBy("hr")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wn = (W.partitionBy("user_id").orderBy("hr")
+          .rowsBetween(W.currentRow, W.unboundedFollowing))
+    obs_hr = F.when(F.col("sum_v").isNotNull(), F.col("hr"))
+    j = (j.withColumn("prev_v", F.last("sum_v", ignorenulls=True).over(wp))
+         .withColumn("prev_hr", F.last(obs_hr, ignorenulls=True).over(wp))
+         .withColumn("next_v", F.first("sum_v", ignorenulls=True).over(wn))
+         .withColumn("next_hr",
+                     F.first(obs_hr, ignorenulls=True).over(wn)))
+    interp = (F.col("prev_v")
+              + (F.col("next_v") - F.col("prev_v"))
+              * (F.col("hr") - F.col("prev_hr"))
+              / (F.col("next_hr") - F.col("prev_hr")))
+    return j.select(
+        "user_id", (F.col("hr") * 3600000).alias("hour_ms"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        F.when(F.col("sum_v").isNotNull(), F.col("sum_v"))
+         .when(F.col("prev_v").isNull(), F.col("next_v"))
+         .when(F.col("next_v").isNull(), F.col("prev_v"))
+         .otherwise(interp).alias("v"),
+        F.when(F.col("sum_v").isNotNull(), F.lit("obs"))
+         .when(F.col("prev_v").isNull(), F.lit("bfill"))
+         .when(F.col("next_v").isNull(), F.lit("ffill"))
+         .otherwise(F.lit("interp")).alias("src"))

@@ -363,3 +363,80 @@ def sample_deterministic_upsample(spark: SparkSession, sf_dir: str) -> DataFrame
                     F.explode(F.sequence(F.lit(1).cast("long"),
                                          F.col("n_copies")))
                     .alias("copy_idx")))
+
+
+@register("sample_negatives_per_user", oracle="""
+WITH users AS (
+  SELECT DISTINCT o_custkey FROM orders
+), pm AS (
+  SELECT MAX(p_partkey) AS pmax FROM part
+), cand AS (
+  SELECT u.o_custkey, k.k,
+         CAST('0x' || substr(md5(u.o_custkey || ':' || k.k), 1, 15)
+              AS BIGINT) % (pm.pmax + 1) AS cand_key
+  FROM users u
+  CROSS JOIN (SELECT unnest(range(1, 9)) AS k) k
+  CROSS JOIN pm
+), live AS (
+  SELECT c.* FROM cand c
+  WHERE EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = c.cand_key)
+), pos AS (
+  SELECT DISTINCT o.o_custkey, l.l_partkey
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), neg AS (
+  SELECT lv.o_custkey, lv.k, lv.cand_key FROM live lv
+  WHERE NOT EXISTS (SELECT 1 FROM pos p
+                    WHERE p.o_custkey = lv.o_custkey
+                      AND p.l_partkey = lv.cand_key)
+)
+SELECT o_custkey,
+       CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY k)
+            AS BIGINT) AS neg_rank,
+       CAST(cand_key AS BIGINT) AS p_partkey
+FROM neg QUALIFY neg_rank <= 4
+""", doc="Deterministic NEGATIVE SAMPLING for recommendation/"
+         "contrastive training — the complement of "
+         "mine_hard_negatives' embedding-based picks: for every "
+         "customer, 4 parts they did NOT buy, drawn "
+         "pseudo-randomly but reproducibly (md5(user:k) mod "
+         "keyspace, the repo's hash-gate convention — retry-stable "
+         "and engine-portable where rand() is neither). The scale "
+         "point is what this plan NEVER builds: the user × item "
+         "cross product. Candidates are |users| × 8 rows from a "
+         "bounded explode against the broadcast 1-row max-key "
+         "aggregate; a SEMI-join to the part dim drops key-space "
+         "holes; an ANTI-join to the distinct positives removes "
+         "accidental hits; a per-user window ranks the survivors "
+         "by draw index and keeps 4. Fewer than 4 survivors (a "
+         "user who bought nearly everything) emit what remains — "
+         "production re-draws with k' > 8 for those users only, "
+         "same dataflow. All joins are key equi-joins; the "
+         "positives set is the only corpus-derived operand and it "
+         "arrives pre-deduped from a map-side-combined distinct.")
+def sample_negatives_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    users = orders.select("o_custkey").distinct()
+    pm = part.agg(F.max("p_partkey").alias("pmax"))
+    cand = (users.crossJoin(F.broadcast(pm))
+            .select("o_custkey",
+                    F.explode(F.expr("sequence(1, 8)")).alias("k"),
+                    "pmax")
+            .withColumn("cand_key", F.expr(
+                "pmod(CAST(conv(substring(md5(concat(o_custkey, ':', k)),"
+                " 1, 15), 16, 10) AS BIGINT), pmax + 1)"))
+            .drop("pmax"))
+    live = cand.join(part.select(F.col("p_partkey").alias("cand_key")),
+                     "cand_key", "semi")
+    pos = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+           .select("o_custkey", F.col("l_partkey").alias("cand_key"))
+           .distinct())
+    neg = live.join(pos, ["o_custkey", "cand_key"], "anti")
+    w = W.partitionBy("o_custkey").orderBy("k")
+    return (neg.select("o_custkey",
+                       F.row_number().over(w).cast("long")
+                       .alias("neg_rank"),
+                       F.col("cand_key").cast("long").alias("p_partkey"))
+            .filter(F.col("neg_rank") <= 4))

@@ -794,3 +794,75 @@ def agg_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(pick(F.col("cum") * 4 >= F.col("total"), "wq25"),
                  pick(F.col("cum") * 2 >= F.col("total"), "wq50"),
                  pick(F.col("cum") * 4 >= F.col("total") * 3, "wq75")))
+
+
+_CMS_HASH_SPARK = ("pmod(CAST(conv(substring(md5(concat('cms', {r}, ':', "
+                   "{key})), 1, 15), 16, 10) AS BIGINT), 64)")
+_CMS_HASH_SQL = ("CAST('0x' || substr(md5('cms' || {r} || ':' || {key}), "
+                 "1, 15) AS BIGINT) % 64")
+
+
+@register("agg_sketch_countmin", oracle=f"""
+WITH rows_r AS (
+  SELECT unnest(range(0, 4)) AS r
+), counters AS (
+  SELECT r.r AS r,
+         {_CMS_HASH_SQL.format(r='r.r', key='user_id')} AS b,
+         COUNT(*) AS c
+  FROM events CROSS JOIN rows_r r
+  GROUP BY 1, 2
+), probes AS (
+  SELECT user_id, COUNT(*) AS exact_cnt
+  FROM events GROUP BY user_id
+  ORDER BY exact_cnt DESC, user_id LIMIT 20
+)
+SELECT p.user_id,
+       CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(MIN(c.c) AS BIGINT) AS cms_est,
+       CAST(MIN(c.c) - p.exact_cnt AS BIGINT) AS overcount
+FROM probes p
+CROSS JOIN rows_r r
+JOIN counters c
+  ON c.r = r.r
+ AND c.b = {_CMS_HASH_SQL.format(r='r.r', key='p.user_id')}
+GROUP BY p.user_id, p.exact_cnt
+""", doc="Count-Min Sketch frequency estimation (Cormode-Muthukrishnan)"
+         " — the third mergeable sketch next to HLL (distinct) and KLL"
+         " (quantiles): d=4 hash rows x w=64 counters built in ONE "
+         "scan pass (a narrow 4x explode whose partials map-side-"
+         "combine to <=256 cells per task, so the shuffle carries a "
+         "CONSTANT 256 keys regardless of corpus size), then the 20 "
+         "heaviest users' frequencies estimated as min over the d "
+         "counters each key hashes into. Hashes are the repo's "
+         "md5-convention (engine-portable, retry-stable); the CMS "
+         "one-sided guarantee — estimate >= exact, always — is itself "
+         "part of the hash-checked output (overcount >= 0). At 100 TB "
+         "the counter table is still 256 cells: sketches from "
+         "disjoint partitions/days add cellwise (counter merge = SUM "
+         "group-by, exactly what the partial agg already does), which "
+         "is what makes CMS the standard pre-aggregation for "
+         "heavy-hitter monitoring over unbounded streams. Probe "
+         "estimation joins the broadcast 256-row counter table to "
+         "the TakeOrdered 20-row probe set — no second corpus scan "
+         "beyond the exact baseline the eval itself requires.")
+def agg_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    rs = F.explode(F.expr("sequence(0, 3)")).alias("r")
+    counters = (ev.select("user_id").select("user_id", rs)
+                .select("r", F.expr(_CMS_HASH_SPARK.format(
+                    r="r", key="user_id")).alias("b"))
+                .groupBy("r", "b").agg(F.count("*").alias("c")))
+    probes = (ev.groupBy("user_id").agg(F.count("*").alias("exact_cnt"))
+              .orderBy(F.desc("exact_cnt"), "user_id").limit(20))
+    est = (probes.select("user_id", "exact_cnt", rs)
+           .select("user_id", "exact_cnt", "r",
+                   F.expr(_CMS_HASH_SPARK.format(
+                       r="r", key="user_id")).alias("b"))
+           .join(F.broadcast(counters), ["r", "b"]))
+    return (est.groupBy("user_id", "exact_cnt")
+            .agg(F.min("c").alias("_est"))
+            .select("user_id",
+                    F.col("exact_cnt").cast("long").alias("exact_cnt"),
+                    F.col("_est").cast("long").alias("cms_est"),
+                    (F.col("_est") - F.col("exact_cnt")).cast("long")
+                    .alias("overcount")))

@@ -87,6 +87,8 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     "events_sliding_distinct", "text_bigram_lm_score",
     "grouped_quantile_normalize", "dedup_containment",
     "events_interpolate_linear", "sample_negatives_per_user",
+    "agg_sketch_countmin", "text_winnowing_fingerprint",
+    "embedding_kcenter_step",
     # (2) plan/oracle changed in round 7 — re-prove externally
     # (the last three via the values_df swap of their broadcast
     # split-target / probe-token frames):
@@ -99,9 +101,9 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     "semdedup_kmeans", "kmeans_lloyd_iter", "graph_pagerank_iter",
     "streaming_hourly", "streaming_sessions", "streaming_late_data",
     "streaming_interval_join", "streaming_outer_join", "events_funnel",
-    "events_retention_cohort", "streaming_sliding",
-    "scd2_priority_history", "q4_exists_priority",
-    # (q6_forecast_revenue, q13_order_distribution,
+    "events_retention_cohort",
+    # (streaming_sliding, scd2_priority_history, q4_exists_priority,
+    # q6_forecast_revenue, q13_order_distribution,
     # q17_small_qty_revenue, q7_nation_volume,
     # q15_top_supplier, q21_sole_supplier,
     # q22_idle_customers, window_distribution, join_full_outer,

@@ -1350,3 +1350,54 @@ def embedding_matryoshka_recall(spark: SparkSession,
                  F.count("_hit").cast("long").alias("n_hit"),
                  F.round(F.count("_hit").cast("double") / F.count("*"), 6)
                   .alias("recall_at_3")))
+
+
+@register("embedding_kcenter_step", oracle=f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 4
+), asg AS (
+  SELECT e.vec_id, c.cid, {sql_cosine('e.embedding', 'c.cv')} AS cos,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {sql_cosine('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+  FROM embeddings e CROSS JOIN c
+), near AS (
+  SELECT vec_id, cid AS nearest_center, ROUND(cos, 6) AS coverage
+  FROM asg WHERE rn = 1
+)
+SELECT vec_id, nearest_center, coverage,
+       CAST(row_number() OVER (ORDER BY coverage, vec_id) AS BIGINT)
+         AS pick_rank
+FROM near
+QUALIFY pick_rank <= 10
+""", doc="One greedy k-center (farthest-point) coreset step — the "
+         "data-SELECTION primitive next to semdedup's data-REMOVAL: "
+         "given the 4 seed centers (vec_id < 4, deterministic), every "
+         "vector's coverage = max cosine to any center, and the 10 "
+         "LEAST-covered vectors — the next greedy picks, the points a "
+         "diversity-maximizing training-subset selector (herding / "
+         "k-center coreset) would add — ranked worst-covered first. "
+         "Scale shape: the assignment is the IVF machinery — centers "
+         "and their fold-norms embedded as plan literals, coverage "
+         "and argmax computed in ONE shuffle-free scan projection "
+         "(K*d flops per row inside codegen, no join); the global "
+         "bottom-10 is TakeOrderedAndProject (per-partition top-k "
+         "merged on the driver, no global sort shuffle) on the "
+         "ROUNDED coverage with vec_id tiebreak. Iterating the "
+         "greedy loop = re-running the scan with picks appended to "
+         "the literal center list — bounded driver state per round, "
+         "the kmeans_lloyd_iter/connected-components pattern.")
+def embedding_kcenter_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_cluster, ivf_cosines
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [list(map(float, r.embedding)) for r in
+             emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()]
+    scored = emb.select(
+        "vec_id",
+        ivf_cluster("embedding", cents).alias("nearest_center"),
+        F.round(F.array_max(ivf_cosines("embedding", cents)), 6)
+         .alias("coverage"))
+    bottom = scored.orderBy("coverage", "vec_id").limit(10)
+    w = W.orderBy("coverage", "vec_id")
+    return bottom.select(
+        "vec_id", "nearest_center", "coverage",
+        F.row_number().over(w).cast("long").alias("pick_rank"))

@@ -1528,3 +1528,87 @@ def grouped_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("r").cast("long").alias("grp_rank"),
                     F.col("n_g").cast("long").alias("n_g"),
                     F.col("norm_chars").cast("long").alias("norm_chars")))
+
+
+@register("text_winnowing_fingerprint", oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, pos,
+         CAST('0x' || substr(md5(w || ' ' || lead(w, 1) OVER wd || ' '
+                                 || lead(w, 2) OVER wd), 1, 15)
+              AS BIGINT) AS h,
+         lead(w, 2) OVER wd AS w2
+  FROM toks
+  WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)
+), g AS (
+  SELECT doc_id, pos, h FROM grams WHERE w2 IS NOT NULL
+), s AS (
+  SELECT doc_id, h,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS pm,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS nm
+  FROM g
+), sel AS (
+  SELECT doc_id, h,
+         CASE WHEN (pm IS NULL OR h <= pm) AND (nm IS NULL OR h < nm)
+              THEN 1 ELSE 0 END AS is_fp
+  FROM s
+)
+SELECT doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(is_fp) AS BIGINT) AS n_selected,
+       COUNT(DISTINCT CASE WHEN is_fp = 1 THEN h END) AS n_distinct_fp,
+       CAST(SUM(is_fp) AS DOUBLE) / COUNT(*) AS density
+FROM sel GROUP BY doc_id
+""", doc="Winnowing document fingerprinting (Schleimer-Wilkerson-Aiken,"
+         " the MOSS algorithm): word 3-gram rolling hashes, and a gram "
+         "is SELECTED iff it is the window-local minimum — <= every "
+         "hash in the 3 grams before it and strictly < every hash in "
+         "the 3 after (the rightmost-min tie rule), i.e. the w=4 "
+         "window-min selection that guarantees at least one "
+         "fingerprint in every w consecutive grams while keeping the "
+         "selected set ~2/(w+1) of all grams — position-robust where "
+         "doc_fingerprint's fixed-stride sampling is not (an inserted "
+         "word shifts every downstream stride gram; winnowing "
+         "re-selects only within w of the edit). Per-doc output: gram "
+         "count, selected count, distinct fingerprints, density. "
+         "Scale shape: ONE doc_id shuffle end to end — the 3-gram "
+         "build (two lead() frames), the two min frames, and the "
+         "final per-doc rollup all ride the same per-doc sort; hashes "
+         "are the repo's md5 convention so fingerprints are "
+         "engine-portable and stable under retries, and cross-doc "
+         "collision joins (the MOSS match step) would be an equi-join "
+         "on the selected-fingerprint column, O(collisions) not "
+         "O(n^2).")
+def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id",
+                       F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    grams = (toks
+             .withColumn("w1", F.lead("w", 1).over(wd))
+             .withColumn("w2", F.lead("w", 2).over(wd))
+             .filter(F.col("w2").isNotNull())
+             .select("doc_id", "pos",
+                     F.expr("CAST(conv(substring(md5(concat_ws(' ', w, w1,"
+                            " w2)), 1, 15), 16, 10) AS BIGINT)").alias("h")))
+    s = (grams
+         .withColumn("pm", F.min("h").over(wd.rowsBetween(-3, -1)))
+         .withColumn("nm", F.min("h").over(wd.rowsBetween(1, 3))))
+    is_fp = F.when((F.col("pm").isNull() | (F.col("h") <= F.col("pm")))
+                   & (F.col("nm").isNull() | (F.col("h") < F.col("nm"))),
+                   F.lit(1)).otherwise(F.lit(0))
+    return (s.select("doc_id", "h", is_fp.alias("is_fp"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_grams"),
+                 F.sum("is_fp").cast("long").alias("n_selected"),
+                 F.countDistinct(F.when(F.col("is_fp") == 1, F.col("h")))
+                 .alias("n_distinct_fp"),
+                 (F.sum("is_fp").cast("double") / F.count("*"))
+                 .alias("density")))

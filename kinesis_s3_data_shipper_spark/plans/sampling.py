@@ -366,77 +366,111 @@ def sample_deterministic_upsample(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register("sample_negatives_per_user", oracle="""
-WITH users AS (
-  SELECT DISTINCT o_custkey FROM orders
-), pm AS (
-  SELECT MAX(p_partkey) AS pmax FROM part
-), cand AS (
+WITH ring AS (
+  SELECT p_partkey,
+         CAST('0x' || substr(md5('pb:' || p_partkey), 1, 15)
+              AS BIGINT) % 64 AS b,
+         row_number() OVER (
+           PARTITION BY CAST('0x' || substr(md5('pb:' || p_partkey),
+                             1, 15) AS BIGINT) % 64
+           ORDER BY CAST('0x' || substr(md5('pr:' || p_partkey), 1, 15)
+                         AS BIGINT), p_partkey) AS r
+  FROM part
+), sizes AS (
+  SELECT b, MAX(r) AS sz FROM ring GROUP BY b
+), probes AS (
   SELECT u.o_custkey, k.k,
-         CAST('0x' || substr(md5(u.o_custkey || ':' || k.k), 1, 15)
-              AS BIGINT) % (pm.pmax + 1) AS cand_key
-  FROM users u
+         CAST('0x' || substr(md5('nd1:' || u.o_custkey || ':' || k.k),
+              1, 15) AS BIGINT) % 64 AS b
+  FROM (SELECT DISTINCT o_custkey FROM orders) u
   CROSS JOIN (SELECT unnest(range(1, 9)) AS k) k
-  CROSS JOIN pm
-), live AS (
-  SELECT c.* FROM cand c
-  WHERE EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = c.cand_key)
+), drawn AS (
+  SELECT p.o_custkey, p.k, r.p_partkey
+  FROM probes p
+  JOIN sizes s ON s.b = p.b
+  JOIN ring r
+    ON r.b = p.b
+   AND r.r = CAST('0x' || substr(md5('nd2:' || p.o_custkey || ':'
+                  || p.k), 1, 15) AS BIGINT) % s.sz + 1
 ), pos AS (
   SELECT DISTINCT o.o_custkey, l.l_partkey
   FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 ), neg AS (
-  SELECT lv.o_custkey, lv.k, lv.cand_key FROM live lv
+  SELECT d.o_custkey, d.k, d.p_partkey FROM drawn d
   WHERE NOT EXISTS (SELECT 1 FROM pos p
-                    WHERE p.o_custkey = lv.o_custkey
-                      AND p.l_partkey = lv.cand_key)
+                    WHERE p.o_custkey = d.o_custkey
+                      AND p.l_partkey = d.p_partkey)
+), nd AS (
+  SELECT o_custkey, p_partkey, MIN(k) AS k
+  FROM neg GROUP BY o_custkey, p_partkey
 )
 SELECT o_custkey,
-       CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY k)
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY k, p_partkey)
             AS BIGINT) AS neg_rank,
-       CAST(cand_key AS BIGINT) AS p_partkey
-FROM neg QUALIFY neg_rank <= 4
+       CAST(p_partkey AS BIGINT) AS p_partkey
+FROM nd QUALIFY neg_rank <= 4
 """, doc="Deterministic NEGATIVE SAMPLING for recommendation/"
          "contrastive training — the complement of "
          "mine_hard_negatives' embedding-based picks: for every "
-         "customer, 4 parts they did NOT buy, drawn "
-         "pseudo-randomly but reproducibly (md5(user:k) mod "
-         "keyspace, the repo's hash-gate convention — retry-stable "
-         "and engine-portable where rand() is neither). The scale "
-         "point is what this plan NEVER builds: the user × item "
-         "cross product. Candidates are |users| × 8 rows from a "
-         "bounded explode against the broadcast 1-row max-key "
-         "aggregate; a SEMI-join to the part dim drops key-space "
-         "holes; an ANTI-join to the distinct positives removes "
-         "accidental hits; a per-user window ranks the survivors "
-         "by draw index and keeps 4. Fewer than 4 survivors (a "
-         "user who bought nearly everything) emit what remains — "
-         "production re-draws with k' > 8 for those users only, "
-         "same dataflow. All joins are key equi-joins; the "
-         "positives set is the only corpus-derived operand and it "
-         "arrives pre-deduped from a map-side-combined distinct.")
+         "customer, 4 parts they did NOT buy, drawn pseudo-randomly "
+         "but reproducibly (md5 draws, the repo's hash-gate "
+         "convention — retry-stable and engine-portable where rand() "
+         "is neither). Draws land via BUCKET-ALIAS sampling: the item "
+         "catalog is hashed into 64 buckets with a per-bucket "
+         "pseudo-random dense rank (a catalog-sized window, never "
+         "corpus-sized), and each (user, k) draw picks bucket = "
+         "md5-hash-1 mod 64, rank = md5-hash-2 mod bucket_size + 1 — "
+         "an equi-join that ALWAYS hits a real item at any key "
+         "distribution (the first cut drew md5 mod max(key), whose "
+         "hit rate collapsed to 0.2% on the banded-keyspace 10x "
+         "fixture — this is why draws must be rank-addressed, not "
+         "key-addressed). The user x item cross product is NEVER "
+         "built: candidates are |users| x 8 rows; an ANTI-join to the "
+         "pre-deduped positives removes accidental hits; repeat draws "
+         "of one part collapse to the earliest k; a per-user window "
+         "ranks survivors and keeps 4 (short users re-draw with "
+         "k' > 8 in production, same dataflow). At a 10^9-item "
+         "catalog, scale B with catalog size and the per-bucket "
+         "window stays bounded; every join is a key equi-join.")
 def sample_negatives_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
     orders = load_table(spark, sf_dir, "orders")
     part = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
+    h = ("CAST(conv(substring(md5(concat({args})), 1, 15), 16, 10)"
+         " AS BIGINT)")
+    ring_b = part.select(
+        "p_partkey",
+        F.expr("pmod(" + h.format(args="'pb:', p_partkey") + ", 64)")
+        .alias("b"),
+        F.expr(h.format(args="'pr:', p_partkey")).alias("h"))
+    wb = W.partitionBy("b").orderBy("h", "p_partkey")
+    ring = ring_b.select("p_partkey", "b",
+                         F.row_number().over(wb).alias("r"))
+    sizes = ring.groupBy("b").agg(F.max("r").alias("sz"))
     users = orders.select("o_custkey").distinct()
-    pm = part.agg(F.max("p_partkey").alias("pmax"))
-    cand = (users.crossJoin(F.broadcast(pm))
-            .select("o_custkey",
-                    F.explode(F.expr("sequence(1, 8)")).alias("k"),
-                    "pmax")
-            .withColumn("cand_key", F.expr(
-                "pmod(CAST(conv(substring(md5(concat(o_custkey, ':', k)),"
-                " 1, 15), 16, 10) AS BIGINT), pmax + 1)"))
-            .drop("pmax"))
-    live = cand.join(part.select(F.col("p_partkey").alias("cand_key")),
-                     "cand_key", "semi")
+    probes = (users
+              .select("o_custkey",
+                      F.explode(F.expr("sequence(1, 8)")).alias("k"))
+              .withColumn("b", F.expr(
+                  "pmod(" + h.format(args="'nd1:', o_custkey, ':', k")
+                  + ", 64)"))
+              .join(F.broadcast(sizes), "b")
+              .withColumn("r", F.expr(
+                  "pmod(" + h.format(args="'nd2:', o_custkey, ':', k")
+                  + ", sz) + 1")))
+    cand = probes.join(ring, ["b", "r"]).select("o_custkey", "k",
+                                                "p_partkey")
     pos = (orders.join(li, orders.o_orderkey == li.l_orderkey)
-           .select("o_custkey", F.col("l_partkey").alias("cand_key"))
+           .select("o_custkey", F.col("l_partkey").alias("p_partkey"))
            .distinct())
-    neg = live.join(pos, ["o_custkey", "cand_key"], "anti")
-    w = W.partitionBy("o_custkey").orderBy("k")
-    return (neg.select("o_custkey",
-                       F.row_number().over(w).cast("long")
-                       .alias("neg_rank"),
-                       F.col("cand_key").cast("long").alias("p_partkey"))
+    neg = cand.join(pos, ["o_custkey", "p_partkey"], "anti")
+    nd = (neg.groupBy("o_custkey", "p_partkey")
+          .agg(F.min("k").alias("k")))
+    w = W.partitionBy("o_custkey").orderBy("k", "p_partkey")
+    return (nd.select("o_custkey",
+                      F.row_number().over(w).cast("long")
+                      .alias("neg_rank"),
+                      F.col("p_partkey").cast("long").alias("p_partkey"))
             .filter(F.col("neg_rank") <= 4))

@@ -88,7 +88,8 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     "grouped_quantile_normalize", "dedup_containment",
     "events_interpolate_linear", "sample_negatives_per_user",
     "agg_sketch_countmin", "text_winnowing_fingerprint",
-    "embedding_kcenter_step",
+    "embedding_kcenter_step", "ann_binary_hamming",
+    "events_hourly_autocorr",
     # (2) plan/oracle changed in round 7 — re-prove externally
     # (the last three via the values_df swap of their broadcast
     # split-target / probe-token frames):
@@ -100,9 +101,9 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh", "ann_lsh_probe", "ann_pq_adc",
     "semdedup_kmeans", "kmeans_lloyd_iter", "graph_pagerank_iter",
     "streaming_hourly", "streaming_sessions", "streaming_late_data",
-    "streaming_interval_join", "streaming_outer_join", "events_funnel",
-    "events_retention_cohort",
-    # (streaming_sliding, scd2_priority_history, q4_exists_priority,
+    "streaming_interval_join", "streaming_outer_join",
+    # (events_funnel, events_retention_cohort,
+    # streaming_sliding, scd2_priority_history, q4_exists_priority,
     # q6_forecast_revenue, q13_order_distribution,
     # q17_small_qty_revenue, q7_nation_volume,
     # q15_top_supplier, q21_sole_supplier,

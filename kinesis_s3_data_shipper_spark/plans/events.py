@@ -976,3 +976,76 @@ def events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
          .when(F.col("prev_v").isNull(), F.lit("bfill"))
          .when(F.col("next_v").isNull(), F.lit("ffill"))
          .otherwise(F.lit("interp")).alias("src"))
+
+
+@register("events_hourly_autocorr", oracle="""
+WITH hourly AS (
+  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT event_type, n,
+         lag(n) OVER (PARTITION BY event_type ORDER BY hr) AS pn,
+         lag(hr) OVER (PARTITION BY event_type ORDER BY hr) AS ph,
+         hr
+  FROM hourly
+), c AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS k,
+         CAST(CAST(SUM(pn) AS BIGINT) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(pn * pn) AS BIGINT) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(n * n) AS BIGINT) AS DOUBLE) AS syy,
+         CAST(CAST(SUM(pn * n) AS BIGINT) AS DOUBLE) AS sxy
+  FROM pairs WHERE ph = hr - 1
+  GROUP BY event_type
+)
+SELECT event_type, CAST(k AS BIGINT) AS k,
+       sy / k AS mean_n,
+       (k * sxy - sx * sy)
+         / (sqrt(k * sxx - sx * sx) * sqrt(k * syy - sy * sy))
+         AS autocorr_lag1
+FROM c
+""", doc="Lag-1 autocorrelation of the hourly event-rate series per "
+         "type — the time-series burstiness diagnostic (white noise "
+         "~0, sticky load ~1) that decides whether a rate forecast "
+         "needs an AR term: hourly counts from ONE map-side-combined "
+         "agg, consecutive-hour pairs via lag() over the tiny "
+         "|types|x|hours| aggregate (gap hours drop out via the "
+         "ph = hr-1 guard rather than polluting the lag), Pearson r "
+         "from six order-free integer moment sums exactly like "
+         "agg_corr_covar — the counts are integers, so every sum is "
+         "exact and the only float ops are the final fixed "
+         "expression tree (two sqrts, one divide), IEEE-identical "
+         "in both engines. Scale shape: the corpus-sized work is "
+         "the ONE hourly pre-agg; everything after runs on the "
+         "aggregate, and the window partitions by type — never a "
+         "global sort.")
+def events_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.expr("ts div 3600000000000").alias("hr"))
+              .agg(F.count("*").alias("n")))
+    w = W.partitionBy("event_type").orderBy("hr")
+    pairs = (hourly
+             .withColumn("pn", F.lag("n").over(w))
+             .withColumn("ph", F.lag("hr").over(w))
+             .filter(F.col("ph") == F.col("hr") - 1))
+    c = (pairs.groupBy("event_type")
+         .agg(F.count("*").cast("double").alias("k"),
+              F.sum("pn").cast("double").alias("sx"),
+              F.sum("n").cast("double").alias("sy"),
+              F.sum(F.col("pn") * F.col("pn")).cast("double")
+              .alias("sxx"),
+              F.sum(F.col("n") * F.col("n")).cast("double")
+              .alias("syy"),
+              F.sum(F.col("pn") * F.col("n")).cast("double")
+              .alias("sxy")))
+    k, sx, sy = F.col("k"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return c.select(
+        "event_type", k.cast("long").alias("k"),
+        (sy / k).alias("mean_n"),
+        ((k * sxy - sx * sy)
+         / (F.sqrt(k * sxx - sx * sx) * F.sqrt(k * syy - sy * sy)))
+        .alias("autocorr_lag1"))

@@ -1401,3 +1401,90 @@ def embedding_kcenter_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bottom.select(
         "vec_id", "nearest_center", "coverage",
         F.row_number().over(w).cast("long").alias("pick_rank"))
+
+
+def _bq_word_spark(lo: int) -> str:
+    """Sign bits of dims [lo+1, lo+32] packed into one 32-bit word."""
+    return (f"aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, d) -> "
+            f"acc + IF(element_at(embedding, d + {lo + 1}) >= "
+            f"CAST(0 AS FLOAT), shiftleft(CAST(1 AS BIGINT), d), "
+            f"CAST(0 AS BIGINT)))")
+
+
+def _bq_word_sql(lo: int) -> str:
+    return (f"list_reduce(list_transform(range(1, 33), d -> "
+            f"CASE WHEN embedding[d + {lo}] >= 0 "
+            f"THEN CAST(1 AS BIGINT) << (d - 1) "
+            f"ELSE CAST(0 AS BIGINT) END), (acc, v) -> acc + v)")
+
+
+@register("ann_binary_hamming", oracle=f"""
+WITH codes AS (
+  SELECT vec_id, {_bq_word_sql(0)} AS w0, {_bq_word_sql(32)} AS w1
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, w0 AS q0, w1 AS q1
+  FROM codes WHERE {_QUERY_PRED}
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         bit_count(xor(c.w0, q.q0)) + bit_count(xor(c.w1, q.q1))
+           AS hamming
+  FROM codes c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+), top AS (
+  SELECT query_id, neighbor_id, hamming,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY hamming, neighbor_id) AS rank
+  FROM scored QUALIFY rank <= 3
+)
+SELECT t.query_id, t.neighbor_id, CAST(t.hamming AS BIGINT) AS hamming,
+       ROUND({sql_cosine('eq.embedding', 'en.embedding')}, 6) AS cos,
+       CAST(t.rank AS BIGINT) AS rank
+FROM top t
+JOIN embeddings eq ON eq.vec_id = t.query_id
+JOIN embeddings en ON en.vec_id = t.neighbor_id
+""", doc="Binary-quantized ANN (sign-bit codes + Hamming ranking) — "
+         "the 1-bit end of the compression ladder after int8 "
+         "(embedding_int8_quantize) and PQ (ann_pq_adc): each "
+         "64-dim vector collapses to 8 BYTES (two packed 32-bit "
+         "sign words — two words, not one, because a 1<<63 bigint "
+         "shift overflows portably; same bit-packing move as the "
+         "bloom filter's m/64 longs), and candidate distance is "
+         "bit_count(xor) per word — two ALU ops inside "
+         "WholeStageCodegen, no floats touched during the scan. "
+         "The |Q|-row code table broadcasts; the corpus scan ranks "
+         "per-query by Hamming with id tiebreak; then ONLY the "
+         "|Q|x3 winners join back to raw vectors for exact-cosine "
+         "re-ranking truth (the ivfpq_refine two-stage pattern), so "
+         "full-precision work is independent of corpus size. The "
+         "sign code IS the 64-plane identity-hyperplane LSH bucket: "
+         "at 100 TB the scan pre-filters by code-prefix bucket "
+         "equi-join (ann_lsh_probe's dataflow) instead of scoring "
+         "every row, and Hamming ranks within buckets.")
+def ann_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = emb.select("vec_id",
+                       F.expr(_bq_word_spark(0)).alias("w0"),
+                       F.expr(_bq_word_spark(32)).alias("w1"))
+    q = (codes.filter(F.expr(_QUERY_PRED))
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("w0").alias("q0"), F.col("w1").alias("q1")))
+    scored = (codes.crossJoin(F.broadcast(q))
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      (F.bit_count(F.expr("w0 ^ q0"))
+                       + F.bit_count(F.expr("w1 ^ q1")))
+                      .cast("long").alias("hamming")))
+    w = W.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    top = (scored.select("query_id", "neighbor_id", "hamming",
+                         F.row_number().over(w).cast("long")
+                         .alias("rank"))
+           .filter(F.col("rank") <= 3))
+    eq = emb.select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("qv"))
+    en = emb.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("nv"))
+    return (top.join(eq, "query_id").join(en, "neighbor_id")
+            .select("query_id", "neighbor_id", "hamming",
+                    F.round(cosine("qv", "nv", _DIM), 6).alias("cos"),
+                    "rank"))

@@ -733,3 +733,51 @@ def test_containment_rides_band_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_countmin_counter_shuffle_is_constant_width(spark):
+    """The CMS counter build must map-side-combine: partial+final
+    HashAggregates around the (r, b) exchange — the shuffle carries
+    <=256 cells per task however big the fact table is — and the
+    probe estimation joins the counter table by broadcast, never a
+    sort-merge join of the corpus."""
+    plan = plan_of(spark, "agg_sketch_countmin")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_winnowing_single_docid_sort_family(spark):
+    """Winnowing's gram build (two leads), both min frames and the
+    per-doc rollup must all key on doc_id — no join of the gram
+    stream to itself, no Python, no global window."""
+    plan = plan_of(spark, "text_winnowing_fingerprint")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_kcenter_assignment_is_scan_projection(spark):
+    """The k-center coverage/argmax must be a shuffle-free scan
+    projection (centers as plan literals): no join of any kind, no
+    exchange except the TakeOrdered singleton, and the global
+    bottom-10 must be TakeOrderedAndProject, not a full sort."""
+    plan = plan_of(spark, "embedding_kcenter_step")
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_negative_sampling_rank_addressed_draws(spark):
+    """Bucket-alias negative sampling: draws reach items through
+    (bucket, rank) equi-joins — no cartesian against the catalog, no
+    theta join, no Python — and the catalog-side rank window is
+    bucket-partitioned, never a single global partition."""
+    plan = plan_of(spark, "sample_negatives_per_user")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan

@@ -52,16 +52,18 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("user_id", "event_type",
                   F.expr("ts div 1000").alias("ts_us")))
     # v and c each feed TWO consumers (their own count + the next
-    # step); persist the tiny one-row-per-user aggregates so the
-    # events scan behind them runs once, not twice.
+    # step); eager localCheckpoint (not persist) materializes the tiny
+    # one-row-per-user aggregates once and ties the blocks' lifetime
+    # to these DataFrames — no cached blocks outlive the query call
+    # (the same cache-lifetime fix events_funnel_window got in r07).
     v = (ev.filter(F.col("event_type") == "view")
          .groupBy("user_id").agg(F.min("ts_us").alias("v_us"))
-         .persist())
+         .localCheckpoint(eager=True))
     c = (ev.filter(F.col("event_type") == "click")
          .join(v, "user_id")
          .filter(F.col("ts_us") > F.col("v_us"))
          .groupBy("user_id").agg(F.min("ts_us").alias("c_us"))
-         .persist())
+         .localCheckpoint(eager=True))
     p = (ev.filter(F.col("event_type") == "purchase")
          .join(c, "user_id")
          .filter(F.col("ts_us") > F.col("c_us"))

@@ -64,11 +64,12 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
 #: lexical->semantic dedup);
 #: (2) queries whose plan or oracle changed this round — the PCA
 #: power-step vec_id-self-join removal, the funnel-window cache-leak
-#: fix, the compaction staging-race fix, BM25's query workload moving
-#: from a driver literal to a staged storage table, and the three
-#: consumers of the values_df swap (split-target / probe-token
-#: broadcast frames now JVM VALUES relations, not Python-RDD
-#: createDataFrame); (3) 40 of the 41-query r03-green cohort
+#: fix (and the same persist→eager-localCheckpoint fix applied to
+#: events_funnel), the compaction staging-race fix, BM25's query
+#: workload moving from a driver literal to a staged storage table,
+#: and the three consumers of the values_df swap (split-target /
+#: probe-token broadcast frames now JVM VALUES relations, not
+#: Python-RDD createDataFrame); (3) 37 of the 41-query r03-green cohort
 #: (streaming family, TPC-H shapes, events/json scalars — green rows
 #: now 4 driver data generations old). join_interval_binned and the
 #: whole r04 cohort rotate to round 8.
@@ -89,20 +90,21 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     "events_interpolate_linear", "sample_negatives_per_user",
     "agg_sketch_countmin", "text_winnowing_fingerprint",
     "embedding_kcenter_step", "ann_binary_hamming",
-    "events_hourly_autocorr",
+    "events_hourly_autocorr", "events_rate_limit",
+    "events_changepoint_binary",
     # (2) plan/oracle changed in round 7 — re-prove externally
     # (the last three via the values_df swap of their broadcast
     # split-target / probe-token frames):
     "embedding_pca_power_step", "events_funnel_window",
     "maintenance_compact_roundtrip", "text_bm25_topk",
     "compute_range_splits", "compute_range_splits_sampled",
-    "customer_rfm_segments",
+    "customer_rfm_segments", "events_funnel",
     # (3) the stale r03-era cohort, whole block:
     "dedup_minhash_lsh", "ann_lsh_probe", "ann_pq_adc",
     "semdedup_kmeans", "kmeans_lloyd_iter", "graph_pagerank_iter",
-    "streaming_hourly", "streaming_sessions", "streaming_late_data",
-    "streaming_interval_join", "streaming_outer_join",
-    # (events_funnel, events_retention_cohort,
+    "streaming_hourly", "streaming_sessions",
+    # (streaming_late_data, streaming_interval_join,
+    # streaming_outer_join, events_retention_cohort,
     # streaming_sliding, scd2_priority_history, q4_exists_priority,
     # q6_forecast_revenue, q13_order_distribution,
     # q17_small_qty_revenue, q7_nation_volume,

@@ -1049,3 +1049,193 @@ def events_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((k * sxy - sx * sy)
          / (F.sqrt(k * sxx - sx * sx) * F.sqrt(k * syy - sy * sy)))
         .alias("autocorr_lag1"))
+
+
+#: Token-bucket parameters shared by the batch plan below and (like
+#: CUSUM_ORACLE) by any streaming twin: one token refills every 6
+#: hours of event time, the bucket holds 2 tokens, every event costs
+#: one.  Levels are measured in integer NANOSECONDS-OF-REFILL (1 token
+#: = _TB_REFILL_NS), so the whole recursion is exact int64 arithmetic.
+_TB_REFILL_NS = 6 * NS_PER_HOUR      # 1 token per 6 h
+_TB_CAP_UNITS = 2 * _TB_REFILL_NS    # bucket capacity: 2 tokens
+#: Packing modulus: acc = admitted * _TB_M + level.  level < cap <
+#: 1e14 = _TB_M; admitted < 9.2e4 keeps acc inside int64 — widen to
+#: DECIMAL if a key ever legitimately admits more (docstring note).
+_TB_M = 100_000_000_000_000
+
+RATE_LIMIT_ORACLE = f"""
+WITH s AS (
+  SELECT user_id,
+         list(epoch_ns(ts) ORDER BY ts, event_id) AS tss,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id
+), d AS (
+  SELECT user_id, n,
+         list_transform(tss, (t, i) -> CASE WHEN i = 1
+             THEN CAST({_TB_CAP_UNITS} AS BIGINT)
+             ELSE t - tss[i - 1] END) AS dts
+  FROM s
+), f AS (
+  SELECT user_id, n,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT), dts),
+           (acc, dt) -> CASE
+             WHEN least(CAST({_TB_CAP_UNITS} AS BIGINT),
+                        acc % {_TB_M} + dt) >= {_TB_REFILL_NS}
+             THEN (acc // {_TB_M} + 1) * {_TB_M}
+                  + least(CAST({_TB_CAP_UNITS} AS BIGINT),
+                          acc % {_TB_M} + dt) - {_TB_REFILL_NS}
+             ELSE (acc // {_TB_M}) * {_TB_M}
+                  + least(CAST({_TB_CAP_UNITS} AS BIGINT),
+                          acc % {_TB_M} + dt)
+           END) AS acc
+  FROM d
+)
+SELECT user_id, n AS n_events,
+       acc // {_TB_M} AS n_admitted,
+       n - acc // {_TB_M} AS n_rejected,
+       acc % {_TB_M} AS level_final_units
+FROM f
+"""
+
+
+@register("events_rate_limit", oracle=RATE_LIMIT_ORACLE,
+    doc="Token-bucket rate limiting replayed over the event log — the "
+        "API-quota / request-throttling governor every ingestion edge "
+        "runs (and the admission-control audit: which users WOULD "
+        "have been throttled under a 1-token-per-6h, burst-2 "
+        "policy?).  The recursion level_i = min(cap, level_(i-1) + "
+        "r*dt) - cost*admit_i is doubly non-linear (a clamp AND a "
+        "branch on the clamped value), beyond any window frame and "
+        "beyond CUSUM's single clamp — expressed as the same "
+        "one-shuffle per-entity pattern as events_cusum: per-user "
+        "collect sorted by (ts, event_id), inter-arrival deltas via "
+        "an indexed transform, then a sequential in-row fold.  The "
+        "entire state machine runs in int64: levels are measured in "
+        "nanoseconds-of-refill (1 token = 6h of ns), so refill = the "
+        "raw ns delta, and the fold packs (admitted, level) into ONE "
+        "bigint accumulator (admitted*1e14 + level; level < 4.4e13, "
+        "admitted < 9.2e4 before overflow — widen the modulus to "
+        "DECIMAL for hotter keys).  No float enters the plan; the "
+        "result is bit-exact on both engines.  Scale shape: ONE "
+        "user_id shuffle carrying (ts, event_id) pairs; the fold is "
+        "O(per-user events) inside the row, state O(1) per user — "
+        "the same cost as the streaming stateful twin would pay.")
+def events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = (ev.groupBy("user_id")
+         .agg(F.expr("array_sort(collect_list(struct(ts, event_id)))")
+              .alias("evs"),
+              F.count("*").cast("long").alias("n_events"))
+         .select("user_id", "n_events",
+                 F.expr("transform(evs, e -> e.ts)").alias("tss")))
+    cap, m, cost = _TB_CAP_UNITS, _TB_M, _TB_REFILL_NS
+    refill = (f"least(CAST({cap} AS BIGINT), acc % {m}L + dt)")
+    fold = F.expr(
+        f"aggregate("
+        f"  transform(tss, (t, i) -> IF(i = 0, CAST({cap} AS BIGINT),"
+        f"                             t - element_at(tss, i))),"
+        f"  CAST(0 AS BIGINT),"
+        f"  (acc, dt) -> IF({refill} >= {cost}L,"
+        f"    (acc div {m}L + 1L) * {m}L + {refill} - {cost}L,"
+        f"    (acc div {m}L) * {m}L + {refill}))")
+    return (s.select("user_id", "n_events", fold.alias("acc"))
+            .select("user_id", "n_events",
+                    F.expr(f"acc div {m}L").alias("n_admitted"),
+                    F.expr(f"n_events - acc div {m}L").alias("n_rejected"),
+                    F.expr(f"acc % {m}L").alias("level_final_units")))
+
+
+@register("events_changepoint_binary", oracle="""
+WITH hourly AS (
+  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type,
+         list(hr ORDER BY hr) AS hrs,
+         list(n ORDER BY hr) AS ns,
+         CAST(COUNT(*) AS BIGINT) AS L,
+         CAST(SUM(n) AS BIGINT) AS S
+  FROM hourly GROUP BY event_type HAVING COUNT(*) >= 2
+), cands AS (
+  SELECT event_type, hrs, ns, L, S,
+         list_transform(range(1, CAST(L AS INTEGER)), k -> struct_pack(
+           g := CAST(list_sum(ns[1:k]) AS DOUBLE)
+                  * list_sum(ns[1:k]) / k
+                + CAST(S - list_sum(ns[1:k]) AS DOUBLE)
+                  * (S - list_sum(ns[1:k])) / (L - k)
+                - CAST(S AS DOUBLE) * S / L,
+           k := CAST(k AS BIGINT),
+           sk := CAST(list_sum(ns[1:k]) AS BIGINT))) AS cl
+  FROM s
+), best AS (
+  SELECT event_type, hrs, L, S,
+         list_reduce(
+           list_prepend(struct_pack(g := CAST(-1e308 AS DOUBLE),
+                                    k := CAST(0 AS BIGINT),
+                                    sk := CAST(0 AS BIGINT)), cl),
+           (a, b) -> CASE WHEN b.g > a.g THEN b ELSE a END) AS b
+  FROM cands
+)
+SELECT event_type, L AS n_hours,
+       hrs[CAST(b.k AS INTEGER)] AS split_hr,
+       b.k AS left_len,
+       ROUND(CAST(b.sk AS DOUBLE) / b.k, 6) AS left_mean,
+       ROUND(CAST(S - b.sk AS DOUBLE) / (L - b.k), 6) AS right_mean,
+       ROUND(b.g, 6) AS gain
+FROM best
+""", doc="Single change-point detection by binary segmentation over "
+         "each type's hourly-rate series — the first split of the "
+         "classic binary-segmentation / CUSUM-localization family "
+         "(find WHERE the level shifted, where events_cusum answers "
+         "WHETHER it drifted): the split k* maximizes the "
+         "between-segment SSE reduction S_k^2/k + (S-S_k)^2/(L-k) - "
+         "S^2/L, evaluated for every prefix from EXACT integer "
+         "prefix sums (slice-sum HOFs inside the row), the argmax "
+         "found by an in-row struct fold with earliest-k tie-break — "
+         "gains are doubles built from exact int64 sums through one "
+         "fixed expression tree, IEEE-identical on both engines. "
+         "Scale shape: the corpus-sized work is the ONE map-side-"
+         "combined hourly pre-agg (|types|x|hours| out); the series "
+         "collect and the O(L^2) slice-sum scoring run on the tiny "
+         "aggregate inside the row (L = distinct hours, bounded by "
+         "the time span, not the row count — swap the slice sums for "
+         "a prefix-scan fold if L ever grows past ~1e4).")
+def events_changepoint_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.expr("ts div 3600000000000").alias("hr"))
+              .agg(F.count("*").cast("long").alias("n")))
+    s = (hourly.groupBy("event_type")
+         .agg(F.expr("array_sort(collect_list(struct(hr, n)))").alias("a"),
+              F.count("*").cast("long").alias("L"),
+              F.sum("n").cast("long").alias("S"))
+         .filter(F.col("L") >= 2)
+         .select("event_type", "L", "S",
+                 F.expr("transform(a, x -> x.hr)").alias("hrs"),
+                 F.expr("transform(a, x -> x.n)").alias("ns")))
+    sk = "aggregate(slice(ns, 1, k), 0L, (a, x) -> a + x)"
+    cands = s.select(
+        "event_type", "hrs", "L", "S",
+        F.expr(
+            f"transform(sequence(1, CAST(L - 1 AS INT)), k -> named_struct("
+            f"'g', CAST({sk} AS DOUBLE) * {sk} / k"
+            f"   + CAST(S - {sk} AS DOUBLE) * (S - {sk}) / (L - k)"
+            f"   - CAST(S AS DOUBLE) * S / L,"
+            f"'k', CAST(k AS BIGINT),"
+            f"'sk', CAST({sk} AS BIGINT)))").alias("cl"))
+    best = cands.select(
+        "event_type", "hrs", "L", "S",
+        F.expr(
+            "aggregate(cl, named_struct("
+            "'g', CAST('-1e308' AS DOUBLE), 'k', 0L, 'sk', 0L),"
+            "(a, b) -> IF(b.g > a.g, b, a))").alias("b"))
+    return best.select(
+        "event_type", F.col("L").alias("n_hours"),
+        F.expr("element_at(hrs, CAST(b.k AS INT))").alias("split_hr"),
+        F.col("b.k").alias("left_len"),
+        F.round(F.expr("CAST(b.sk AS DOUBLE) / b.k"), 6).alias("left_mean"),
+        F.round(F.expr("CAST(S - b.sk AS DOUBLE) / (L - b.k)"), 6)
+         .alias("right_mean"),
+        F.round(F.col("b.g"), 6).alias("gain"))

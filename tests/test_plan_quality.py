@@ -781,3 +781,26 @@ def test_negative_sampling_rank_addressed_draws(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SinglePartition" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_rate_limit_single_user_shuffle_fold(spark):
+    """The token-bucket replay must be the per-entity-series shape:
+    one user_id exchange feeding the collect, the whole recursion an
+    in-row fold — no join, no window, no Python anywhere."""
+    plan = plan_of(spark, "events_rate_limit")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "SinglePartition" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_changepoint_runs_on_the_hourly_aggregate(spark):
+    """Binary segmentation's corpus-sized work must be the one
+    map-side-combined hourly pre-agg; the scoring fold runs in-row on
+    the |types|-row aggregate — no join, no Python, no global sort."""
+    plan = plan_of(spark, "events_changepoint_binary")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "SinglePartition" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "partial" in plan

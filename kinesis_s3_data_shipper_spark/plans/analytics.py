@@ -868,3 +868,176 @@ def agg_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("_est").cast("long").alias("cms_est"),
                     (F.col("_est") - F.col("exact_cnt")).cast("long")
                     .alias("overcount")))
+
+
+@register("graph_jaccard_neighbors", oracle="""
+WITH li AS (
+  SELECT DISTINCT l.l_orderkey AS okey, l.l_partkey AS part
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderpriority = '1-URGENT'
+), e AS (
+  SELECT DISTINCT a.part AS s, b.part AS d
+  FROM li a JOIN li b ON a.okey = b.okey AND a.part < b.part
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+    SELECT s AS node FROM e UNION ALL SELECT d AS node FROM e
+  ) GROUP BY node
+), o AS (
+  SELECT CASE WHEN (ds.dg, e.s) < (dd.dg, e.d) THEN e.s ELSE e.d END AS u,
+         CASE WHEN (ds.dg, e.s) < (dd.dg, e.d) THEN e.d ELSE e.s END AS v,
+         CASE WHEN (ds.dg, e.s) < (dd.dg, e.d) THEN dd.dg ELSE ds.dg
+           END AS vdg
+  FROM e
+  JOIN deg ds ON e.s = ds.node
+  JOIN deg dd ON e.d = dd.node
+), w AS (
+  SELECT o1.u AS c, o1.v AS a, o2.v AS b
+  FROM o o1 JOIN o o2 ON o1.u = o2.u
+  WHERE (o1.vdg, o1.v) < (o2.vdg, o2.v)
+), tri AS (
+  SELECT w.c, w.a, w.b FROM w JOIN o ON w.a = o.u AND w.b = o.v
+), contrib AS (
+  SELECT least(a, b) AS pa, greatest(a, b) AS pb FROM tri
+  UNION ALL
+  SELECT least(c, a), greatest(c, a) FROM tri
+  UNION ALL
+  SELECT least(c, b), greatest(c, b) FROM tri
+), common AS (
+  SELECT pa, pb, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM contrib GROUP BY pa, pb
+)
+SELECT c.pa AS part_a, c.pb AS part_b, c.n_common,
+       da.dg AS deg_a, db.dg AS deg_b,
+       ROUND(CAST(c.n_common AS DOUBLE)
+             / (da.dg + db.dg - c.n_common), 6) AS jaccard
+FROM common c
+JOIN deg da ON c.pa = da.node
+JOIN deg db ON c.pb = db.node
+""", doc="Neighborhood-Jaccard link scoring (edge embeddedness — the "
+         "similarity SCAN-style graph clustering and link prediction "
+         "rank edges by): for every co-purchase edge, the Jaccard "
+         "overlap |N(a) inter N(b)| / |N(a) union N(b)| of its "
+         "endpoints' neighborhoods. The common-neighbor counts come "
+         "FROM the degree-oriented triangle enumeration "
+         "(graph_triangle_count's O(E^1.5) wedge + closing-edge "
+         "dataflow, hub-safe where a raw wedge join is sum(deg^2)): "
+         "each triangle {c,a,b} contributes one common neighbor to "
+         "each of its three edges, so the per-edge counts are an "
+         "explode + integer groupBy over the enumerated triangles — "
+         "never a neighborhood-set intersection. Jaccard = "
+         "common/(deg_a+deg_b-common) is one exact-integer-fed "
+         "division. Scale shape: distinct-edge and degree aggs, "
+         "broadcast degree annotations, the bounded wedge join, and "
+         "a triangle-sized shuffle — all keyed, nothing all-pairs.")
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    basket = (li.join(orders.filter(F.col("o_orderpriority") == "1-URGENT")
+                      .select("o_orderkey"),
+                      li.l_orderkey == F.col("o_orderkey"))
+              .select(F.col("l_orderkey").alias("okey"),
+                      F.col("l_partkey").alias("part"))
+              .distinct())
+    b2 = basket.select(F.col("okey").alias("okey2"),
+                       F.col("part").alias("part2"))
+    e = (basket.join(b2, (F.col("okey") == F.col("okey2"))
+                     & (F.col("part") < F.col("part2")))
+         .select(F.col("part").alias("s"), F.col("part2").alias("d"))
+         .distinct())
+    deg = (e.select(F.col("s").alias("node"))
+           .unionAll(e.select(F.col("d").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("dg")))
+    ds = deg.select(F.col("node").alias("s"), F.col("dg").alias("sdg"))
+    dd = deg.select(F.col("node").alias("d"), F.col("dg").alias("ddg"))
+    ann = (e.join(F.broadcast(ds), "s").join(F.broadcast(dd), "d"))
+    lt = (F.col("sdg") < F.col("ddg")) | \
+         ((F.col("sdg") == F.col("ddg")) & (F.col("s") < F.col("d")))
+    o = ann.select(
+        F.when(lt, F.col("s")).otherwise(F.col("d")).alias("u"),
+        F.when(lt, F.col("d")).otherwise(F.col("s")).alias("v"),
+        F.when(lt, F.col("ddg")).otherwise(F.col("sdg")).alias("vdg"))
+    o2 = o.select(F.col("u").alias("u2"), F.col("v").alias("v2"),
+                  F.col("vdg").alias("vdg2"))
+    wlt = (F.col("vdg") < F.col("vdg2")) | \
+          ((F.col("vdg") == F.col("vdg2")) & (F.col("v") < F.col("v2")))
+    w = (o.join(o2, F.col("u") == F.col("u2")).filter(wlt)
+         .select(F.col("u").alias("c"), F.col("v").alias("a"),
+                 F.col("v2").alias("b")))
+    closing = o.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    tri = w.join(closing, ["a", "b"])
+    contrib = tri.select(
+        F.explode(F.expr(
+            "array(struct(least(a, b) AS pa, greatest(a, b) AS pb),"
+            "      struct(least(c, a) AS pa, greatest(c, a) AS pb),"
+            "      struct(least(c, b) AS pa, greatest(c, b) AS pb))")).alias("x")
+    ).select("x.pa", "x.pb")
+    common = (contrib.groupBy("pa", "pb")
+              .agg(F.count("*").cast("long").alias("n_common")))
+    da = deg.select(F.col("node").alias("pa"), F.col("dg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("pb"), F.col("dg").alias("deg_b"))
+    return (common.join(F.broadcast(da), "pa")
+            .join(F.broadcast(db), "pb")
+            .select(F.col("pa").alias("part_a"),
+                    F.col("pb").alias("part_b"),
+                    "n_common",
+                    F.col("deg_a").cast("long").alias("deg_a"),
+                    F.col("deg_b").cast("long").alias("deg_b"),
+                    F.round(F.col("n_common").cast("double")
+                            / (F.col("deg_a") + F.col("deg_b")
+                               - F.col("n_common")), 6).alias("jaccard")))
+
+
+@register("profile_gini_simpson", oracle="""
+WITH c AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, lang
+), g AS (
+  SELECT COALESCE(source, '(all)') AS source,
+         CAST(SUM(n) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_classes,
+         CAST(MAX(n) AS BIGINT) AS majority_n,
+         CAST(SUM(n * n) AS BIGINT) AS sum_sq
+  FROM c GROUP BY ROLLUP(source)
+)
+SELECT source, n_docs, n_classes,
+       ROUND(CAST(majority_n AS DOUBLE) / n_docs, 6) AS majority_share,
+       ROUND(1.0 - CAST(sum_sq AS DOUBLE) / n_docs / n_docs, 6)
+         AS gini_simpson,
+       ROUND(CAST(n_docs AS DOUBLE) * n_docs / sum_sq, 6)
+         AS effective_classes
+FROM g
+WHERE n_docs IS NOT NULL
+""", doc="Class-balance profiling of the per-source language "
+         "distribution — the dataset-card audit a training-mixture "
+         "owner reads before weighting sources: per source (plus a "
+         "ROLLUP all-sources row) the Gini-Simpson diversity "
+         "1 - sum((c_i/N)^2), the majority-class share, and the "
+         "effective number of classes N^2/sum(c_i^2) (inverse "
+         "Simpson — '2.4 effective languages'). Entropy would need "
+         "ln() whose cross-engine bit-parity libm can't promise; "
+         "Simpson is the same concentration diagnostic as PURE "
+         "integer sums (sum of squared counts), so every statistic "
+         "here is one exact-integer-fed fixed float expression. "
+         "Scale shape: the corpus touches ONE map-side-combined "
+         "(source, lang) count; the rollup and ratios run on the "
+         "|sources|x|langs| aggregate.")
+def profile_gini_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = (docs.groupBy("source", "lang")
+         .agg(F.count("*").cast("long").alias("n")))
+    g = (c.rollup("source")
+         .agg(F.sum("n").cast("long").alias("n_docs"),
+              F.count("*").cast("long").alias("n_classes"),
+              F.max("n").cast("long").alias("majority_n"),
+              F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_sq")))
+    nd = F.col("n_docs").cast("double")
+    return (g.filter(F.col("n_docs").isNotNull())
+            .select(F.coalesce(F.col("source"), F.lit("(all)"))
+                    .alias("source"),
+                    "n_docs", "n_classes",
+                    F.round(F.col("majority_n").cast("double") / nd, 6)
+                    .alias("majority_share"),
+                    F.round(F.lit(1.0) - F.col("sum_sq").cast("double")
+                            / nd / nd, 6).alias("gini_simpson"),
+                    F.round(nd * nd / F.col("sum_sq"), 6)
+                    .alias("effective_classes")))

@@ -69,7 +69,7 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
 #: workload moving from a driver literal to a staged storage table,
 #: and the three consumers of the values_df swap (split-target /
 #: probe-token broadcast frames now JVM VALUES relations, not
-#: Python-RDD createDataFrame); (3) 37 of the 41-query r03-green cohort
+#: Python-RDD createDataFrame); (3) 33 of the 41-query r03-green cohort
 #: (streaming family, TPC-H shapes, events/json scalars — green rows
 #: now 4 driver data generations old). join_interval_binned and the
 #: whole r04 cohort rotate to round 8.
@@ -91,7 +91,9 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     "agg_sketch_countmin", "text_winnowing_fingerprint",
     "embedding_kcenter_step", "ann_binary_hamming",
     "events_hourly_autocorr", "events_rate_limit",
-    "events_changepoint_binary",
+    "events_changepoint_binary", "graph_jaccard_neighbors",
+    "profile_gini_simpson", "text_keyword_rake",
+    "streaming_rate_limit",
     # (2) plan/oracle changed in round 7 — re-prove externally
     # (the last three via the values_df swap of their broadcast
     # split-target / probe-token frames):
@@ -101,9 +103,10 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     "customer_rfm_segments", "events_funnel",
     # (3) the stale r03-era cohort, whole block:
     "dedup_minhash_lsh", "ann_lsh_probe", "ann_pq_adc",
-    "semdedup_kmeans", "kmeans_lloyd_iter", "graph_pagerank_iter",
-    "streaming_hourly", "streaming_sessions",
-    # (streaming_late_data, streaming_interval_join,
+    "semdedup_kmeans",
+    # (kmeans_lloyd_iter, graph_pagerank_iter,
+    # streaming_hourly, streaming_sessions,
+    # streaming_late_data, streaming_interval_join,
     # streaming_outer_join, events_retention_cohort,
     # streaming_sliding, scd2_priority_history, q4_exists_priority,
     # q6_forecast_revenue, q13_order_distribution,

@@ -23,7 +23,7 @@ from ..functions.decimal_safe import sql_dsum
 from ..streaming.jobs import (streaming_dedup_counts, streaming_hourly_counts,
                               streaming_session_windows)
 from .base import register
-from .events import CUSUM_ORACLE
+from .events import CUSUM_ORACLE, RATE_LIMIT_ORACLE
 
 NS_PER_HOUR = 3_600_000_000_000
 
@@ -412,3 +412,32 @@ def streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_cusum_final(spark, landing, checkpoint=checkpoint,
                                  query_name=name, baseline=baseline,
                                  slack_mult=1.0 + _CUSUM_SLACK)
+
+
+@register("streaming_rate_limit", oracle=RATE_LIMIT_ORACLE,
+          doc="STATEFUL-STREAMING token-bucket admission control "
+              "through the oracle gate — the ONLINE form of "
+              "events_rate_limit, sharing its oracle text exactly as "
+              "streaming_cusum shares events_cusum's: per-user bucket "
+              "level maintained across micro-batches in explicit "
+              "applyInPandasWithState group state (level, admitted, "
+              "last_ts, seen — four int64s), refill = the raw ns "
+              "delta since the previous event carried ACROSS the "
+              "batch boundary via last_ts. The recursion min(cap, "
+              "level + dt) - cost*admit clamps AND branches, so no "
+              "built-in streaming aggregate expresses it. The landing "
+              "dir is staged as ts-range slices with increasing "
+              "mtimes + maxFilesPerTrigger=1 so the cross-batch fold "
+              "order equals the batch plan's per-user (ts, event_id) "
+              "sort, and the whole state machine is exact integer "
+              "arithmetic on both engines — the drained state "
+              "hash-matches the SAME oracle as the batch plan: "
+              "streaming/batch parity, bit-for-bit, no floats.")
+def streaming_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.events import _TB_CAP_UNITS, _TB_REFILL_NS
+    from ..streaming.jobs import streaming_rate_limit_final
+    landing, checkpoint = _stage_time_slices(sf_dir=sf_dir, spark=spark)
+    name = f"ratelimit_{uuid.uuid4().hex[:8]}"
+    return streaming_rate_limit_final(
+        spark, landing, checkpoint=checkpoint, query_name=name,
+        cap_units=_TB_CAP_UNITS, cost_units=_TB_REFILL_NS)

@@ -1612,3 +1612,80 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_distinct_fp"),
                  (F.sum("is_fp").cast("double") / F.count("*"))
                  .alias("density")))
+
+
+@register("text_keyword_rake", oracle=f"""
+WITH ph AS (
+  SELECT doc_id, unnest(list_filter(
+    list_transform(
+      string_split(array_to_string(
+        list_transform(string_split(text, ' '),
+                       w -> CASE WHEN w IN ({_SW_SQL}) THEN '|'
+                            ELSE w END), ' '), '|'),
+      p -> trim(p)),
+    p -> p <> '')) AS phrase
+  FROM documents
+), pw AS (
+  SELECT phrase, len(string_split(phrase, ' ')) AS plen,
+         unnest(string_split(phrase, ' ')) AS word
+  FROM ph
+), ws AS (
+  SELECT word,
+         CAST(1000 * SUM(plen) AS BIGINT) // COUNT(*) AS score_m
+  FROM pw GROUP BY word
+), occ AS (
+  SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ FROM ph GROUP BY phrase
+), dp AS (
+  SELECT DISTINCT phrase FROM ph
+), scored AS (
+  SELECT d.phrase,
+         CAST(SUM(w.score_m) AS BIGINT) AS score_m,
+         CAST(len(string_split(d.phrase, ' ')) AS BIGINT) AS n_words
+  FROM (SELECT phrase, unnest(string_split(phrase, ' ')) AS word
+        FROM dp) d
+  JOIN ws w USING (word)
+  GROUP BY d.phrase
+)
+SELECT s.phrase, s.n_words, o.n_occ, s.score_m
+FROM scored s JOIN occ o USING (phrase)
+ORDER BY s.score_m DESC, s.phrase
+LIMIT 20
+""", doc="RAKE keyword extraction (Rose et al. 2010) — the unsupervised "
+         "keyphrase miner: candidate phrases are maximal stopword-free "
+         "word runs (stopwords become '|' separators inside the row, "
+         "one split — no lookahead regex, so the Java and RE2 engines "
+         "agree by construction), each word scores degree/frequency "
+         "(degree = summed length of phrases containing it), and a "
+         "phrase scores the sum of its member words. Word scores are "
+         "floor-quantized to integer milli-units (the text_dsir move) "
+         "so every reduction is an exact integer sum — no float "
+         "accumulation anywhere, bit-identical top-20. Scale shape: "
+         "phrase extraction is row-local HOFs; word stats are ONE "
+         "map-side-combined vocabulary agg; phrase scoring re-joins "
+         "the vocab-sized score table to the distinct-phrase word "
+         "explode (both dictionary-scale, not corpus-scale); the "
+         "final top-20 is TakeOrderedAndProject, never a full sort.")
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    ph = docs.select(F.explode(F.expr(
+        f"filter(transform(split(concat_ws(' ',"
+        f" transform(split(text, ' '),"
+        f"  w -> IF(w IN ({sw}), '|', w))), '[|]'),"
+        f" p -> trim(p)), p -> p != '')")).alias("phrase"))
+    pw = ph.select(
+        "phrase", F.size(F.split("phrase", " ")).alias("plen"),
+        F.explode(F.split("phrase", " ")).alias("word"))
+    ws = (pw.groupBy("word")
+          .agg(F.expr("CAST(1000 * SUM(plen) AS BIGINT) div COUNT(*)")
+               .alias("score_m")))
+    occ = ph.groupBy("phrase").agg(F.count("*").cast("long").alias("n_occ"))
+    dp = ph.distinct()
+    dw = dp.select("phrase", F.explode(F.split("phrase", " ")).alias("word"))
+    scored = (dw.join(ws, "word")
+              .groupBy("phrase")
+              .agg(F.sum("score_m").cast("long").alias("score_m"),
+                   F.count("*").cast("long").alias("n_words")))
+    return (scored.join(occ, "phrase")
+            .select("phrase", "n_words", "n_occ", "score_m")
+            .orderBy(F.desc("score_m"), "phrase").limit(20))

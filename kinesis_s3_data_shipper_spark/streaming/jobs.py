@@ -770,3 +770,79 @@ def streaming_incremental_merge(spark: SparkSession, events_dir: str, *,
              .trigger(availableNow=True).start())
     query.awaitTermination()
     return read_bucketed_table(spark, table_dir)
+
+
+def streaming_rate_limit_final(spark: SparkSession, events_dir: str, *,
+                               checkpoint: str, query_name: str,
+                               cap_units: int, cost_units: int) -> DataFrame:
+    """Per-user token-bucket admission control maintained ACROSS
+    micro-batches in explicit group state — the streaming counterpart
+    of the batch ``events_rate_limit`` plan, and (like the CUSUM twin
+    above) a recursion no built-in streaming aggregate expresses: the
+    level update min(cap, level + dt) - cost*admit has BOTH a clamp
+    and a branch on the clamped value.
+
+    This is the op an ingestion edge actually runs online: admit or
+    throttle each arriving event per key, with the bucket level as
+    group state. State per user is (level, admitted, last_ts, seen) —
+    four int64s; refill is the raw nanosecond delta since the
+    previous event (1 token = ``cost_units`` ns of refill), so the
+    whole state machine is EXACT integer arithmetic: Python ints here,
+    BIGINTs in the JVM/DuckDB folds — bit-identical by construction,
+    no float anywhere.
+
+    EXACT batch parity requires the cross-batch fold order to equal
+    the batch plan's per-user (ts, event_id) sort; the caller stages
+    the landing dir as ts-range slices with increasing mtimes +
+    ``maxFilesPerTrigger=1`` (the streaming_cusum staging contract),
+    and last_ts carries the inter-arrival delta ACROSS the batch
+    boundary. Emits (user_id, n_seen, admitted, level) per batch a
+    user appears in; n_seen is monotone so the final state row is the
+    max_by."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = _events_stream(spark, events_dir, max_files=1)
+
+    def update(key, pdfs, state: GroupState):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        if state.exists:
+            level, admitted, last_ts, seen = state.get
+        else:
+            level, admitted, last_ts, seen = 0, 0, None, 0
+        for t in pdf["ts"]:
+            t = int(t)
+            dt = cap_units if last_ts is None else t - last_ts
+            level = min(cap_units, level + dt)
+            if level >= cost_units:
+                admitted += 1
+                level -= cost_units
+            last_ts = t
+            seen += 1
+        state.update((level, admitted, last_ts, seen))
+        yield pd.DataFrame({"user_id": [key[0]], "n_seen": [seen],
+                            "admitted": [admitted], "level": [level]})
+
+    out = (events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=("user_id LONG, n_seen LONG, admitted LONG,"
+                          " level LONG"),
+        stateStructType=("level LONG, admitted LONG, last_ts LONG,"
+                         " seen LONG"),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout))
+    query = (out.writeStream.outputMode("update")
+             .format("memory").queryName(query_name)
+             .option("checkpointLocation", checkpoint)
+             .trigger(availableNow=True).start())
+    query.awaitTermination()
+    return (spark.table(query_name)
+            .groupBy("user_id")
+            .agg(F.max("n_seen").alias("n_events"),
+                 F.max_by("admitted", "n_seen").alias("n_admitted"),
+                 F.max_by("level", "n_seen").alias("level_final_units"))
+            .select("user_id", "n_events", "n_admitted",
+                    (F.col("n_events") - F.col("n_admitted"))
+                    .alias("n_rejected"),
+                    "level_final_units"))

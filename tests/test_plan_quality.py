@@ -255,9 +255,12 @@ def test_funnel_reuses_user_partitioning(spark):
     plan = plan_of(spark, "events_funnel")
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
-    # v/c step aggregates are persisted so each feeds two consumers
-    # from memory instead of recomputing the events scan.
-    assert "InMemoryTableScan" in plan
+    # v/c step aggregates are eagerly localCheckpointed so each feeds
+    # two consumers from materialized blocks instead of recomputing
+    # the events scan — and, unlike persist, the blocks' lifetime ends
+    # with the DataFrame (no cached blocks outlive the query call).
+    assert "Scan ExistingRDD" in plan
+    assert "InMemoryTableScan" not in plan
 
 
 def test_retention_cohort_two_aggs_one_key(spark):
@@ -804,3 +807,39 @@ def test_changepoint_runs_on_the_hourly_aggregate(spark):
     assert "SinglePartition" not in plan
     assert plan.count("HashAggregate") >= 2
     assert "partial" in plan
+
+
+def test_jaccard_neighbors_no_cartesian_no_python(spark):
+    """Link scoring must ride the degree-oriented triangle dataflow:
+    keyed joins only (wedge + closing + broadcast degree
+    annotations), no cartesian/nested-loop pairing of nodes, no
+    Python, no global window."""
+    plan = plan_of(spark, "graph_jaccard_neighbors")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_gini_profile_two_phase_agg(spark):
+    """The balance audit's corpus-sized work is the one (source,
+    lang) count: partial+final HashAggregates around a tiny
+    exchange, the rollup/expand on the aggregate — no join, no
+    Python, no window."""
+    plan = plan_of(spark, "profile_gini_simpson")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "partial" in plan
+    assert "Expand" in plan
+
+
+def test_rake_topk_is_take_ordered(spark):
+    """RAKE's final top-20 must be TakeOrderedAndProject (never a
+    full sort), phrase extraction row-local HOFs (no Python), and
+    the word-score join an equi-join, not a cartesian."""
+    plan = plan_of(spark, "text_keyword_rake")
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

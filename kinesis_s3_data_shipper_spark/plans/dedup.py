@@ -718,3 +718,61 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.when(F.col("cont_a_in_b")
                                >= F.col("cont_b_in_a"), "a_in_b")
                         .otherwise("b_in_a")))
+
+
+@register("dedup_bow_priority", oracle="""
+WITH k AS (
+  SELECT doc_id, source,
+         CAST(substr(source, 4) AS BIGINT) AS prio,
+         md5(array_to_string(
+           list_sort(list_distinct(string_split(text, ' '))),
+           ' ')) AS bow_key
+  FROM documents
+), r AS (
+  SELECT bow_key, doc_id, source,
+         row_number() OVER (PARTITION BY bow_key
+                            ORDER BY prio, doc_id) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY bow_key) AS BIGINT)
+           AS n_copies
+  FROM k
+)
+SELECT bow_key, n_copies,
+       doc_id AS keep_doc_id, source AS keep_source,
+       n_copies - 1 AS n_dropped
+FROM r WHERE rn = 1 AND n_copies >= 2
+""", doc="Source-priority deduplication on a shuffle-robust canonical "
+         "key — the cross-source policy every multi-corpus training "
+         "pipeline applies (keep the curated copy, drop the scrape): "
+         "the canonical key is the md5 of the SORTED DISTINCT token "
+         "set (bag-of-words), which collapses reordered/shuffled "
+         "copies that exact text dedup (dedup_exact) misses, and the "
+         "keeper per key is chosen by SOURCE PRIORITY (numeric rank "
+         "parsed from the source id — swap in a priority dimension "
+         "table at 100 TB) with doc_id tiebreak, NOT by earliest "
+         "row: policy-driven, deterministic, retry-stable. Dataflow: "
+         "key build is row-local HOFs (split/distinct/sort/md5 — the "
+         "shuffle carries a 32-char digest + two small columns, "
+         "never text), then ONE digest-keyed shuffle serves both the "
+         "copy count and the priority window; only multi-copy groups "
+         "are reported. Same single-shuffle shape as "
+         "dedup_exact_hash, different keeper policy and a "
+         "permutation-invariant key.")
+def dedup_bow_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+    k = docs.select(
+        "doc_id", "source",
+        F.expr("CAST(substr(source, 4) AS BIGINT)").alias("prio"),
+        F.md5(F.expr(
+            "array_join(array_sort(array_distinct(split(text, ' '))),"
+            " ' ')")).alias("bow_key"))
+    w = W.partitionBy("bow_key").orderBy("prio", "doc_id")
+    wc = W.partitionBy("bow_key")
+    r = (k.select("bow_key", "doc_id", "source",
+                  F.row_number().over(w).alias("rn"),
+                  F.count("*").over(wc).cast("long").alias("n_copies")))
+    return (r.filter((F.col("rn") == 1) & (F.col("n_copies") >= 2))
+            .select("bow_key", "n_copies",
+                    F.col("doc_id").alias("keep_doc_id"),
+                    F.col("source").alias("keep_source"),
+                    (F.col("n_copies") - 1).alias("n_dropped")))

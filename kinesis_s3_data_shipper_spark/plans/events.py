@@ -1239,3 +1239,81 @@ def events_changepoint_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("CAST(S - b.sk AS DOUBLE) / (L - b.k)"), 6)
          .alias("right_mean"),
         F.round(F.col("b.g"), 6).alias("gain"))
+
+
+@register("events_holt_step", oracle="""
+WITH RECURSIVE rows_i AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS x,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS i,
+         CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+  FROM events
+), keep AS (
+  SELECT * FROM rows_i WHERE n >= 4
+), hs AS (
+  SELECT a.user_id, a.n, CAST(2 AS BIGINT) AS i,
+         a1.x AS l, a.x - a1.x AS b
+  FROM keep a JOIN keep a1
+    ON a.user_id = a1.user_id AND a.i = 2 AND a1.i = 1
+  UNION ALL
+  SELECT h.user_id, h.n, r.i,
+         0.5 * r.x + 0.5 * (h.l + h.b) AS l,
+         0.25 * ((0.5 * r.x + 0.5 * (h.l + h.b)) - h.l)
+           + 0.75 * h.b AS b
+  FROM hs h JOIN keep r
+    ON r.user_id = h.user_id AND r.i = h.i + 1
+)
+SELECT user_id, n AS n_events,
+       ROUND(l, 6) AS level_final,
+       ROUND(b, 6) AS trend_final,
+       ROUND(l + b, 6) AS forecast_next
+FROM hs WHERE i = n
+""", doc="Holt's linear-trend exponential smoothing per entity — the "
+         "two-recursion load forecaster (level AND trend, where "
+         "recursive_ewma_monthly is the single-recursion mean): "
+         "l' = alpha*x + (1-alpha)(l+b), b' = beta*(l'-l) + "
+         "(1-beta)*b with DYADIC coefficients (alpha=1/2, beta=1/4 — "
+         "exact binary-float multiplies), initialized l0=x1, "
+         "b0=x2-x1. TWO coupled recursions cannot ride any window "
+         "frame or even WITH RECURSIVE conveniently per group, so "
+         "this is the events_cusum shape with a STRUCT accumulator: "
+         "per-user collect sorted by (ts, event_id), then a "
+         "sequential in-row fold whose accumulator carries (l, b); the "
+         "oracle replays it as a WITH RECURSIVE row recursion with "
+         "the IDENTICAL IEEE expression tree (a DuckDB struct-"
+         "accumulator list_reduce is NOT usable here: its lambda "
+         "assigns struct fields sequentially in place, so the b "
+         "expression would see the already-updated l), "
+         "hash-checked after round(6). Output: final level/trend and "
+         "the one-step-ahead forecast l+b. Scale shape: ONE user_id "
+         "shuffle; fold O(per-user events) in-row; state O(1)/user — "
+         "and the streaming twin would carry the same two doubles in "
+         "group state.")
+def events_holt_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = (ev.groupBy("user_id")
+         .agg(F.expr("array_sort(collect_list(struct(ts, event_id, value)))")
+              .alias("evs"),
+              F.count("*").cast("long").alias("n"))
+         .filter(F.col("n") >= 4)
+         .select("user_id", "n",
+                 F.expr("transform(evs, e -> e.value)").alias("vals")))
+    fold = F.expr(
+        "aggregate("
+        "  transform(slice(vals, 3, size(vals) - 2),"
+        "            x -> named_struct('l', CAST(x AS DOUBLE),"
+        "                              'b', CAST(0 AS DOUBLE))),"
+        "  named_struct('l', CAST(element_at(vals, 1) AS DOUBLE),"
+        "               'b', CAST(element_at(vals, 2) AS DOUBLE)"
+        "                    - CAST(element_at(vals, 1) AS DOUBLE)),"
+        "  (a, e) -> named_struct("
+        "    'l', 0.5D * e.l + 0.5D * (a.l + a.b),"
+        "    'b', 0.25D * ((0.5D * e.l + 0.5D * (a.l + a.b)) - a.l)"
+        "         + 0.75D * a.b))")
+    return (s.select("user_id", F.col("n").alias("n_events"),
+                     fold.alias("st"))
+            .select("user_id", "n_events",
+                    F.round(F.col("st.l"), 6).alias("level_final"),
+                    F.round(F.col("st.b"), 6).alias("trend_final"),
+                    F.round(F.expr("st.l + st.b"), 6)
+                    .alias("forecast_next")))

@@ -843,3 +843,28 @@ def test_rake_topk_is_take_ordered(spark):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_holt_single_user_shuffle_struct_fold(spark):
+    """Holt's coupled recursions must be the per-entity-series shape:
+    one user_id exchange, the (l, b) fold in-row — no join, no
+    Python, no second shuffle."""
+    plan = plan_of(spark, "events_holt_step")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "SinglePartition" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bow_priority_digest_only_shuffle(spark):
+    """The priority dedup's shuffle must carry the 32-char digest +
+    small columns, never document text: the exchange's schema is
+    checked for the text column, and both window passes ride one
+    bow_key sort — no join, no Python."""
+    plan = plan_of(spark, "dedup_bow_priority")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    import re
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert ex and "text" not in ex[0]

@@ -106,6 +106,10 @@ HEADLINE = [
     "events_sliding_distinct",
     "text_bigram_lm_score",
     "asof_join_nearest",
+    # round 7 late batch: edge-Jaccard link scoring — the heaviest new
+    # query (wedge join + triangle shuffle); exactly one slot of the
+    # 1,900-char capture budget remained (worst-case render 1,871).
+    "graph_jaccard_neighbors",
 ]
 
 

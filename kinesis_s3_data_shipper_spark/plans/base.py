@@ -69,7 +69,7 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
 #: workload moving from a driver literal to a staged storage table,
 #: and the three consumers of the values_df swap (split-target /
 #: probe-token broadcast frames now JVM VALUES relations, not
-#: Python-RDD createDataFrame); (3) 31 of the 41-query r03-green cohort
+#: Python-RDD createDataFrame); (3) 30 of the 41-query r03-green cohort
 #: (streaming family, TPC-H shapes, events/json scalars — green rows
 #: now 4 driver data generations old). join_interval_binned and the
 #: whole r04 cohort rotate to round 8.
@@ -94,6 +94,7 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     "events_changepoint_binary", "graph_jaccard_neighbors",
     "profile_gini_simpson", "text_keyword_rake",
     "streaming_rate_limit", "events_holt_step", "dedup_bow_priority",
+    "agg_ttest_welch",
     # (2) plan/oracle changed in round 7 — re-prove externally
     # (the last three via the values_df swap of their broadcast
     # split-target / probe-token frames):
@@ -102,8 +103,8 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     "compute_range_splits", "compute_range_splits_sampled",
     "customer_rfm_segments", "events_funnel",
     # (3) the stale r03-era cohort, whole block:
-    "dedup_minhash_lsh", "ann_lsh_probe",
-    # (ann_pq_adc, semdedup_kmeans, kmeans_lloyd_iter,
+    "dedup_minhash_lsh",
+    # (ann_lsh_probe, ann_pq_adc, semdedup_kmeans, kmeans_lloyd_iter,
     # graph_pagerank_iter,
     # streaming_hourly, streaming_sessions,
     # streaming_late_data, streaming_interval_join,

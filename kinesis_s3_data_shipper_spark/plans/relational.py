@@ -2128,3 +2128,88 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n_orders"),
                  dsum("o_totalprice", "revenue"))
             .crossJoin(F.broadcast(np_)))
+
+
+@register("agg_ttest_welch", oracle="""
+WITH s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(value AS DECIMAL(20,6))) AS sx,
+         SUM(CAST(value AS DECIMAL(20,6))
+             * CAST(value AS DECIMAL(18,6))) AS sxx
+  FROM events GROUP BY event_type
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tn, SUM(sx) AS tsx, SUM(sxx) AS tsxx
+  FROM s
+), d AS (
+  SELECT s.event_type,
+         CAST(s.n AS DOUBLE) AS na, CAST(s.sx AS DOUBLE) AS sxa,
+         CAST(s.sxx AS DOUBLE) AS sxxa,
+         CAST(t.tn - s.n AS DOUBLE) AS nb,
+         CAST(t.tsx - s.sx AS DOUBLE) AS sxb,
+         CAST(t.tsxx - s.sxx AS DOUBLE) AS sxxb
+  FROM s CROSS JOIN tot t
+), v AS (
+  SELECT event_type, na, nb,
+         sxa / na - sxb / nb AS mean_diff,
+         ((sxxa - sxa * sxa / na) / (na - 1)) / na AS va_n,
+         ((sxxb - sxb * sxb / nb) / (nb - 1)) / nb AS vb_n
+  FROM d
+)
+SELECT event_type, CAST(na AS BIGINT) AS n_group,
+       ROUND(mean_diff, 6) AS mean_diff,
+       ROUND(mean_diff / sqrt(va_n + vb_n), 6) AS t_stat,
+       ROUND((va_n + vb_n) * (va_n + vb_n)
+             / (va_n * va_n / (na - 1) + vb_n * vb_n / (nb - 1)), 6)
+         AS df_welch
+FROM v
+""", doc="Welch's two-sample t-test of each event type's value "
+         "distribution against all other events — the A/B-test "
+         "significance readout (unequal variances, "
+         "Welch-Satterthwaite df), and the experiment-analysis "
+         "primitive an event pipeline serves constantly. "
+         "Determinism: the only data-sized reductions are the "
+         "per-type (n, sum, sum-of-squares) moment sums as EXACT "
+         "decimals (order-free; one operand widened past 18 digits "
+         "to force int128 in the oracle engine — the agg_corr_covar "
+         "convention); the 'rest' group's moments are decimal "
+         "DIFFERENCES of the broadcast 1-row totals (exact), so each "
+         "type never rescans the complement, and the t statistic / "
+         "df are one fixed double tree whose only irrational op is "
+         "the final sqrt. Scale shape: ONE map-side-combined "
+         "|types|-row agg; the totals row broadcasts back; nothing "
+         "downstream touches corpus rows.")
+def agg_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    vd, vn = (F.col("value").cast(t)
+              for t in ("decimal(20,6)", "decimal(18,6)"))
+    s = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(vd).alias("sx"),
+        F.sum(vd * vn).alias("sxx"))
+    tot = s.agg(F.sum("n").cast("long").alias("tn"),
+                F.sum("sx").alias("tsx"),
+                F.sum("sxx").alias("tsxx"))
+    d = s.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        F.col("n").cast("double").alias("na"),
+        F.col("sx").cast("double").alias("sxa"),
+        F.col("sxx").cast("double").alias("sxxa"),
+        (F.col("tn") - F.col("n")).cast("double").alias("nb"),
+        (F.col("tsx") - F.col("sx")).cast("double").alias("sxb"),
+        (F.col("tsxx") - F.col("sxx")).cast("double").alias("sxxb"))
+    na, nb = F.col("na"), F.col("nb")
+    v = d.select(
+        "event_type", na, nb,
+        (F.col("sxa") / na - F.col("sxb") / nb).alias("mean_diff"),
+        (((F.col("sxxa") - F.col("sxa") * F.col("sxa") / na)
+          / (na - 1)) / na).alias("va_n"),
+        (((F.col("sxxb") - F.col("sxb") * F.col("sxb") / nb)
+          / (nb - 1)) / nb).alias("vb_n"))
+    va, vb = F.col("va_n"), F.col("vb_n")
+    return v.select(
+        "event_type", na.cast("long").alias("n_group"),
+        F.round("mean_diff", 6).alias("mean_diff"),
+        F.round(F.col("mean_diff") / F.sqrt(va + vb), 6).alias("t_stat"),
+        F.round((va + vb) * (va + vb)
+                / (va * va / (na - 1) + vb * vb / (nb - 1)), 6)
+        .alias("df_welch"))

@@ -868,3 +868,14 @@ def test_bow_priority_digest_only_shuffle(spark):
     import re
     ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert ex and "text" not in ex[0]
+
+
+def test_ttest_totals_broadcast_back(spark):
+    """Welch's corpus-sized work is the one |types|-row moment agg;
+    the totals row rides a broadcast join back — no sort-merge join,
+    no Python, no second corpus scan."""
+    plan = plan_of(spark, "agg_ttest_welch")
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "partial" in plan

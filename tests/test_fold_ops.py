@@ -1,0 +1,109 @@
+"""The packed-accumulator / struct-accumulator in-row folds must match
+a straightforward Python simulation on adversarial inputs — bursts
+tighter than the refill rate, duplicate timestamps, short series. The
+oracle gate proves Spark==DuckDB on the driver data; this proves both
+equal the REFERENCE SEMANTICS (a token bucket / Holt's equations as
+you'd write them imperatively), so an encoding bug shared by both
+plan and oracle cannot hide.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from kinesis_s3_data_shipper_spark.plans import REGISTRY, all_queries
+from kinesis_s3_data_shipper_spark.plans.events import (_TB_CAP_UNITS,
+                                                        _TB_REFILL_NS)
+
+all_queries()
+
+
+@pytest.fixture(scope="module")
+def fold_sf_dir(spark, tmp_path_factory):
+    """Stage an events table of crafted per-user series: tight bursts
+    (seconds apart — guaranteed rejections), sparse tails, duplicate
+    timestamps, and a minimum-length-4 series."""
+    rng = np.random.default_rng(20260815)
+    rows = []
+    eid = 0
+    base = 1_700_000_000_000_000  # epoch micros
+    for uid in range(40):
+        n = int(rng.integers(4, 50))
+        t = base + int(rng.integers(0, 10**9))
+        for _ in range(n):
+            burst = rng.random() < 0.4
+            step_us = (int(rng.integers(0, 5_000_000)) if burst
+                       else int(rng.integers(1, 40_000_000_000)))
+            t += step_us
+            rows.append((eid, t, uid, "view",
+                         float(np.round(rng.normal(50, 20), 3)), "{}"))
+            eid += 1
+    d = tmp_path_factory.mktemp("fold_events")
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_us long, user_id long,"
+              " event_type string, value double, props string")
+    (df.selectExpr("event_id", "timestamp_micros(ts_us) AS ts",
+                   "user_id", "event_type", "value", "props")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(str(d), "events.parquet")))
+    return str(d)
+
+
+def _series(spark, sf_dir):
+    from kinesis_s3_data_shipper_spark.sources.tables import load_table
+    ev = load_table(spark, sf_dir, "events")  # ts -> epoch nanos long
+    rows = ev.select("user_id", "ts", "event_id", "value").collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id, r.value))
+    return {u: sorted(v) for u, v in by_user.items()}
+
+
+def test_rate_limit_fold_matches_python_reference(spark, fold_sf_dir):
+    got = {r.user_id: r for r in
+           REGISTRY["events_rate_limit"].spark(spark, fold_sf_dir).collect()}
+    series = _series(spark, fold_sf_dir)
+    assert set(got) == set(series)
+    any_rejected = False
+    for uid, evs in series.items():
+        level, admitted, last = 0, 0, None
+        for ts, _eid, _v in evs:
+            dt = _TB_CAP_UNITS if last is None else ts - last
+            level = min(_TB_CAP_UNITS, level + dt)
+            if level >= _TB_REFILL_NS:
+                admitted += 1
+                level -= _TB_REFILL_NS
+            last = ts
+        r = got[uid]
+        assert r.n_events == len(evs)
+        assert r.n_admitted == admitted, uid
+        assert r.n_rejected == len(evs) - admitted
+        assert r.level_final_units == level, uid
+        assert 0 <= r.level_final_units <= _TB_CAP_UNITS
+        any_rejected = any_rejected or r.n_rejected > 0
+    # the fixture's bursts must actually exercise the reject branch
+    assert any_rejected
+
+
+def test_holt_fold_matches_python_reference(spark, fold_sf_dir):
+    got = {r.user_id: r for r in
+           REGISTRY["events_holt_step"].spark(spark, fold_sf_dir).collect()}
+    series = _series(spark, fold_sf_dir)
+    for uid, evs in series.items():
+        vals = [v for _t, _e, v in evs]
+        if len(vals) < 4:
+            assert uid not in got
+            continue
+        l, b = vals[0], vals[1] - vals[0]
+        for x in vals[2:]:
+            l2 = 0.5 * x + 0.5 * (l + b)
+            b = 0.25 * (l2 - l) + 0.75 * b
+            l = l2
+        r = got[uid]
+        assert r.n_events == len(vals)
+        assert r.level_final == round(l, 6), uid
+        assert r.trend_final == round(b, 6), uid
+        assert r.forecast_next == round(l + b, 6), uid

@@ -1689,3 +1689,101 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.join(occ, "phrase")
             .select("phrase", "n_words", "n_occ", "score_m")
             .orderBy(F.desc("score_m"), "phrase").limit(20))
+
+
+@register("pack_sequences_bestfit", oracle=f"""
+WITH d AS (
+  SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+         LEAST(CAST(len(string_split(text, ' ')) AS BIGINT),
+               {_PACK_CAP}) AS n_tok
+  FROM documents
+), s AS (
+  SELECT shard,
+         list(n_tok ORDER BY n_tok DESC, doc_id) AS lens,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS total_tok
+  FROM d GROUP BY shard
+), f AS (
+  SELECT shard, n_docs, total_tok,
+         list_reduce(
+           list_prepend(CAST([] AS BIGINT[]),
+                        list_transform(lens, l -> [l])),
+           (acc, e) -> CASE
+             WHEN len(list_filter(acc,
+                        b -> b + e[1] <= {_PACK_CAP})) = 0
+             THEN list_append(acc, e[1])
+             ELSE list_transform(acc, (b, i) -> CASE
+               WHEN i = list_position(acc,
+                          list_max(list_filter(acc,
+                            b2 -> b2 + e[1] <= {_PACK_CAP})))
+               THEN b + e[1] ELSE b END)
+           END) AS bins
+  FROM s
+)
+SELECT shard, n_docs, total_tok,
+       CAST(len(bins) AS BIGINT) AS n_bins,
+       CAST((total_tok + {_PACK_CAP} - 1) // {_PACK_CAP} AS BIGINT)
+         AS lower_bound,
+       CAST(len(bins) * {_PACK_CAP} - total_tok AS BIGINT)
+         AS waste_tok,
+       ROUND(CAST(total_tok AS DOUBLE)
+             / (len(bins) * {_PACK_CAP}), 6) AS fill_ratio,
+       CAST(list_max(bins) AS BIGINT) AS max_load,
+       CAST(list_min(bins) AS BIGINT) AS min_load
+FROM f
+""", doc="Best-fit-decreasing WHOLE-DOCUMENT packing — the no-split "
+         "complement of pack_sequences (split packing truncates "
+         "attention context mid-document; sample-aware pipelines pack "
+         "documents intact and pad): docs sort length-DESC per shard "
+         "(doc_id tiebreak), each placed into the FULLEST bin that "
+         "still fits, else a new bin — the classic BFD 11/9·OPT+1 "
+         "bound. The bin state is a LIST accumulator in the in-row "
+         "fold (the events_cusum shape one rung up: list, not "
+         "scalar), updated via position-indexed transform; the "
+         "oracle's list_reduce needs elements lifted to one-element "
+         "lists (acc/element types must match) but has no "
+         "field-assignment sequencing, so the holt quirk does not "
+         "apply — and all arithmetic is integers, hash-exact. "
+         "Reported per shard: bins used vs the ceil(total/cap) lower "
+         "bound, waste, fill ratio, extreme loads. Scale shape: ONE "
+         "shard shuffle (shards scale with the cluster exactly as "
+         "pack_sequences documents); the fold is O(docs x bins) "
+         "in-row with bins bounded by docs-per-shard; overlong docs "
+         "clamp to cap rather than opening unfillable bins.")
+def pack_sequences_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cap = _PACK_CAP
+    d = docs.select(
+        "doc_id",
+        F.pmod("doc_id", F.lit(_PACK_SHARDS)).alias("shard"),
+        F.least(F.size(F.split("text", " ")).cast("long"),
+                F.lit(cap).cast("long")).alias("n_tok"))
+    s = (d.groupBy("shard")
+         .agg(F.expr(f"array_sort(collect_list(struct("
+                     f"CAST({cap} AS BIGINT) - n_tok AS inv,"
+                     f" doc_id AS doc_id, n_tok AS n_tok)))").alias("a"),
+              F.count("*").cast("long").alias("n_docs"),
+              F.sum("n_tok").cast("long").alias("total_tok"))
+         .select("shard", "n_docs", "total_tok",
+                 F.expr("transform(a, e -> e.n_tok)").alias("lens")))
+    best = (f"array_max(filter(acc, b -> b + l <= {cap}))")
+    step = (f"IF(size(filter(acc, b -> b + l <= {cap})) = 0,"
+            f" concat(acc, array(l)),"
+            f" transform(acc, (b, i) ->"
+            f"  IF(i = array_position(acc, {best}) - 1, b + l, b)))")
+    fold = F.expr(
+        f"aggregate(lens, CAST(array() AS ARRAY<BIGINT>),"
+        f" (acc, l) -> {step})")
+    f_ = s.select("shard", "n_docs", "total_tok", fold.alias("bins"))
+    return f_.select(
+        "shard", "n_docs", "total_tok",
+        F.size("bins").cast("long").alias("n_bins"),
+        F.expr(f"(total_tok + {cap} - 1) div {cap}").cast("long")
+        .alias("lower_bound"),
+        (F.size("bins").cast("long") * cap - F.col("total_tok"))
+        .cast("long").alias("waste_tok"),
+        F.round(F.col("total_tok").cast("double")
+                / (F.size("bins").cast("long") * cap), 6)
+        .alias("fill_ratio"),
+        F.expr("array_max(bins)").cast("long").alias("max_load"),
+        F.expr("array_min(bins)").cast("long").alias("min_load"))

@@ -107,3 +107,39 @@ def test_holt_fold_matches_python_reference(spark, fold_sf_dir):
         assert r.level_final == round(l, 6), uid
         assert r.trend_final == round(b, 6), uid
         assert r.forecast_next == round(l + b, 6), uid
+
+
+def test_bestfit_packing_matches_python_reference(spark):
+    """The list-accumulator BFD fold must equal an imperative
+    best-fit-decreasing simulation over the same per-shard length
+    lists (and beat or match nothing-better-than: bins >= lower
+    bound, every load <= cap)."""
+    from kinesis_s3_data_shipper_spark.plans.text import (_PACK_CAP,
+                                                          _PACK_SHARDS)
+    from kinesis_s3_data_shipper_spark.sources.tables import load_table
+    sf = "/root/testdata/sf0.001"
+    got = {r.shard: r for r in
+           REGISTRY["pack_sequences_bestfit"].spark(spark, sf).collect()}
+    docs = load_table(spark, sf, "documents") \
+        .selectExpr("doc_id",
+                    f"doc_id % {_PACK_SHARDS} AS shard",
+                    "size(split(text, ' ')) AS n_tok").collect()
+    by_shard: dict[int, list] = {}
+    for r in docs:
+        by_shard.setdefault(r.shard, []).append(
+            (min(r.n_tok, _PACK_CAP), r.doc_id))
+    for shard, items in by_shard.items():
+        lens = [l for l, _d in sorted(items, key=lambda t: (-t[0], t[1]))]
+        bins: list[int] = []
+        for l in lens:
+            fits = [b for b in bins if b + l <= _PACK_CAP]
+            if not fits:
+                bins.append(l)
+            else:
+                bins[bins.index(max(fits))] += l
+        r = got[shard]
+        assert r.n_bins == len(bins), shard
+        assert r.max_load == max(bins) and r.min_load == min(bins)
+        assert r.total_tok == sum(lens)
+        assert r.n_bins >= r.lower_bound
+        assert r.max_load <= _PACK_CAP

@@ -879,3 +879,14 @@ def test_ttest_totals_broadcast_back(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("HashAggregate") >= 2
     assert "partial" in plan
+
+
+def test_bestfit_packing_single_shard_shuffle(spark):
+    """BFD packing must be the per-shard fold shape: one shard
+    exchange, the bin-list fold in-row — no join, no Python, no
+    global window."""
+    plan = plan_of(spark, "pack_sequences_bestfit")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "SinglePartition" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1

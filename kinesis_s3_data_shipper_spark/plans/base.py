@@ -72,9 +72,10 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
 #: Python-RDD createDataFrame); (3) 30 of the 41-query r03-green cohort
 #: (streaming family, TPC-H shapes, events/json scalars — green rows
 #: now 4 driver data generations old). join_interval_binned and the
-#: whole r04 cohort rotate to round 8 — as does pack_sequences_bestfit,
-#: the one round-7 query registered after the window filled (locally
-#: swept + scale-stepped this round; external slot next round).
+#: whole r04 cohort rotate to round 8 — as do pack_sequences_bestfit,
+#: agg_chi2_independence and text_ngram_novelty, the round-7 queries
+#: registered after the window filled (locally swept + scale-stepped
+#: this round; external slots next round).
 _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     # (1) never externally checked:
     "multimodal_audio_chunks", "warehouse_lifecycle",

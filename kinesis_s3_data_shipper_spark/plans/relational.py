@@ -2213,3 +2213,64 @@ def agg_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((va + vb) * (va + vb)
                 / (va * va / (na - 1) + vb * vb / (nb - 1)), 6)
         .alias("df_welch"))
+
+
+@register("agg_chi2_independence", oracle="""
+WITH o AS (
+  SELECT event_type, epoch_ns(ts) // 3600000000000 % 24 AS hod,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_row FROM o GROUP BY 1
+), h AS (
+  SELECT hod, CAST(SUM(n) AS BIGINT) AS n_col FROM o GROUP BY 1
+), t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total FROM o
+), c AS (
+  SELECT o.event_type, o.hod, o.n, m.n_row, h.n_col, t.total,
+         CAST(m.n_row AS DOUBLE) * h.n_col / t.total AS expected
+  FROM o JOIN m USING (event_type) JOIN h USING (hod) CROSS JOIN t
+)
+SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(COUNT(DISTINCT hod) AS BIGINT) AS n_hours,
+       CAST((COUNT(DISTINCT event_type) - 1)
+            * (COUNT(DISTINCT hod) - 1) AS BIGINT) AS dof,
+       ROUND(SUM(ROUND((n - expected) * (n - expected) / expected, 9)),
+             6) AS chi2
+FROM c
+""", doc="Chi-squared test of independence over the event_type x "
+         "hour-of-day contingency table — the categorical drift/"
+         "dependence readout next to agg_ttest_welch's numeric one "
+         "(is traffic mix time-of-day dependent?): observed cell "
+         "counts and both margins are exact integer aggs; expected = "
+         "row*col/total is one double expression per CELL of the "
+         "tiny |types|x24 table; and because a SUM of doubles is "
+         "order-dependent, each cell's chi2 term is pre-rounded to 9 "
+         "decimals and the 120-term sum of coarse dyadic-safe values "
+         "stays bit-stable under any addition order both engines "
+         "pick (the text_dsir quantize-before-reduce move, in float "
+         "form). Scale shape: ONE map-side-combined (type, hod) "
+         "count; margins/expected/statistic all on the aggregate.")
+def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    o = (ev.groupBy("event_type",
+                    F.expr("ts div 3600000000000 % 24").alias("hod"))
+         .agg(F.count("*").cast("long").alias("n")))
+    m = o.groupBy("event_type").agg(F.sum("n").cast("long").alias("n_row"))
+    h = o.groupBy("hod").agg(F.sum("n").cast("long").alias("n_col"))
+    t = o.agg(F.sum("n").cast("long").alias("total"))
+    c = (o.join(F.broadcast(m), "event_type")
+         .join(F.broadcast(h), "hod")
+         .crossJoin(F.broadcast(t))
+         .withColumn("expected",
+                     F.col("n_row").cast("double") * F.col("n_col")
+                     / F.col("total")))
+    term = F.round((F.col("n") - F.col("expected"))
+                   * (F.col("n") - F.col("expected"))
+                   / F.col("expected"), 9)
+    return c.agg(
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.countDistinct("hod").cast("long").alias("n_hours"),
+        ((F.countDistinct("event_type") - 1)
+         * (F.countDistinct("hod") - 1)).cast("long").alias("dof"),
+        F.round(F.sum(term), 6).alias("chi2"))

@@ -1787,3 +1787,66 @@ def pack_sequences_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("fill_ratio"),
         F.expr("array_max(bins)").cast("long").alias("max_load"),
         F.expr("array_min(bins)").cast("long").alias("min_load"))
+
+
+@register("text_ngram_novelty", oracle="""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(string_split(text, ' ')) - 1),
+           i -> md5(array_to_string(
+                  string_split(text, ' ')[i:i+2], ' ')))) AS grams
+  FROM documents
+), per_doc AS (
+  SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams FROM d
+), g AS (
+  SELECT doc_id, unnest(grams) AS gram FROM d
+), first_seen AS (
+  SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram
+), novel AS (
+  SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+  FROM first_seen GROUP BY 1
+)
+SELECT p.doc_id, p.n_grams,
+       COALESCE(n.n_novel, 0) AS n_novel,
+       ROUND(CAST(COALESCE(n.n_novel, 0) AS DOUBLE) / p.n_grams, 6)
+         AS novelty
+FROM per_doc p LEFT JOIN novel n USING (doc_id)
+""", doc="First-occurrence n-gram novelty scoring — the contribution/"
+         "freshness metric diversity-aware data selection ranks by "
+         "(a doc whose 3-grams all appeared in earlier docs adds "
+         "little; dedup finds copies, THIS finds near-zero-marginal-"
+         "value remixes): every distinct word-3-gram is attributed "
+         "to its earliest doc_id (in corpus order — swap in a "
+         "timestamp at 100 TB), and a doc's novelty is the fraction "
+         "of its distinct grams it introduced. Dataflow: in-row gram "
+         "build + md5 (the winnowing/doc_fingerprint machinery), ONE "
+         "digest-keyed shuffle carrying (16-byte gram hash, doc_id) "
+         "for the global first-occurrence MIN, then doc-keyed "
+         "integer rollups joined on doc_id — all counts exact, one "
+         "final division. The gram text itself never shuffles.")
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # Per-doc distinct grams built IN ROW (array_distinct before the
+    # explode): the digest shuffle receives each (doc, gram) once with
+    # NO (doc_id, gram) distinct exchange, and the per-doc gram count
+    # is a scan-side projection, not an aggregation.
+    d = docs.select(
+        "doc_id",
+        F.expr(
+            "array_distinct(transform("
+            " sequence(1, size(split(text, ' ')) - 2),"
+            " i -> md5(array_join(slice(split(text, ' '), i, 3),"
+            " ' '))))").alias("grams"))
+    per_doc = d.select(
+        "doc_id", F.size("grams").cast("long").alias("n_grams"))
+    g = d.select("doc_id", F.explode("grams").alias("gram"))
+    first_seen = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = (first_seen.groupBy(F.col("first_doc").alias("doc_id"))
+             .agg(F.count("*").cast("long").alias("n_novel")))
+    return (per_doc.join(novel, "doc_id", "left")
+            .select("doc_id", "n_grams",
+                    F.coalesce("n_novel", F.lit(0)).cast("long")
+                    .alias("n_novel"),
+                    F.round(F.coalesce("n_novel", F.lit(0)).cast("double")
+                            / F.col("n_grams"), 6).alias("novelty")))

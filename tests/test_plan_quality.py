@@ -890,3 +890,30 @@ def test_bestfit_packing_single_shard_shuffle(spark):
     assert "BatchEvalPython" not in plan
     assert "SinglePartition" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_chi2_runs_on_the_contingency_aggregate(spark):
+    """Chi-squared's corpus work is the one (type, hod) count; margins
+    and expected ride broadcasts over the tiny table — no sort-merge
+    join, no Python."""
+    plan = plan_of(spark, "agg_chi2_independence")
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "partial" in plan
+
+
+def test_novelty_shuffles_digests_not_text(spark):
+    """The novelty score's gram shuffle must carry md5 digests, never
+    document text, and the doc rollup join stays keyed — no
+    cartesian, no Python."""
+    plan = plan_of(spark, "text_ngram_novelty")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert ex and all("text" not in l for l in ex)
+    # In-doc distinct is in-row (array_distinct before the explode):
+    # the plan gets exactly the gram-min exchange plus the two doc_id
+    # rollup/join exchanges — a (doc_id, gram) distinct exchange
+    # (the first cut's 8x-at-10x linear term) must not reappear.
+    assert len(ex) <= 3

@@ -73,9 +73,11 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
 #: (streaming family, TPC-H shapes, events/json scalars — green rows
 #: now 4 driver data generations old). join_interval_binned and the
 #: whole r04 cohort rotate to round 8 — as do pack_sequences_bestfit,
-#: agg_chi2_independence and text_ngram_novelty, the round-7 queries
-#: registered after the window filled (locally swept + scale-stepped
-#: this round; external slots next round).
+#: agg_chi2_independence, text_ngram_novelty and
+#: warehouse_schema_evolution, the round-7 queries registered after
+#: the window filled (locally swept + scale-stepped this round;
+#: external slots next round — the deferral rule is pinned by
+#: tests/test_correctness_local_cli.py).
 _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     # (1) never externally checked:
     "multimodal_audio_chunks", "warehouse_lifecycle",

@@ -782,3 +782,57 @@ def warehouse_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("cust_span"),
                  (F.max("day") - F.min("day")).cast("long")
                  .alias("day_span")))
+
+
+@register("warehouse_schema_evolution", oracle="""
+SELECT COALESCE(CASE WHEN c_custkey % 2 = 1 THEN c_mktsegment END,
+                '(pre-evolution)') AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE)
+         AS sum_acctbal,
+       CAST(SUM(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pre_evolution_rows
+FROM customer
+GROUP BY 1
+""", doc="Schema evolution on read — the add-a-column migration every "
+         "long-lived table goes through: half the customers are "
+         "staged as 'old-layout' parquet files WITHOUT the "
+         "c_mktsegment column, half as post-migration files WITH it, "
+         "and the table is read back as ONE DataFrame via "
+         "mergeSchema=true — old rows must surface a typed NULL for "
+         "the added column (never a crash, never a silent drop), "
+         "checked by aggregating per segment with the old rows "
+         "coalesced into a '(pre-evolution)' bucket and counting "
+         "them explicitly. The oracle recomputes the expected result "
+         "straight from the source table (even keys = old layout), "
+         "so the hash gate proves the write→evolve→merge-read "
+         "round-trip is lossless and the null semantics match. "
+         "Staging is mkdtemp-per-invocation (the compaction "
+         "staging-race rule). Scale note: mergeSchema reconciles "
+         "footers per file — fine for a migration boundary, but a "
+         "100 TB table keeps the authoritative schema in a catalog "
+         "and this query documents the read-side SEMANTICS that "
+         "catalog must honor.")
+def warehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    cust = load_table(spark, sf_dir, "customer")
+    base = tempfile.mkdtemp(prefix="ksds_evolve_")
+    old_dir = os.path.join(base, "v1")
+    new_dir = os.path.join(base, "v2")
+    (cust.filter(F.expr("c_custkey % 2 = 0"))
+     .select("c_custkey", "c_acctbal")
+     .write.mode("overwrite").parquet(old_dir))
+    (cust.filter(F.expr("c_custkey % 2 = 1"))
+     .select("c_custkey", "c_acctbal", "c_mktsegment")
+     .write.mode("overwrite").parquet(new_dir))
+    merged = (spark.read.option("mergeSchema", "true")
+              .parquet(old_dir, new_dir))
+    return (merged.groupBy(
+                F.coalesce(F.col("c_mktsegment"),
+                           F.lit("(pre-evolution)")).alias("segment"))
+            .agg(F.count("*").cast("long").alias("n_customers"),
+                 F.sum(F.col("c_acctbal").cast("decimal(20,6)"))
+                 .cast("double").alias("sum_acctbal"),
+                 F.sum(F.when(F.col("c_mktsegment").isNull(), 1)
+                       .otherwise(0)).cast("long")
+                 .alias("n_pre_evolution_rows")))

@@ -774,7 +774,8 @@ def streaming_incremental_merge(spark: SparkSession, events_dir: str, *,
 
 def streaming_rate_limit_final(spark: SparkSession, events_dir: str, *,
                                checkpoint: str, query_name: str,
-                               cap_units: int, cost_units: int) -> DataFrame:
+                               cap_units: int, cost_units: int,
+                               output_dir: str | None = None) -> DataFrame:
     """Per-user token-bucket admission control maintained ACROSS
     micro-batches in explicit group state — the streaming counterpart
     of the batch ``events_rate_limit`` plan, and (like the CUSUM twin
@@ -798,7 +799,13 @@ def streaming_rate_limit_final(spark: SparkSession, events_dir: str, *,
     and last_ts carries the inter-arrival delta ACROSS the batch
     boundary. Emits (user_id, n_seen, admitted, level) per batch a
     user appears in; n_seen is monotone so the final state row is the
-    max_by."""
+    max_by.
+
+    Sinks mirror streaming_cusum_final: memory sink by default; pass
+    ``output_dir`` for the checkpoint-recoverable foreachBatch parquet
+    sink (a stopped query restarted with the same checkpoint resumes
+    the restored (level, admitted, last_ts, seen) state over only the
+    new files — the restart test's subject)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -832,12 +839,24 @@ def streaming_rate_limit_final(spark: SparkSession, events_dir: str, *,
                          " seen LONG"),
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout))
-    query = (out.writeStream.outputMode("update")
-             .format("memory").queryName(query_name)
-             .option("checkpointLocation", checkpoint)
-             .trigger(availableNow=True).start())
-    query.awaitTermination()
-    return (spark.table(query_name)
+    if output_dir is not None:
+        def sink(batch_df: DataFrame, _epoch: int) -> None:
+            batch_df.write.mode("append").parquet(output_dir)
+
+        query = (out.writeStream.outputMode("update")
+                 .foreachBatch(sink)
+                 .option("checkpointLocation", checkpoint)
+                 .trigger(availableNow=True).start())
+        query.awaitTermination()
+        emissions = spark.read.parquet(output_dir)
+    else:
+        query = (out.writeStream.outputMode("update")
+                 .format("memory").queryName(query_name)
+                 .option("checkpointLocation", checkpoint)
+                 .trigger(availableNow=True).start())
+        query.awaitTermination()
+        emissions = spark.table(query_name)
+    return (emissions
             .groupBy("user_id")
             .agg(F.max("n_seen").alias("n_events"),
                  F.max_by("admitted", "n_seen").alias("n_admitted"),

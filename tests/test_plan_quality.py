@@ -917,3 +917,13 @@ def test_novelty_shuffles_digests_not_text(spark):
     # rollup/join exchanges — a (doc_id, gram) distinct exchange
     # (the first cut's 8x-at-10x linear term) must not reappear.
     assert len(ex) <= 3
+
+
+def test_schema_evolution_merged_read_stays_jvm(spark):
+    """The merged-schema read must aggregate with map-side combine
+    over the union of layouts — no Python, no join, no global
+    window in the read plan."""
+    plan = plan_of(spark, "warehouse_schema_evolution")
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2

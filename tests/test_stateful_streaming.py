@@ -382,3 +382,55 @@ def test_streaming_cusum_state_survives_checkpoint_restart(spark, tmp_path,
     # rebuilt from scratch).
     grew = [u for u, (n, _) in got.items() if n > partial_n.get(u, 0)]
     assert grew, "third slice added no events to any user — staging bug"
+
+
+def test_streaming_rate_limit_state_survives_checkpoint_restart(
+        spark, tmp_path, sf_oracle):
+    """The token bucket's group state must survive a full STOP and
+    checkpoint-resume: drain two time slices, end the query, land the
+    third slice, re-run with the SAME checkpoint. The resumed query
+    folds only the new slice onto the restored (level, admitted,
+    last_ts, seen) state — in particular last_ts must carry the
+    inter-arrival delta ACROSS the restart — and the final state must
+    equal the batch events_rate_limit plan over all three slices."""
+    import os
+
+    from kinesis_s3_data_shipper_spark.plans import REGISTRY, all_queries
+    from kinesis_s3_data_shipper_spark.plans.events import (_TB_CAP_UNITS,
+                                                            _TB_REFILL_NS)
+    from kinesis_s3_data_shipper_spark.plans.streaming import (
+        _stage_time_slices)
+    from kinesis_s3_data_shipper_spark.streaming.jobs import (
+        streaming_rate_limit_final)
+
+    landing, checkpoint = _stage_time_slices(spark, sf_oracle, n_slices=3)
+    third = os.path.join(landing, "slice_2.parquet")
+    hidden = os.path.join(os.path.dirname(landing), "slice_2.hold")
+    os.rename(third, hidden)
+
+    out_dir = str(tmp_path / "rl_emissions")
+    partial = streaming_rate_limit_final(
+        spark, landing, checkpoint=checkpoint,
+        query_name="rl_ckpt_a", cap_units=_TB_CAP_UNITS,
+        cost_units=_TB_REFILL_NS, output_dir=out_dir).collect()
+    assert len(partial) > 0
+    partial_n = {r.user_id: r.n_events for r in partial}
+
+    os.rename(hidden, third)
+    resumed = streaming_rate_limit_final(
+        spark, landing, checkpoint=checkpoint,
+        query_name="rl_ckpt_b", cap_units=_TB_CAP_UNITS,
+        cost_units=_TB_REFILL_NS, output_dir=out_dir)
+    got = {r.user_id: (r.n_events, r.n_admitted, r.n_rejected,
+                       r.level_final_units)
+           for r in resumed.collect()}
+
+    all_queries()
+    want = {r.user_id: (r.n_events, r.n_admitted, r.n_rejected,
+                        r.level_final_units)
+            for r in REGISTRY["events_rate_limit"]
+            .spark(spark, sf_oracle).collect()}
+    assert got == want
+    grew = [u for u, (n, *_rest) in got.items()
+            if n > partial_n.get(u, 0)]
+    assert grew, "third slice added no events to any user — staging bug"

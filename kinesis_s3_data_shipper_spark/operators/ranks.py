@@ -299,3 +299,43 @@ def bucket_from_rank(rank_col: str, ends: list[int]) -> Column:
                   [F.when(F.col(rank_col) > e, 1).otherwise(0)
                    for e in ends],
                   F.lit(1)).cast("long")
+
+
+def attach_prefix_sum(df: DataFrame, specs: list[OrderSpec], *,
+                      weight_col: str, out_col: str,
+                      num_parts: int = 32,
+                      sample_mod: int = 16) -> DataFrame:
+    """Add the exact global EXCLUSIVE prefix sum of ``weight_col`` in
+    the ``specs`` total order — the weighted generalization of
+    :func:`attach_global_rank` (rank = prefix sum of weight 1), and
+    the distributed form of ``SUM(w) OVER (ORDER BY ... ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING)``, which as written funnels
+    everything through one task. Same machinery: sampled range
+    boundaries, pure-expression pid, per-range WEIGHT TOTALS cumsummed
+    into offsets on the driver (a ≤num_parts-row collect), then a
+    pid-partitioned running sum. Weights must be integral (exact
+    driver cumsum; callers sum counts, never floats)."""
+    sample = sample_order_keys(df, specs, sample_mod=sample_mod)
+    boundaries = splits_from_sample(sample, num_parts)
+    pid = range_pid(specs, boundaries)
+    totals = {int(r["p"]): int(r["s"]) for r in
+              df.select(pid.alias("p"), F.col(weight_col).alias("w"))
+                .groupBy("p").agg(F.sum("w").alias("s")).collect()}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for p in sorted(totals):
+        offsets[p] = acc
+        acc += totals[p]
+    pid_name = f"_pid_{out_col}"
+    off = (F.element_at(
+        F.create_map(*[F.lit(x) for p, o in sorted(offsets.items())
+                       for x in (p, o)]),
+        F.col(pid_name))
+        if offsets else F.lit(0))
+    w = (Window.partitionBy(pid_name).orderBy(*_order_columns(specs))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (df.withColumn(pid_name, pid)
+            .withColumn(out_col,
+                        (off + F.coalesce(F.sum(weight_col).over(w),
+                                          F.lit(0))).cast("long"))
+            .drop(pid_name))

@@ -2274,3 +2274,86 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.countDistinct("event_type") - 1)
          * (F.countDistinct("hod") - 1)).cast("long").alias("dof"),
         F.round(F.sum(term), 6).alias("chi2"))
+
+
+@register("agg_mannwhitney_u", oracle="""
+WITH d AS (
+  SELECT value,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cb
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY value
+), o AS (
+  SELECT ca, cb,
+         COALESCE(SUM(cb) OVER (ORDER BY value
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cumb
+  FROM d
+), s AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+         CAST(SUM(ca * (2 * cumb + cb)) AS BIGINT) AS u2,
+         CAST(SUM((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
+              AS BIGINT) AS tie3
+  FROM o
+)
+SELECT na AS n_a, nb AS n_b, u2,
+       ROUND(u2 / 2.0, 6) AS u_stat,
+       ROUND((u2 / 2.0 - CAST(na AS DOUBLE) * nb / 2)
+             / sqrt(CAST(na AS DOUBLE) * nb / 12
+                    * ((na + nb + 1)
+                       - CAST(tie3 AS DOUBLE)
+                         / ((na + nb) * (na + nb - 1.0)))), 6)
+         AS z_approx
+FROM s
+""", doc="Mann-Whitney U — the rank-based (non-parametric) two-sample "
+         "test next to agg_ttest_welch's parametric one, comparing "
+         "click vs purchase value distributions without any "
+         "normality assumption: U counts cross-group dominating "
+         "pairs with half-credit ties, computed EXACTLY as 2U = "
+         "sum_v ca(v)*(2*cumB_below(v) + cb(v)) over the DISTINCT-"
+         "VALUE count table (the profile_key_skew count-of-counts "
+         "move), with the tie-corrected normal z from integer tie "
+         "sums. The cumulative-below term is the classic global-"
+         "window scale-killer — ``SUM(w) OVER (ORDER BY value)`` "
+         "funnels the corpus through one task — so the Spark plan "
+         "runs operators.ranks.attach_prefix_sum: the distributed "
+         "ranker generalized to WEIGHTED exclusive prefix sums "
+         "(sampled range boundaries, per-range weight totals "
+         "cumsummed on the driver, pid-partitioned running sum — no "
+         "unpartitioned window at ANY cardinality, plan-pinned). "
+         "Every reduction is integer-exact; the only doubles are the "
+         "final fixed z/U expression tree, sqrt-only.")
+def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranks import attach_prefix_sum
+    ev = load_table(spark, sf_dir, "events")
+    d = (ev.filter(F.col("event_type").isin("click", "purchase"))
+         .groupBy("value")
+         .agg(F.sum(F.when(F.col("event_type") == "click", 1)
+                    .otherwise(0)).cast("long").alias("ca"),
+              F.sum(F.when(F.col("event_type") == "purchase", 1)
+                    .otherwise(0)).cast("long").alias("cb")))
+    # The distinct-value frame feeds the prefix-sum's two prep jobs
+    # plus the ranked plan; materialize once.
+    d = d.localCheckpoint(eager=True)
+    o = attach_prefix_sum(d, [("value", "asc")],
+                          weight_col="cb", out_col="cumb")
+    t = F.col("ca") + F.col("cb")
+    s = o.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.sum(F.col("ca") * (2 * F.col("cumb") + F.col("cb")))
+        .cast("long").alias("u2"),
+        F.sum(t * t * t - t).cast("long").alias("tie3"))
+    na, nb, u2 = F.col("na"), F.col("nb"), F.col("u2")
+    nad, tie3 = na.cast("double"), F.col("tie3")
+    return s.select(
+        na.alias("n_a"), nb.alias("n_b"), u2.alias("u2"),
+        F.round(u2 / 2.0, 6).alias("u_stat"),
+        F.round((u2 / 2.0 - nad * nb / 2)
+                / F.sqrt(nad * nb / 12
+                         * ((na + nb + 1)
+                            - tie3.cast("double")
+                              / ((na + nb) * (na + nb - F.lit(1.0))))), 6)
+        .alias("z_approx"))

@@ -927,3 +927,19 @@ def test_schema_evolution_merged_read_stays_jvm(spark):
     assert "BatchEvalPython" not in plan
     assert "Join" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_mannwhitney_no_global_window(spark):
+    """The cumulative-below term must ride the distributed prefix sum
+    (a pid-partitioned running-sum Window over a hashpartitioning
+    exchange): the ONLY single-partition exchange allowed is the
+    final 1-row statistic combine, never a global-order window or a
+    range exchange, and nothing falls back to Python."""
+    plan = plan_of(spark, "agg_mannwhitney_u")
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "rangepartitioning" not in plan
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") >= 1
+    assert "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "partial" in plan

@@ -302,7 +302,9 @@ def bucket_from_rank(rank_col: str, ends: list[int]) -> Column:
 
 
 def attach_prefix_sum(df: DataFrame, specs: list[OrderSpec], *,
-                      weight_col: str, out_col: str,
+                      weight_col: str | None = None,
+                      out_col: str | None = None,
+                      weights: dict[str, str] | None = None,
                       num_parts: int = 32,
                       sample_mod: int = 16) -> DataFrame:
     """Add the exact global EXCLUSIVE prefix sum of ``weight_col`` in
@@ -314,28 +316,42 @@ def attach_prefix_sum(df: DataFrame, specs: list[OrderSpec], *,
     boundaries, pure-expression pid, per-range WEIGHT TOTALS cumsummed
     into offsets on the driver (a ≤num_parts-row collect), then a
     pid-partitioned running sum. Weights must be integral (exact
-    driver cumsum; callers sum counts, never floats)."""
+    driver cumsum; callers sum counts, never floats).
+
+    Pass ``weights={out_col: weight_col, ...}`` to attach SEVERAL
+    prefix sums in ONE pass: one sample, one totals collect (all sums
+    in one agg), one Window operator evaluating every running sum
+    over the same pid sort — the N-statistics case (e.g. both
+    cumulative distribution numerators of a KS test) costs the same
+    plan as one."""
+    if weights is None:
+        assert weight_col is not None and out_col is not None
+        weights = {out_col: weight_col}
     sample = sample_order_keys(df, specs, sample_mod=sample_mod)
     boundaries = splits_from_sample(sample, num_parts)
     pid = range_pid(specs, boundaries)
-    totals = {int(r["p"]): int(r["s"]) for r in
-              df.select(pid.alias("p"), F.col(weight_col).alias("w"))
-                .groupBy("p").agg(F.sum("w").alias("s")).collect()}
-    offsets: dict[int, int] = {}
-    acc = 0
+    wcols = list(weights.values())
+    rows = (df.select(pid.alias("p"), *wcols)
+            .groupBy("p")
+            .agg(*[F.sum(c).alias(c) for c in wcols]).collect())
+    totals = {int(r["p"]): {c: int(r[c]) for c in wcols} for r in rows}
+    offsets: dict[int, dict[str, int]] = {}
+    acc = {c: 0 for c in wcols}
     for p in sorted(totals):
-        offsets[p] = acc
-        acc += totals[p]
-    pid_name = f"_pid_{out_col}"
-    off = (F.element_at(
-        F.create_map(*[F.lit(x) for p, o in sorted(offsets.items())
-                       for x in (p, o)]),
-        F.col(pid_name))
-        if offsets else F.lit(0))
+        offsets[p] = dict(acc)
+        for c in wcols:
+            acc[c] += totals[p][c]
+    pid_name = "_pid_prefix"
+    out = df.withColumn(pid_name, pid)
     w = (Window.partitionBy(pid_name).orderBy(*_order_columns(specs))
          .rowsBetween(Window.unboundedPreceding, -1))
-    return (df.withColumn(pid_name, pid)
-            .withColumn(out_col,
-                        (off + F.coalesce(F.sum(weight_col).over(w),
-                                          F.lit(0))).cast("long"))
-            .drop(pid_name))
+    for ocol, wcol in weights.items():
+        off = (F.element_at(
+            F.create_map(*[F.lit(x) for p, o in sorted(offsets.items())
+                           for x in (p, o[wcol])]),
+            F.col(pid_name))
+            if offsets else F.lit(0))
+        out = out.withColumn(
+            ocol, (off + F.coalesce(F.sum(wcol).over(w), F.lit(0)))
+            .cast("long"))
+    return out.drop(pid_name)

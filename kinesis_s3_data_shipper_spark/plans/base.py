@@ -74,7 +74,8 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
 #: now 4 driver data generations old). join_interval_binned and the
 #: whole r04 cohort rotate to round 8 — as do pack_sequences_bestfit,
 #: agg_chi2_independence, text_ngram_novelty,
-#: warehouse_schema_evolution and agg_mannwhitney_u, the round-7
+#: warehouse_schema_evolution, agg_mannwhitney_u and
+#: agg_ks_statistic, the round-7
 #: queries registered after
 #: the window filled (locally swept + scale-stepped this round;
 #: external slots next round — the deferral rule is pinned by

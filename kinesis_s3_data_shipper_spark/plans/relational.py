@@ -2357,3 +2357,86 @@ def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
                             - tie3.cast("double")
                               / ((na + nb) * (na + nb - F.lit(1.0))))), 6)
         .alias("z_approx"))
+
+
+@register("agg_ks_statistic", oracle="""
+WITH d AS (
+  SELECT value,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cb
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY value
+), o AS (
+  SELECT value,
+         CAST(SUM(ca) OVER (ORDER BY value
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
+         CAST(SUM(cb) OVER (ORDER BY value
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb
+  FROM d
+), n AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+  FROM d
+), g AS (
+  SELECT o.value, n.na, n.nb,
+         abs(o.cuma * n.nb - o.cumb * n.na) AS gap
+  FROM o CROSS JOIN n
+), best AS (
+  SELECT na, nb, gap, value,
+         row_number() OVER (ORDER BY gap DESC, value) AS rn
+  FROM g
+)
+SELECT na AS n_a, nb AS n_b,
+       gap AS d_numerator,
+       ROUND(CAST(gap AS DOUBLE) / (CAST(na AS DOUBLE) * nb), 6)
+         AS ks_d,
+       ROUND(value, 6) AS at_value
+FROM best WHERE rn = 1
+""", doc="Two-sample Kolmogorov-Smirnov statistic — the distribution-"
+         "shape test completing the two-sample family (Welch = means, "
+         "Mann-Whitney = stochastic dominance, KS = max CDF gap, the "
+         "distribution-drift gate ML data validation suites run): "
+         "D = max_v |F_a(v) - F_b(v)| evaluated EXACTLY as the "
+         "integer argmax of |cumA(v)*nB - cumB(v)*nA| over distinct "
+         "values (cross-multiplied CDFs — no float compare decides "
+         "the argmax), with the INCLUSIVE cumulative counts of BOTH "
+         "groups attached in ONE attach_prefix_sum pass (the "
+         "multi-weight form: one sample, one totals collect, one "
+         "Window evaluating both running sums). D itself is one "
+         "final division; the witness value rides along. The "
+         "TakeOrdered top-1 with value tiebreak replaces any global "
+         "sort. Scale shape: everything after the map-side-combined "
+         "distinct-value pre-agg is bounded by |distinct values|, "
+         "partitioned throughout.")
+def agg_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranks import attach_prefix_sum
+    ev = load_table(spark, sf_dir, "events")
+    d = (ev.filter(F.col("event_type").isin("click", "purchase"))
+         .groupBy("value")
+         .agg(F.sum(F.when(F.col("event_type") == "click", 1)
+                    .otherwise(0)).cast("long").alias("ca"),
+              F.sum(F.when(F.col("event_type") == "purchase", 1)
+                    .otherwise(0)).cast("long").alias("cb")))
+    d = d.localCheckpoint(eager=True)
+    o = attach_prefix_sum(d, [("value", "asc")],
+                          weights={"cuma_excl": "ca", "cumb_excl": "cb"})
+    # inclusive cumulative = exclusive prefix + own count (row-local).
+    o = o.select(
+        "value",
+        (F.col("cuma_excl") + F.col("ca")).alias("cuma"),
+        (F.col("cumb_excl") + F.col("cb")).alias("cumb"))
+    n = d.agg(F.sum("ca").cast("long").alias("na"),
+              F.sum("cb").cast("long").alias("nb"))
+    g = o.crossJoin(F.broadcast(n)).select(
+        "value", "na", "nb",
+        F.abs(F.col("cuma") * F.col("nb")
+              - F.col("cumb") * F.col("na")).cast("long").alias("gap"))
+    best = g.orderBy(F.desc("gap"), "value").limit(1)
+    return best.select(
+        F.col("na").alias("n_a"), F.col("nb").alias("n_b"),
+        F.col("gap").alias("d_numerator"),
+        F.round(F.col("gap").cast("double")
+                / (F.col("na").cast("double") * F.col("nb")), 6)
+        .alias("ks_d"),
+        F.round("value", 6).alias("at_value"))

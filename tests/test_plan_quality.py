@@ -943,3 +943,15 @@ def test_mannwhitney_no_global_window(spark):
     assert "BatchEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2
     assert "partial" in plan
+
+
+def test_ks_single_pass_two_cumsum(spark):
+    """KS must attach BOTH cumulative counts in one prefix-sum pass
+    (one Window operator, pid-partitioned) and take the top-1 via
+    TakeOrderedAndProject — never a global sort, no Python; the final
+    gap argmax is exact-integer."""
+    plan = plan_of(spark, "agg_ks_statistic")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Window") == 1

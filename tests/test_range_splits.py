@@ -182,3 +182,48 @@ def test_rank_property_random_dups(spark, vals, direction):
     got = {r["uid"]: r["rn"] for r in ranked.collect()}
     want = {r["uid"]: r["rn_ref"] for r in ref.collect()}
     assert got == want
+
+
+def test_prefix_sum_matches_global_window(spark):
+    """attach_prefix_sum (single- and multi-weight) must equal the
+    naive global-window cumsum on small data, including under
+    degenerate geometry (every order key equal -> one range)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kinesis_s3_data_shipper_spark.operators.ranks import (
+        attach_prefix_sum)
+
+    rows = [(i % 7, (i * 13) % 5 + 1, (i * 29) % 3) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, w1 long, w2 long")
+    got = attach_prefix_sum(df, [("k", "asc")],
+                            weights={"p1": "w1", "p2": "w2"})
+    w = (Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1))
+    # ties on k: the exclusive prefix over EQUAL keys depends on the
+    # within-key order, so compare at key granularity — the prefix of
+    # the first row of each key group must equal the sum of all
+    # earlier keys' weights.
+    per_key_got = (got.groupBy("k")
+                   .agg(F.min("p1").alias("p1"), F.min("p2").alias("p2"))
+                   .collect())
+    import itertools
+    by_k = {}
+    for k, w1, w2 in rows:
+        a = by_k.setdefault(k, [0, 0])
+        a[0] += w1
+        a[1] += w2
+    want = {}
+    acc1 = acc2 = 0
+    for k in sorted(by_k):
+        want[k] = (acc1, acc2)
+        acc1 += by_k[k][0]
+        acc2 += by_k[k][1]
+    for r in per_key_got:
+        assert (r.p1, r.p2) == want[r.k], r.k
+
+    # Degenerate geometry: all keys equal — one range, offsets {0}.
+    df1 = spark.createDataFrame([(1, 2), (1, 3), (1, 5)], "k long, w long")
+    g1 = attach_prefix_sum(df1, [("k", "asc")],
+                           weight_col="w", out_col="p")
+    vals = sorted(r.p for r in g1.collect())
+    assert vals == [0, 2, 5]

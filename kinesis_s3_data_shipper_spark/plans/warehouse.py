@@ -836,3 +836,61 @@ def warehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.when(F.col("c_mktsegment").isNull(), 1)
                        .otherwise(0)).cast("long")
                  .alias("n_pre_evolution_rows")))
+
+
+@register("warehouse_backfill_partition", oracle="""
+SELECT epoch_ns(ts) // 86400000000000 AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1
+""", doc="Partition backfill under DYNAMIC partition overwrite — the "
+         "reprocess-one-bad-day repair every partitioned warehouse "
+         "runs: events land date-partitioned, one day's partition is "
+         "corrupted (half its rows dropped, simulating a bad load), "
+         "then the fix re-writes ONLY that day's slice with "
+         "partitionOverwriteMode=dynamic — mode('overwrite') that "
+         "replaces exactly the partitions present in the incoming "
+         "frame instead of truncating the table (STATIC mode, the "
+         "default, would delete every other day: the footgun this "
+         "query pins the guard against). The read-back per-day "
+         "counts/exact-decimal sums must hash-match the source "
+         "recomputation, so a lost partition, a double-applied "
+         "backfill, or static-truncation damage all fail the gate; "
+         "the only-the-target-partition-rewritten property is "
+         "pytest-proven from the file listing "
+         "(tests/test_compaction.py). Staging is mkdtemp-per-"
+         "invocation. Scale shape: the backfill write shuffles only "
+         "the target day's rows; untouched partitions are never "
+         "read, never rewritten.")
+def warehouse_backfill_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("ts div 86400000000000").alias("day")
+    base = tempfile.mkdtemp(prefix="ksds_backfill_")
+    tbl = os.path.join(base, "events_by_day")
+    src = ev.select("event_id", "ts", "user_id", "event_type",
+                    "value", day)
+    src.write.partitionBy("day").mode("overwrite").parquet(tbl)
+    # Corrupt one day: keep only half its rows (bad load simulation).
+    days = [r.day for r in src.select("day").distinct().collect()]
+    bad_day = sorted(days)[len(days) // 2]
+    (src.filter((F.col("day") == bad_day)
+                & (F.col("event_id") % 2 == 0))
+     .drop("day")
+     .write.mode("overwrite")
+     .parquet(os.path.join(tbl, f"day={bad_day}")))
+    # Backfill: dynamic partition overwrite of JUST the bad day.
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (src.filter(F.col("day") == bad_day)
+         .write.partitionBy("day").mode("overwrite").parquet(tbl))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(tbl)
+    return (back.groupBy("day")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(20,6)"))
+                 .cast("double").alias("sum_value")))

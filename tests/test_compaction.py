@@ -195,3 +195,59 @@ def test_zorder_clustering_prunes_both_dimensions(spark, tmp_path):
     swb, _ = file_widths(sdest, "b")
     assert sum(swa) / len(swa) <= 0.2, swa       # its own column: tight
     assert sum(swb) / len(swb) >= 0.9, swb       # other column: no help
+
+
+def test_backfill_rewrites_only_the_target_partition(spark, tmp_path):
+    """Dynamic partition overwrite must replace ONLY the partitions
+    present in the incoming frame: after backfilling one day, every
+    other day's files are byte-identical (same names, sizes, mtimes),
+    and the target day's are new."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kinesis_s3_data_shipper_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    src = ev.select("event_id", "ts", "value",
+                    F.expr("ts div 86400000000000").alias("day"))
+    tbl = str(tmp_path / "by_day")
+    src.write.partitionBy("day").mode("overwrite").parquet(tbl)
+
+    def listing(exclude_day=None):
+        out = {}
+        for dirpath, _dirs, names in os.walk(tbl):
+            part = os.path.basename(dirpath)
+            for n in names:
+                if not n.endswith(".parquet"):
+                    continue
+                p = os.path.join(dirpath, n)
+                st = os.stat(p)
+                out[(part, n)] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    days = sorted(r.day for r in src.select("day").distinct().collect())
+    target = days[0]
+    before = listing()
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (src.filter(F.col("day") == target)
+         .write.partitionBy("day").mode("overwrite").parquet(tbl))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    after = listing()
+
+    tkey = f"day={target}"
+    untouched_before = {k: v for k, v in before.items() if k[0] != tkey}
+    untouched_after = {k: v for k, v in after.items() if k[0] != tkey}
+    assert untouched_before == untouched_after
+    # the target partition was genuinely rewritten
+    assert {k for k in before if k[0] == tkey} \
+        != {k for k in after if k[0] == tkey} or any(
+            before[k] != after[k] for k in before if k[0] == tkey)
+    # and no data lost anywhere
+    assert spark.read.parquet(tbl).count() == src.count()

@@ -474,3 +474,54 @@ def sample_negatives_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("neg_rank"),
                       F.col("p_partkey").cast("long").alias("p_partkey"))
             .filter(F.col("neg_rank") <= 4))
+
+
+@register("sample_group_holdout", oracle=f"""
+WITH tagged AS (
+  SELECT user_id, event_id,
+         CASE WHEN {_u100_duck("CAST(user_id AS STRING)")} < 80
+              THEN 'train'
+              WHEN {_u100_duck("CAST(user_id AS STRING)")} < 90
+              THEN 'val' ELSE 'test' END AS split
+  FROM events
+), leak AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_leaked_users FROM (
+    SELECT user_id FROM tagged GROUP BY user_id
+    HAVING COUNT(DISTINCT split) > 1)
+)
+SELECT t.split,
+       CAST(COUNT(DISTINCT t.user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       l.n_leaked_users
+FROM tagged t CROSS JOIN leak l
+GROUP BY t.split, l.n_leaked_users
+""", doc="GROUP-level holdout split — the leakage-safe sibling of "
+         "split_train_val_test (row-level splitting puts one user's "
+         "events in both train and test, and a model that memorizes "
+         "the user aces the eval — the classic entity-leakage bug): "
+         "the 80/10/10 gate hashes the USER id, so every event of a "
+         "user lands in one split by construction, deterministic and "
+         "retry-stable. The zero-leakage property is not an aside — "
+         "it is a CHECKED COLUMN (n_leaked_users, the count of users "
+         "seen in >1 split, which the oracle recomputes "
+         "independently; anything but 0 is a hash mismatch). Scale "
+         "shape: the split tag is a scan-side expression; the "
+         "per-split rollup is one map-side-combined agg keyed on "
+         "(split, user) then split; the leakage audit aggregates the "
+         "same per-user frame — never an events x events join.")
+def sample_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = F.expr(_u100_spark("CAST(user_id AS STRING)"))
+    tagged = ev.select(
+        "user_id", "event_id",
+        F.when(u < 80, "train").when(u < 90, "val")
+        .otherwise("test").alias("split"))
+    per_user = (tagged.groupBy("user_id")
+                .agg(F.countDistinct("split").alias("n_splits")))
+    leak = per_user.agg(
+        F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+        .cast("long").alias("n_leaked_users"))
+    return (tagged.groupBy("split")
+            .agg(F.countDistinct("user_id").cast("long").alias("n_users"),
+                 F.count("*").cast("long").alias("n_events"))
+            .crossJoin(F.broadcast(leak)))

@@ -955,3 +955,15 @@ def test_ks_single_pass_two_cumsum(spark):
     assert "rangepartitioning" not in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("Window") == 1
+
+
+def test_group_holdout_scan_side_tag(spark):
+    """The group-holdout split tag must be a scan-side expression
+    (no join to a user dimension, no Python); rollup + leakage audit
+    are keyed aggregates with map-side combine."""
+    plan = plan_of(spark, "sample_group_holdout")
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "partial" in plan

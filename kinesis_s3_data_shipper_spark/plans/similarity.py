@@ -1488,3 +1488,134 @@ def ann_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "neighbor_id", "hamming",
                     F.round(cosine("qv", "nv", _DIM), 6).alias("cos"),
                     "rank"))
+
+
+_DOC_QUERY_PRED = _QUERY_PRED.replace("vec_id", "doc_id")
+
+
+@register("retrieval_hybrid_rrf", oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+  FROM documents
+), qt AS (
+  SELECT doc_id AS query_id, ts AS qts FROM toks
+  WHERE {_DOC_QUERY_PRED}
+), lex_scored AS (
+  SELECT q.query_id, t.doc_id,
+         CAST(1000000 * len(list_filter(t.ts,
+                x -> list_contains(q.qts, x))) AS BIGINT)
+           // (len(t.ts) + len(q.qts)
+               - len(list_filter(t.ts, x -> list_contains(q.qts, x))))
+           AS j_m
+  FROM toks t CROSS JOIN qt q
+  WHERE t.doc_id <> q.query_id
+), lex AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY j_m DESC, doc_id) AS lex_rank
+  FROM lex_scored WHERE j_m > 0
+  QUALIFY lex_rank <= 10
+), qv AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE {_QUERY_PRED}
+), sem_scored AS (
+  SELECT q.query_id, e.vec_id AS doc_id,
+         ROUND({sql_cosine('e.embedding', 'q.qe')}, 6) AS cos
+  FROM embeddings e CROSS JOIN qv q
+  WHERE e.vec_id <> q.query_id
+), sem AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, doc_id) AS sem_rank
+  FROM sem_scored QUALIFY sem_rank <= 10
+), fused AS (
+  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+         COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+         CAST(COALESCE(s.sem_rank, 0) AS BIGINT) AS sem_rank,
+         CAST(COALESCE(1000000000 // (60 + l.lex_rank), 0)
+              + COALESCE(1000000000 // (60 + s.sem_rank), 0)
+              AS BIGINT) AS rrf_m
+  FROM lex l FULL OUTER JOIN sem s
+    ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+)
+SELECT query_id, doc_id, lex_rank, sem_rank, rrf_m,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY rrf_m DESC, doc_id) AS BIGINT) AS fused_rank
+FROM fused
+QUALIFY fused_rank <= 10
+""", doc="Hybrid retrieval with reciprocal-rank fusion — the modern "
+         "search-serving composition (BM25/lexical arm + dense/"
+         "semantic arm fused by RRF, the battle-tested rank fusion "
+         "every hybrid search engine ships): the lexical arm ranks "
+         "by exact token-set Jaccard held in integer milli-units "
+         "(1e6*|inter| div |union| — cross-multiplied, no float "
+         "compare decides a rank), the semantic arm by exact cosine "
+         "(the ann_bruteforce pattern), and fusion scores "
+         "sum 1e9 div (60+rank) over both arms as EXACT INTEGERS — "
+         "the one place float RRF implementations drift across "
+         "engines. Documents and embeddings share ids, so each query "
+         "doc fields both arms. Both arms here are the capped-|Q| "
+         "bruteforce baselines (the documented ANN convention); the "
+         "production arms already exist separately — text_bm25_topk's "
+         "broadcast-term-filtered postings and ann_ivfpq_adc's "
+         "cell-probed ADC — and the fusion layer is arm-agnostic: "
+         "swap either arm's top-10 frame and the RRF dataflow is "
+         "unchanged. One full-outer join of two |Q|x10 frames, "
+         "windows over |Q| keys only.")
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    toks = docs.select(
+        "doc_id", F.expr("array_distinct(split(text, ' '))").alias("ts"))
+    qt = (toks.filter(F.expr(_DOC_QUERY_PRED))
+          .select(F.col("doc_id").alias("query_id"),
+                  F.col("ts").alias("qts")))
+    inter = F.size(F.array_intersect("ts", "qts"))
+    lex_scored = (toks.crossJoin(F.broadcast(qt))
+                  .filter(F.col("doc_id") != F.col("query_id"))
+                  .select("query_id", "doc_id",
+                          (F.lit(1000000).cast("long") * inter)
+                          .cast("long").alias("num"),
+                          (F.size("ts") + F.size("qts") - inter)
+                          .alias("den"))
+                  .select("query_id", "doc_id",
+                          F.expr("num div den").alias("j_m")))
+    wl = W.partitionBy("query_id").orderBy(F.desc("j_m"), "doc_id")
+    lex = (lex_scored.filter(F.col("j_m") > 0)
+           .select("query_id", "doc_id",
+                   F.row_number().over(wl).alias("lex_rank"))
+           .filter(F.col("lex_rank") <= 10))
+    qv = (emb.filter(F.expr(_QUERY_PRED))
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("qe")))
+    sem_scored = (emb.crossJoin(F.broadcast(qv))
+                  .filter(F.col("vec_id") != F.col("query_id"))
+                  .select("query_id", F.col("vec_id").alias("doc_id"),
+                          F.round(cosine("embedding", "qe", _DIM), 6)
+                          .alias("cos")))
+    ws = W.partitionBy("query_id").orderBy(F.desc("cos"), "doc_id")
+    sem = (sem_scored
+           .select("query_id", "doc_id",
+                   F.row_number().over(ws).alias("sem_rank"))
+           .filter(F.col("sem_rank") <= 10))
+    fused = (lex.withColumnRenamed("lex_rank", "lr")
+             .join(sem.withColumnRenamed("sem_rank", "sr"),
+                   ["query_id", "doc_id"], "full_outer")
+             .select("query_id", "doc_id",
+                     F.coalesce("lr", F.lit(0)).cast("long")
+                     .alias("lex_rank"),
+                     F.coalesce("sr", F.lit(0)).cast("long")
+                     .alias("sem_rank"),
+                     (F.coalesce(F.expr("1000000000 div (60 + lr)"),
+                                 F.lit(0))
+                      + F.coalesce(F.expr("1000000000 div (60 + sr)"),
+                                   F.lit(0))).cast("long")
+                     .alias("rrf_m")))
+    wf = W.partitionBy("query_id").orderBy(F.desc("rrf_m"), "doc_id")
+    return (fused.select("query_id", "doc_id", "lex_rank", "sem_rank",
+                         "rrf_m",
+                         F.row_number().over(wf).cast("long")
+                         .alias("fused_rank"))
+            .filter(F.col("fused_rank") <= 10))

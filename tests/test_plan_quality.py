@@ -967,3 +967,15 @@ def test_group_holdout_scan_side_tag(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2
     assert "partial" in plan
+
+
+def test_hybrid_rrf_fusion_layer_shape(spark):
+    """Hybrid RRF: both arms broadcast the capped |Q| query frame
+    (never shuffling the corpus for the pairing), fusion joins two
+    |Q|x10 frames, no Python, and the only windows partition by
+    query_id."""
+    plan = plan_of(spark, "retrieval_hybrid_rrf")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # the two arms
+    assert "SinglePartition" not in plan

@@ -1041,3 +1041,106 @@ def profile_gini_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / nd / nd, 6).alias("gini_simpson"),
                     F.round(nd * nd / F.col("sum_sq"), 6)
                     .alias("effective_classes")))
+
+
+#: k-core threshold for graph_kcore_peel; peel rounds are fixed at 2
+#: (the registered step — full decomposition iterates to fixpoint).
+_KCORE_K = 5
+
+_KCORE_ORACLE = f"""
+WITH li AS (
+  SELECT DISTINCT l.l_orderkey AS okey, l.l_partkey AS part
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderpriority = '1-URGENT'
+), e AS (
+  SELECT DISTINCT a.part AS s, b.part AS d
+  FROM li a JOIN li b ON a.okey = b.okey AND a.part < b.part
+), und AS (
+  SELECT s AS u, d AS v FROM e UNION ALL SELECT d AS u, s AS v FROM e
+), deg0 AS (
+  SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS dg FROM und GROUP BY u
+), a1 AS (
+  SELECT node FROM deg0 WHERE dg >= {_KCORE_K}
+), und1 AS (
+  SELECT u, v FROM und
+  WHERE u IN (SELECT node FROM a1) AND v IN (SELECT node FROM a1)
+), deg1 AS (
+  SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS dg FROM und1 GROUP BY u
+), a2 AS (
+  SELECT node FROM deg1 WHERE dg >= {_KCORE_K}
+), und2 AS (
+  SELECT u, v FROM und1
+  WHERE u IN (SELECT node FROM a2) AND v IN (SELECT node FROM a2)
+), deg2 AS (
+  SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS dg FROM und2 GROUP BY u
+)
+SELECT d0.node, d0.dg AS deg0, d1.dg AS deg1, d2.dg AS deg2
+FROM deg0 d0
+LEFT JOIN deg1 d1 ON d0.node = d1.node
+LEFT JOIN deg2 d2 ON d0.node = d2.node
+"""
+
+
+@register("graph_kcore_peel", oracle=_KCORE_ORACLE,
+    doc="Two rounds of k-core peeling (k=5) over the URGENT "
+        "co-purchase part graph — the degeneracy-ordering primitive "
+        "behind community mining, dense-subgraph extraction and "
+        "graph-sampling curricula: repeatedly delete every node of "
+        "degree < k; what survives to fixpoint is the k-core.  Each "
+        "round is ONE degree aggregation plus two node-keyed "
+        "LEFT SEMI joins filtering the edge list to still-alive "
+        "endpoints — no driver state, no iteration-carried collect, "
+        "so the registered 2-round step is exactly the fixpoint "
+        "loop's body (Spark's iterative-algorithm pattern: "
+        "re-running the step with the previous survivor set).  The "
+        "output keeps every original node with its degree trajectory "
+        "(deg0, deg1 NULL if peeled round 1, deg2 NULL if peeled "
+        "round 2), so the peeling EFFECT is itself hash-checked.  "
+        "All-integer; edges come from the triangle-count dataflow "
+        "(distinct co-purchase pairs).  Scale shape: per round, work "
+        "is linear in surviving edges; the degree agg map-side "
+        "combines; semi-joins hash on node id — at 100 TB the edge "
+        "list is bucketed by u once and both semi-joins ride the "
+        "bucketing; power-law hubs cost their degree, never "
+        "degree-squared.")
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    basket = (li.join(orders.filter(F.col("o_orderpriority") == "1-URGENT")
+                      .select("o_orderkey"),
+                      li.l_orderkey == F.col("o_orderkey"))
+              .select(F.col("l_orderkey").alias("okey"),
+                      F.col("l_partkey").alias("part"))
+              .distinct())
+    b2 = basket.select(F.col("okey").alias("okey2"),
+                       F.col("part").alias("part2"))
+    e = (basket.join(b2, (F.col("okey") == F.col("okey2"))
+                     & (F.col("part") < F.col("part2")))
+         .select(F.col("part").alias("s"), F.col("part2").alias("d"))
+         .distinct())
+    und = (e.select(F.col("s").alias("u"), F.col("d").alias("v"))
+           .unionAll(e.select(F.col("d").alias("u"),
+                              F.col("s").alias("v"))))
+
+    def degrees(edges: DataFrame) -> DataFrame:
+        return (edges.groupBy(F.col("u").alias("node"))
+                .agg(F.count("*").cast("long").alias("dg")))
+
+    def peel(edges: DataFrame, deg: DataFrame) -> DataFrame:
+        alive = deg.filter(F.col("dg") >= _KCORE_K).select("node")
+        return (edges
+                .join(alive.withColumnRenamed("node", "u"), "u",
+                      "left_semi")
+                .join(alive.withColumnRenamed("node", "v"), "v",
+                      "left_semi"))
+
+    deg0 = degrees(und)
+    und1 = peel(und, deg0)
+    deg1 = degrees(und1)
+    und2 = peel(und1, deg1)
+    deg2 = degrees(und2)
+    return (deg0.select("node", F.col("dg").alias("deg0"))
+            .join(deg1.select("node", F.col("dg").alias("deg1")),
+                  "node", "left")
+            .join(deg2.select("node", F.col("dg").alias("deg2")),
+                  "node", "left"))

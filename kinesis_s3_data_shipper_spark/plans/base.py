@@ -76,7 +76,8 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
 #: agg_chi2_independence, text_ngram_novelty,
 #: warehouse_schema_evolution, agg_mannwhitney_u and
 #: agg_ks_statistic, warehouse_backfill_partition and
-#: sample_group_holdout and retrieval_hybrid_rrf, the round-7
+#: sample_group_holdout, retrieval_hybrid_rrf, events_match_recognize,
+#: graph_kcore_peel and text_cdc_chunks, the round-7
 #: queries registered after
 #: the window filled (locally swept + scale-stepped this round;
 #: external slots next round — the deferral rule is pinned by

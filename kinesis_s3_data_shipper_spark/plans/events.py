@@ -1317,3 +1317,82 @@ def events_holt_step(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("st.b"), 6).alias("trend_final"),
                     F.round(F.expr("st.l + st.b"), 6)
                     .alias("forecast_next")))
+
+
+#: MATCH_RECOGNIZE FSM packing: acc = matches * 10 + state, with
+#: state in {0 idle, 1 seen-click, 2 in-views}.  matches < |user's
+#: events| (~1e4 at any tested sf) keeps acc far inside int64.
+_MR_M = 10
+
+MATCH_RECOGNIZE_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id,
+         list(CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+              WHEN 'purchase' THEN 3 ELSE 0 END
+              ORDER BY ts, event_id) AS codes,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id
+), f AS (
+  SELECT user_id, n,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT), codes),
+           (acc, x) -> CASE
+             WHEN x = 1 THEN (acc // {_MR_M}) * {_MR_M} + 1
+             WHEN x = 2 AND acc % {_MR_M} IN (1, 2)
+               THEN (acc // {_MR_M}) * {_MR_M} + 2
+             WHEN x = 3 AND acc % {_MR_M} = 2
+               THEN (acc // {_MR_M} + 1) * {_MR_M}
+             ELSE (acc // {_MR_M}) * {_MR_M}
+           END) AS acc
+  FROM seq
+)
+SELECT user_id, n AS n_events,
+       acc // {_MR_M} AS n_matches,
+       acc % {_MR_M} AS final_state
+FROM f
+"""
+
+
+@register("events_match_recognize", oracle=MATCH_RECOGNIZE_ORACLE,
+    doc="SQL-standard MATCH_RECOGNIZE row-pattern matching (SQL:2016, "
+        "shipped by Flink/Trino/Oracle; Spark has no built-in) for the "
+        "pattern CLICK VIEW+ PURCHASE with AFTER MATCH SKIP PAST LAST "
+        "ROW, run as a deterministic finite-state machine folded over "
+        "each user's time-ordered event sequence — the general form "
+        "of the funnel queries (events_funnel fixes step ORDER via "
+        "per-step MINs; a regex over the event alphabet cannot be "
+        "windowed).  States: idle --click--> armed --view--> "
+        "in-views (views self-loop) --purchase--> MATCH & reset; a "
+        "click anywhere re-anchors (latest-anchor semantics), any "
+        "other symbol resets — every transition is explicit in the "
+        "CASE, so the two engines run the same automaton.  The fold "
+        "packs (matches, state) into one int64 (matches*10 + state): "
+        "no float, bit-exact.  Scale shape: the events_cusum pattern "
+        "— ONE user_id shuffle carrying (ts, event_id, 3-valued "
+        "code), the FSM is O(per-user events) inside the row, O(1) "
+        "state per user; generalizing the pattern = editing the CASE "
+        "transition table, not the dataflow.")
+def events_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    code = ("CASE event_type WHEN 'click' THEN 1L WHEN 'view' THEN 2L "
+            "WHEN 'purchase' THEN 3L ELSE 0L END")
+    s = (ev.selectExpr("user_id", "ts", "event_id", f"{code} AS code")
+         .groupBy("user_id")
+         .agg(F.expr("array_sort(collect_list(struct(ts, event_id, code)))")
+              .alias("evs"),
+              F.count("*").cast("long").alias("n_events"))
+         .select("user_id", "n_events",
+                 F.expr("transform(evs, e -> e.code)").alias("codes")))
+    m = _MR_M
+    fold = F.expr(
+        f"aggregate(codes, CAST(0 AS BIGINT), (acc, x) -> CASE"
+        f"  WHEN x = 1L THEN (acc div {m}L) * {m}L + 1L"
+        f"  WHEN x = 2L AND acc % {m}L IN (1L, 2L)"
+        f"    THEN (acc div {m}L) * {m}L + 2L"
+        f"  WHEN x = 3L AND acc % {m}L = 2L"
+        f"    THEN (acc div {m}L + 1L) * {m}L"
+        f"  ELSE (acc div {m}L) * {m}L END)")
+    return (s.select("user_id", "n_events", fold.alias("acc"))
+            .select("user_id", "n_events",
+                    F.expr(f"acc div {m}L").alias("n_matches"),
+                    F.expr(f"acc % {m}L").alias("final_state")))

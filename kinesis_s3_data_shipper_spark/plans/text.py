@@ -1850,3 +1850,94 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("n_novel"),
                     F.round(F.coalesce("n_novel", F.lit(0)).cast("double")
                             / F.col("n_grams"), 6).alias("novelty")))
+
+
+#: CDC boundary gate: a chunk boundary opens BEFORE word i (i>0) iff
+#: the 60-bit md5 integer of the bigram (w[i-1] + ' ' + w[i]) is
+#: divisible by _CDC_MOD — expected chunk length = _CDC_MOD words.
+_CDC_MOD = 8
+
+
+@register("text_cdc_chunks", oracle=f"""
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), flags AS (
+  SELECT doc_id,
+         list_transform(w, (x, i) -> struct_pack(
+           pos := CAST(i AS BIGINT), word := x,
+           b := CASE WHEN i = 1 THEN 0
+                WHEN (CAST('0x' || substr(md5(w[i - 1] || ' ' || x),
+                           1, 15) AS BIGINT) % {_CDC_MOD}) = 0
+                THEN 1 ELSE 0 END)) AS toks
+  FROM ws
+), tok AS (
+  SELECT doc_id, unnest(toks) AS t FROM flags
+), chunked AS (
+  SELECT doc_id, t.pos AS pos, t.word AS word,
+         SUM(t.b) OVER (PARTITION BY doc_id ORDER BY t.pos) AS chunk_id
+  FROM tok
+), chunks AS (
+  SELECT doc_id, chunk_id,
+         md5(string_agg(word, ' ' ORDER BY pos)) AS digest,
+         CAST(COUNT(*) AS BIGINT) AS n_words
+  FROM chunked GROUP BY doc_id, chunk_id
+)
+SELECT digest AS chunk_digest, MIN(n_words) AS chunk_words,
+       CAST(COUNT(*) AS BIGINT) AS n_occ,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS first_doc
+FROM chunks
+GROUP BY digest
+ORDER BY n_occ DESC, chunk_digest
+LIMIT 25
+""", doc="Content-defined chunking (the LBFS/rsync/restic rolling-hash "
+         "primitive, here Gear-style over words): a chunk boundary "
+         "opens wherever the md5 of the local 2-word window hits "
+         "0 mod 8 — boundaries depend only on LOCAL content, so an "
+         "insertion reshapes only its own chunk while every chunk "
+         "downstream keeps its identity, the property that lets "
+         "chunk-level dedup catch shifted/excerpted near-dups that "
+         "fixed-stride blocking misses (and the storage-side "
+         "complement of the token-level dedup family).  Top-25 most "
+         "duplicated chunk digests with occurrence/document counts "
+         "and earliest owner.  Dataflow: boundary flags are computed "
+         "IN-ROW by an indexed transform over the split array (no "
+         "lag window, no self-join); ONE doc_id shuffle carries "
+         "(pos, word, flag) for the running-sum chunk-id window and "
+         "the per-chunk rollup rides the same sort; the digest agg "
+         "map-side combines and TakeOrdered bounds the result.  "
+         "Scale: at 100 TB the only corpus-sized exchanges are the "
+         "doc-keyed window sort and the digest agg — both linear, "
+         "no quadratic term at any duplication rate (cf. the LSH "
+         "families, whose candidate sets grow with dup clusters).")
+def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    docs = load_table(spark, sf_dir, "documents")
+    gate = (f"pmod(CAST(conv(substring(md5(concat(element_at(w, i), "
+            f"' ', x)), 1, 15), 16, 10) AS BIGINT), {_CDC_MOD})")
+    toks = docs.select(
+        "doc_id",
+        F.expr("split(text, ' ')").alias("w")).select(
+        "doc_id",
+        F.expr(f"transform(w, (x, i) -> struct("
+               f"CAST(i AS BIGINT) AS pos, x AS word, "
+               f"CASE WHEN i = 0 THEN 0 WHEN {gate} = 0 THEN 1 "
+               f"ELSE 0 END AS b))").alias("toks"))
+    tok = toks.select("doc_id", F.explode("toks").alias("t"))
+    wc = W.partitionBy("doc_id").orderBy("t.pos")
+    chunked = tok.select(
+        "doc_id", F.col("t.pos").alias("pos"),
+        F.col("t.word").alias("word"),
+        F.sum("t.b").over(wc).alias("chunk_id"))
+    chunks = (chunked.groupBy("doc_id", "chunk_id")
+              .agg(F.expr("md5(concat_ws(' ', transform(array_sort("
+                          "collect_list(struct(pos, word))), "
+                          "e -> e.word)))").alias("digest"),
+                   F.count("*").cast("long").alias("n_words")))
+    return (chunks.groupBy(F.col("digest").alias("chunk_digest"))
+            .agg(F.min("n_words").alias("chunk_words"),
+                 F.count("*").cast("long").alias("n_occ"),
+                 F.countDistinct("doc_id").cast("long").alias("n_docs"),
+                 F.min("doc_id").alias("first_doc"))
+            .orderBy(F.desc("n_occ"), "chunk_digest")
+            .limit(25))

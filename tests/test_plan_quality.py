@@ -979,3 +979,38 @@ def test_hybrid_rrf_fusion_layer_shape(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 2  # the two arms
     assert "SinglePartition" not in plan
+
+
+def test_match_recognize_single_user_shuffle_fsm(spark):
+    """MATCH_RECOGNIZE must keep the per-entity-series shape: one
+    user_id exchange feeding the collect, the FSM an in-row integer
+    fold — no join, no window, no Python anywhere."""
+    plan = plan_of(spark, "events_match_recognize")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "SinglePartition" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_kcore_peel_semi_joins_and_partial_degrees(spark):
+    """Each peel round must filter edges by LEFT SEMI joins on the
+    survivor set (never an inner join that could duplicate edge rows)
+    and every degree agg must map-side combine; no Python, no
+    cartesian anywhere."""
+    plan = plan_of(spark, "graph_kcore_peel")
+    assert plan.count("LeftSemi") >= 4      # 2 rounds x 2 endpoints
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "partial_count" in plan
+
+
+def test_cdc_chunks_one_docid_sort_no_selfjoin(spark):
+    """CDC chunking's boundary flags are in-row (no lag self-join);
+    the chunk-id window and the per-chunk rollup must ride one doc_id
+    sort; the digest agg map-side combines; top-25 via TakeOrdered,
+    never a global sort."""
+    plan = plan_of(spark, "text_cdc_chunks")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1

@@ -1144,3 +1144,68 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
                   "node", "left")
             .join(deg2.select("node", F.col("dg").alias("deg2")),
                   "node", "left"))
+
+
+#: Benford first-digit expectation, per mille: round(log10(1+1/d)*1000)
+#: for d = 1..9 — public constants held as literals so no log() enters
+#: either engine's plan.
+_BENFORD_MILLI = ((1, 301), (2, 176), (3, 125), (4, 97), (5, 79),
+                  (6, 67), (7, 58), (8, 51), (9, 46))
+
+
+@register("profile_benford_digits", oracle=f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders
+), c AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit
+), t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total FROM c
+), e AS (
+  SELECT CAST(digit AS BIGINT) AS digit,
+         CAST(exp_milli AS BIGINT) AS exp_milli
+  FROM (VALUES {", ".join(f"({d}, {m})" for d, m in _BENFORD_MILLI)})
+       AS v(digit, exp_milli)
+)
+SELECT e.digit, COALESCE(c.n, 0) AS n,
+       (1000 * COALESCE(c.n, 0)) // t.total AS obs_milli,
+       e.exp_milli,
+       abs((1000 * COALESCE(c.n, 0)) // t.total - e.exp_milli)
+         AS abs_dev_milli
+FROM e LEFT JOIN c ON e.digit = c.digit CROSS JOIN t
+""", doc="Benford's-law first-significant-digit profiling of order "
+         "totals — the classic fraud/synthetic-data/unit-mixup drift "
+         "detector (naturally-occurring multiplicative amounts follow "
+         "P(d) = log10(1+1/d); fabricated or re-scaled columns "
+         "don't): per-digit observed counts vs the Benford "
+         "expectation in integer per-mille, with the absolute "
+         "deviation as the checked drift readout.  The expectation "
+         "enters BOTH engines as a 9-row literal table (public "
+         "constants), so no log() is evaluated anywhere — the repo's "
+         "no-libm convention; the first digit is taken from the "
+         "decimal STRING of floor(total) (floor, not cast, because "
+         "Spark truncates decimal->long while DuckDB rounds — the "
+         "cross-engine hazard this query documents).  Scale shape: "
+         "ONE map-side-combined 9-key count is the only corpus term; "
+         "the total and the expectation table broadcast back onto "
+         "the 9-row aggregate (the zscore broadcast-back pattern — "
+         "no single-partition window).  All-integer output.")
+def profile_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.values import values_df
+    o = load_table(spark, sf_dir, "orders")
+    c = (o.select(F.expr(
+            "CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) "
+            "AS STRING), 1, 1) AS BIGINT)").alias("digit"))
+         .groupBy("digit").agg(F.count("*").cast("long").alias("n")))
+    t = c.agg(F.sum("n").cast("long").alias("total"))
+    e = values_df(spark, _BENFORD_MILLI, "digit long, exp_milli long")
+    obs = F.expr("(1000 * COALESCE(n, 0L)) div total")
+    return (F.broadcast(e)
+            .join(c, "digit", "left")
+            .crossJoin(F.broadcast(t))
+            .select("digit",
+                    F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+                    obs.alias("obs_milli"), "exp_milli",
+                    F.abs(obs - F.col("exp_milli"))
+                    .alias("abs_dev_milli")))

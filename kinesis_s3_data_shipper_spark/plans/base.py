@@ -77,6 +77,8 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
 #: warehouse_schema_evolution, agg_mannwhitney_u and
 #: agg_ks_statistic, warehouse_backfill_partition and
 #: sample_group_holdout, retrieval_hybrid_rrf, events_match_recognize,
+#: warehouse_time_travel, agg_incremental_view_merge,
+#: profile_benford_digits, sample_stratified_neyman,
 #: graph_kcore_peel and text_cdc_chunks, the round-7
 #: queries registered after
 #: the window filled (locally swept + scale-stepped this round;

@@ -2440,3 +2440,74 @@ def agg_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("na").cast("double") * F.col("nb")), 6)
         .alias("ks_d"),
         F.round("value", 6).alias("at_value"))
+
+
+#: Incremental-view cutoff: rows before it are the materialized BASE,
+#: rows on/after it are the DELTA a refresh folds in.
+_IVM_CUTOFF = "1997-01-01"
+
+
+@register("agg_incremental_view_merge", oracle=f"""
+WITH parts AS (
+  SELECT o_orderpriority AS priority,
+         CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CASE WHEN o_orderdate < TIMESTAMP '{_IVM_CUTOFF} 00:00:00'
+              THEN 1 ELSE 0 END AS is_base,
+         CAST(o_totalprice AS DECIMAL(18,6)) AS tp
+  FROM orders
+)
+SELECT priority, yr,
+       CAST(SUM(is_base) AS BIGINT) AS n_base,
+       CAST(SUM(1 - is_base) AS BIGINT) AS n_delta,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(tp) AS DOUBLE) AS sum_total
+FROM parts GROUP BY priority, yr
+""", doc="Incremental materialized-view maintenance (IVM — what "
+         "Materialize/Delta Live Tables/the Snowflake MV refresher "
+         "do): the view per-(priority, order-year) order counts and "
+         "exact-decimal revenue is maintained as BASE partials (rows "
+         "before the cutoff — the state a nightly job persisted) "
+         "merged with DELTA partials (the new rows) by one "
+         "full-outer join + partial addition, NEVER a base-table "
+         "rescan.  The oracle recomputes the view from scratch over "
+         "the whole table, so the hash gate IS the algebraic "
+         "refresh-equivalence proof: count and decimal-SUM are "
+         "commutative-monoid aggregates, merge(base, delta) == "
+         "recompute(all) bit-for-bit (the same property that makes "
+         "them map-side combinable; a COUNT DISTINCT would need a "
+         "sketch — agg_sketch_merge_hll is that query).  The "
+         "provenance columns n_base/n_delta pin that both sides "
+         "actually contributed.  Scale shape: refresh cost is "
+         "O(|delta| + |view|), not O(|table|) — the delta agg "
+         "map-side combines, the merge join keys on the view's "
+         "(priority, yr) grain (tiny), and at 100 TB the base "
+         "partials live as a table read by one scan; nothing "
+         "touches historical facts.")
+def agg_incremental_view_merge(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit(_IVM_CUTOFF).cast("timestamp")
+
+    def partials(df: DataFrame, n_alias: str) -> DataFrame:
+        return (df.groupBy(F.col("o_orderpriority").alias("priority"),
+                           F.year("o_orderdate").cast("long").alias("yr"))
+                .agg(F.count("*").cast("long").alias(n_alias),
+                     F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+                     .alias(f"s_{n_alias}")))
+
+    base = partials(o.filter(F.col("o_orderdate") < cutoff), "n_base")
+    delta = partials(o.filter(F.col("o_orderdate") >= cutoff), "n_delta")
+    return (base.join(delta, ["priority", "yr"], "full_outer")
+            .select("priority", "yr",
+                    F.coalesce("n_base", F.lit(0)).cast("long")
+                    .alias("n_base"),
+                    F.coalesce("n_delta", F.lit(0)).cast("long")
+                    .alias("n_delta"),
+                    (F.coalesce("n_base", F.lit(0))
+                     + F.coalesce("n_delta", F.lit(0))).cast("long")
+                    .alias("n_orders"),
+                    (F.coalesce(F.col("s_n_base"),
+                                F.lit(0).cast("decimal(18,6)"))
+                     + F.coalesce(F.col("s_n_delta"),
+                                  F.lit(0).cast("decimal(18,6)")))
+                    .cast("double").alias("sum_total")))

@@ -525,3 +525,105 @@ def sample_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.countDistinct("user_id").cast("long").alias("n_users"),
                  F.count("*").cast("long").alias("n_events"))
             .crossJoin(F.broadcast(leak)))
+
+
+#: Neyman total sample budget across strata.
+_NEYMAN_BUDGET = 200
+
+
+@register("sample_stratified_neyman", oracle=f"""
+WITH s AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_h,
+         CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DECIMAL(38,0))
+           AS sx,
+         CAST(SUM(CAST(n_chars AS DECIMAL(38,0))
+                  * CAST(n_chars AS DECIMAL(38,0))) AS DECIMAL(38,0))
+           AS sxx
+  FROM documents GROUP BY lang
+), w AS (
+  SELECT lang, n_h,
+         CAST(floor(n_h * sqrt(
+           CAST(n_h * sxx - sx * sx AS DOUBLE)
+             / (n_h * (n_h - 1))) * 1000) AS BIGINT) AS w_milli
+  FROM s
+), tw AS (
+  SELECT CAST(SUM(w_milli) AS BIGINT) AS tw FROM w
+), shares AS (
+  SELECT w.lang, w.n_h,
+         ({_NEYMAN_BUDGET} * w.w_milli) // t.tw AS base,
+         ({_NEYMAN_BUDGET} * w.w_milli) % t.tw AS rem
+  FROM w CROSS JOIN tw t
+), alloc AS (
+  SELECT lang, n_h,
+         base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+                     <= {_NEYMAN_BUDGET} - SUM(base) OVER ()
+                THEN 1 ELSE 0 END AS alloc
+  FROM shares
+), ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS pick_rank
+  FROM documents
+)
+SELECT r.lang, a.n_h, a.alloc, r.doc_id,
+       CAST(r.pick_rank AS BIGINT) AS pick_rank
+FROM ranked r JOIN alloc a ON r.lang = a.lang
+WHERE r.pick_rank <= a.alloc
+""", doc="Neyman-allocation stratified sampling (the OPTIMAL "
+         "allocation from survey statistics: stratum share "
+         "proportional to N_h * S_h, so high-variance strata get "
+         "more budget and the stratified-mean variance is minimized "
+         "— what proportional allocation can't do): per-lang size "
+         "and stddev from exact DECIMAL(38,0) moment sums, weights "
+         "floor-quantized to integer milli-units so the ENTIRE "
+         "allocation — floor shares, then largest-remainder "
+         "distribution of the leftover (remainders are exact "
+         "integer modulos, ties by lang) — is integer arithmetic "
+         "both engines replay bit-for-bit; the only float op is the "
+         "row-local per-stratum sqrt.  The draw itself is the "
+         "exact-k md5-rank pattern (sample_stratified_exact_k) "
+         "against the computed quota.  Scale shape: one map-side-"
+         "combined |strata|-row moment agg; allocation runs on that "
+         "tiny aggregate; the draw is one stratum-partitioned "
+         "window (at 100 TB: pre-gate on a hash threshold above "
+         "alloc/|stratum| first); the quota table broadcast-joins "
+         "back.")
+def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    docs = load_table(spark, sf_dir, "documents")
+    b = _NEYMAN_BUDGET
+    s = (docs.groupBy("lang")
+         .agg(F.count("*").cast("long").alias("n_h"),
+              F.sum(F.col("n_chars").cast("decimal(38,0)")).alias("sx"),
+              F.sum(F.col("n_chars").cast("decimal(38,0)")
+                    * F.col("n_chars").cast("decimal(38,0)"))
+              .alias("sxx")))
+    w = s.select(
+        "lang", "n_h",
+        F.expr("CAST(floor(n_h * sqrt(CAST(n_h * sxx - sx * sx AS "
+               "DOUBLE) / (n_h * (n_h - 1))) * 1000) AS BIGINT)")
+        .alias("w_milli"))
+    tot = w.agg(F.sum("w_milli").cast("long").alias("tw"))
+    aw = w.crossJoin(F.broadcast(tot)).select(
+        "lang", "n_h", "w_milli", "tw",
+        F.expr(f"({b} * w_milli) div tw").alias("base"),
+        F.expr(f"({b} * w_milli) % tw").alias("rem"))
+    wr = W.orderBy(F.desc("rem"), "lang")
+    wt = W.partitionBy(F.lit(1))
+    alloc = (aw.select(
+        "lang", "n_h", "base", "rem",
+        F.sum("base").over(wt).alias("base_total"),
+        F.row_number().over(wr).alias("rr"))
+        .select("lang", "n_h",
+                (F.col("base")
+                 + F.when(F.col("rr") <= b - F.col("base_total"), 1)
+                 .otherwise(0)).cast("long").alias("alloc")))
+    wp = (W.partitionBy("lang")
+          .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
+    ranked = docs.select(
+        "lang", "doc_id",
+        F.row_number().over(wp).cast("long").alias("pick_rank"))
+    return (ranked.join(F.broadcast(alloc), "lang")
+            .filter(F.col("pick_rank") <= F.col("alloc"))
+            .select("lang", "n_h", "alloc", "doc_id", "pick_rank"))

@@ -894,3 +894,91 @@ def warehouse_backfill_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n_events"),
                  F.sum(F.col("value").cast("decimal(20,6)"))
                  .cast("double").alias("sum_value")))
+
+
+@register("warehouse_time_travel", oracle="""
+WITH base AS (
+  SELECT user_id,
+         (CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+               AS BIGINT) % 3) AS ep,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vm
+  FROM events
+), v2 AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(vm) AS BIGINT) AS s
+  FROM base WHERE ep <= 1 GROUP BY user_id
+), v3 AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(vm) AS BIGINT) AS s
+  FROM base GROUP BY user_id
+)
+SELECT v3.user_id,
+       COALESCE(v2.n, 0) AS n_v2,
+       COALESCE(v2.s, 0) AS sum_v2,
+       v3.n AS n_latest,
+       v3.s AS sum_latest,
+       v3.n - COALESCE(v2.n, 0) AS added_n,
+       v3.s - COALESCE(v2.s, 0) AS added_sum
+FROM v3 LEFT JOIN v2 ON v3.user_id = v2.user_id
+""", doc="Snapshot-isolation TIME TRAVEL over the bucketed versioned "
+         "MERGE table (the Delta/Iceberg VERSION AS OF read): three "
+         "epochs — md5-gated thirds of the events table, so the "
+         "oracle replays epoch membership bit-for-bit — MERGE into "
+         "the versioned table, then the state AS OF version 2 and "
+         "the latest state are read back side by side, per user, "
+         "with the additions attributable to epoch 3 as checked "
+         "columns.  The as-of read is `_bucket_versions(below=v+1)`: "
+         "each bucket at its newest version <= v, which is exactly "
+         "the per-partition-manifest semantics table formats "
+         "implement — and it works ONLY while older versions are "
+         "retained, i.e. the vacuum retention policy (keep>=2, "
+         "warehouse_lifecycle) is also the time-travel horizon; a "
+         "bucket untouched since epoch 1 serves v=1 for BOTH reads, "
+         "never a duplicate.  Scale shape: each epoch's MERGE "
+         "rewrites only touched buckets (O(|delta| x bucket-size)); "
+         "both reads are manifest-routed file scans with no "
+         "reconciliation join; the output join keys on user_id once. "
+         "Staging is mkdtemp-per-invocation (concurrent-session "
+         "safe).")
+def warehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..streaming.jobs import (_bucket_versions, _read_buckets,
+                                  merge_delta_into_bucketed_table)
+
+    work = tempfile.mkdtemp(prefix="ksds_timetravel_")
+    table_dir = os.path.join(work, "table")
+    ev = load_table(spark, sf_dir, "events")
+    gate = ("pmod(CAST(conv(substring(md5(CAST(event_id AS STRING)), "
+            "1, 15), 16, 10) AS BIGINT), 3)")
+    tagged = ev.select(
+        "user_id", F.expr(gate).alias("ep"),
+        (F.col("value").cast("decimal(18,6)") * 1_000_000)
+        .cast("long").alias("vm"))
+    for epoch in (0, 1, 2):
+        delta = (tagged.filter(F.col("ep") == epoch)
+                 .groupBy("user_id")
+                 .agg(F.count("*").alias("d_n"),
+                      F.sum("vm").alias("d_sum")))
+        merge_delta_into_bucketed_table(spark, delta, epoch + 1,
+                                        table_dir)
+    as_of_2 = _read_buckets(spark, table_dir,
+                            _bucket_versions(table_dir, below=3))
+    latest = _read_buckets(spark, table_dir, _bucket_versions(table_dir))
+    out = (latest.alias("l")
+           .join(as_of_2.alias("o"), "user_id", "left")
+           .select("user_id",
+                   F.coalesce("o.n", F.lit(0)).cast("long")
+                   .alias("n_v2"),
+                   F.coalesce("o.sum_micros", F.lit(0)).cast("long")
+                   .alias("sum_v2"),
+                   F.col("l.n").cast("long").alias("n_latest"),
+                   F.col("l.sum_micros").cast("long")
+                   .alias("sum_latest"))
+           .withColumn("added_n", F.col("n_latest") - F.col("n_v2"))
+           .withColumn("added_sum",
+                       F.col("sum_latest") - F.col("sum_v2")))
+    rows = out.collect()
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

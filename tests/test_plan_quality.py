@@ -1014,3 +1014,37 @@ def test_cdc_chunks_one_docid_sort_no_selfjoin(spark):
     assert "BatchEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
     assert plan.count("Exchange hashpartitioning(doc_id") == 1
+
+
+def test_ivm_partials_mapside_and_tiny_merge(spark):
+    """Incremental view maintenance: both the base and delta partial
+    aggs must map-side combine, the merge is one join on the view
+    grain, and the date split reaches the scan as a pushed filter."""
+    plan = plan_of(spark, "agg_incremental_view_merge")
+    assert plan.count("partial_count") >= 2
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
+
+
+def test_benford_one_9key_count_broadcast_back(spark):
+    """Benford profiling: the only corpus-sized work is one
+    map-side-combined 9-key count; the expectation table and the
+    total come back as broadcasts — no Python, no cartesian blowup
+    (the 1-row total crossJoin must be a broadcast NLJ)."""
+    plan = plan_of(spark, "profile_benford_digits")
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_neyman_alloc_on_aggregate_broadcast_quota(spark):
+    """Neyman sampling: moments map-side combine; allocation windows
+    run on the |strata|-row aggregate; the quota joins back as a
+    broadcast; the draw window partitions by stratum (never global
+    over the corpus)."""
+    plan = plan_of(spark, "sample_stratified_neyman")
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partitionBy=[lang" in plan or "hashpartitioning(lang" in plan

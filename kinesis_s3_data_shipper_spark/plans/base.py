@@ -79,6 +79,7 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
 #: sample_group_holdout, retrieval_hybrid_rrf, events_match_recognize,
 #: warehouse_time_travel, agg_incremental_view_merge,
 #: profile_benford_digits, sample_stratified_neyman,
+#: streaming_match_recognize, embedding_pq_train_step,
 #: graph_kcore_peel and text_cdc_chunks, the round-7
 #: queries registered after
 #: the window filled (locally swept + scale-stepped this round;

@@ -1619,3 +1619,85 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.row_number().over(wf).cast("long")
                          .alias("fused_rank"))
             .filter(F.col("fused_rank") <= 10))
+
+
+def _pq_train_oracle() -> str:
+    sub_a = "e.embedding[CAST(md.m*8+1 AS INTEGER) : CAST(md.m*8+8 AS INTEGER)]"
+    sub_c = "c.cv[CAST(md.m*8+1 AS INTEGER) : CAST(md.m*8+8 AS INTEGER)]"
+    sq_l2 = (f"list_reduce(list_transform(list_zip({sub_a}, {sub_c}),"
+             f" p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+             f" * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),"
+             f" (acc, v) -> acc + v)")
+    return f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id < {_PQ_K}
+), md AS (SELECT unnest(range(0, {_PQ_M})) AS m),
+d AS (
+  SELECT e.vec_id, md.m, c.cid, {sq_l2} AS dist
+  FROM embeddings e CROSS JOIN c CROSS JOIN md
+), enc AS (
+  SELECT vec_id, m, cid + 1 AS code FROM (
+    SELECT vec_id, m, cid,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY dist, cid) AS rn
+    FROM d
+  ) WHERE rn = 1
+), sub AS (
+  SELECT enc.m, enc.code,
+         unnest(generate_series(0, {_PQ_D - 1})) AS subdim,
+         unnest(e.embedding[CAST(enc.m*8+1 AS INTEGER)
+                            : CAST(enc.m*8+8 AS INTEGER)]) AS x
+  FROM embeddings e JOIN enc ON e.vec_id = enc.vec_id
+)
+SELECT CAST(m AS BIGINT) AS m, CAST(code AS BIGINT) AS code,
+       CAST(subdim AS BIGINT) AS subdim,
+       CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 10000000.0)
+                     AS DECIMAL(28,0))) AS DOUBLE)
+         / 10000000.0 / COUNT(*) AS c_val,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM sub GROUP BY m, code, subdim
+"""
+
+
+@register("embedding_pq_train_step", oracle=_pq_train_oracle(),
+    doc="One k-means training iteration for the PQ codebook — the "
+        "step that turns ann_pq_adc's deterministic data-derived "
+        "codebook into a FAISS-style trained one (FAISS trains each "
+        "subspace's codewords by k-means; iterating this dataflow "
+        "with re-collected codewords IS that trainer): every "
+        "vector's m-th subvector is encoded to its nearest "
+        "squared-L2 codeword via the SAME Arrow encode kernel the "
+        "serving path uses (bit-identical argmin, first-min "
+        "tiebreak), then the updated codeword is the per-(subspace, "
+        "code, dimension) mean, floor-quantized at 1e-7 before an "
+        "exact integer sum (the kmeans_lloyd_iter move — partition-"
+        "order-independent, no decimal-cast rounding ties).  The "
+        "assignment is ROW-LOCAL next to the element explode "
+        "(element_at(codes, m+1) in the same projection — no "
+        "exploded-elements x codes self-join, the r06 PCA lesson), "
+        "so the only exchange is the 1024-key (m, code, subdim) "
+        "map-side-combined agg.  Scale shape: encode is the Arrow "
+        "O(M*K*d)/row scan the ADC path already amortizes; the agg "
+        "carries 8*16*8 keys at any corpus size.")
+def embedding_pq_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_codebook, pq_codes_arrow
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = [list(map(float, r.embedding)) for r in
+             emb.filter(F.col("vec_id") < _PQ_K)
+                .orderBy("vec_id").collect()]
+    cb = pq_codebook(train, _PQ_M)
+    enc = (emb.repartition(spark.sparkContext.defaultParallelism)
+           .select("vec_id", "embedding",
+                   pq_codes_arrow("embedding", cb).alias("codes")))
+    elems = (enc.select("codes",
+                        F.posexplode("embedding").alias("dim", "x"))
+             .selectExpr("CAST(dim div 8 AS BIGINT) AS m",
+                         "CAST(element_at(codes, CAST(dim div 8 AS INT)"
+                         " + 1) AS BIGINT) AS code",
+                         "CAST(dim % 8 AS BIGINT) AS subdim", "x"))
+    return (elems.groupBy("m", "code", "subdim")
+            .agg((F.sum(F.floor(F.col("x").cast("double") * 10000000.0)
+                        .cast("decimal(28,0)")).cast("double")
+                  / 10000000.0 / F.count("*")).alias("c_val"),
+                 F.count("*").cast("long").alias("n_members")))

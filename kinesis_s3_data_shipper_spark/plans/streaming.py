@@ -23,7 +23,8 @@ from ..functions.decimal_safe import sql_dsum
 from ..streaming.jobs import (streaming_dedup_counts, streaming_hourly_counts,
                               streaming_session_windows)
 from .base import register
-from .events import CUSUM_ORACLE, RATE_LIMIT_ORACLE
+from .events import (CUSUM_ORACLE, MATCH_RECOGNIZE_ORACLE,
+                     RATE_LIMIT_ORACLE)
 
 NS_PER_HOUR = 3_600_000_000_000
 
@@ -441,3 +442,30 @@ def streaming_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_rate_limit_final(
         spark, landing, checkpoint=checkpoint, query_name=name,
         cap_units=_TB_CAP_UNITS, cost_units=_TB_REFILL_NS)
+
+
+@register("streaming_match_recognize", oracle=MATCH_RECOGNIZE_ORACLE,
+          doc="STATEFUL-STREAMING MATCH_RECOGNIZE through the oracle "
+              "gate — Flink's streaming row-pattern matching "
+              "re-expressed on applyInPandasWithState, the ONLINE "
+              "form of events_match_recognize sharing its oracle "
+              "text exactly as streaming_cusum shares events_cusum's: "
+              "the CLICK VIEW+ PURCHASE automaton's (matches, state, "
+              "seen) kept as three int64s of per-user group state, "
+              "the transition table verbatim from the batch plan.  "
+              "The landing dir is staged as ts-range slices with "
+              "increasing mtimes + maxFilesPerTrigger=1 so the "
+              "cross-batch fold order equals the batch plan's "
+              "per-user (ts, event_id) sort — and a HALF-OPEN match "
+              "carries across the batch boundary by construction, "
+              "the correctness property naive per-batch pattern "
+              "matching silently loses.  Exact integer state machine; "
+              "drained state hash-matches the batch oracle "
+              "bit-for-bit: streaming/batch parity.")
+def streaming_match_recognize(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import streaming_match_recognize_final
+    landing, checkpoint = _stage_time_slices(sf_dir=sf_dir, spark=spark)
+    name = f"matchrec_{uuid.uuid4().hex[:8]}"
+    return streaming_match_recognize_final(
+        spark, landing, checkpoint=checkpoint, query_name=name)

@@ -865,3 +865,74 @@ def streaming_rate_limit_final(spark: SparkSession, events_dir: str, *,
                     (F.col("n_events") - F.col("n_admitted"))
                     .alias("n_rejected"),
                     "level_final_units"))
+
+
+def streaming_match_recognize_final(spark: SparkSession,
+                                    events_dir: str, *,
+                                    checkpoint: str,
+                                    query_name: str) -> DataFrame:
+    """Per-user MATCH_RECOGNIZE (pattern CLICK VIEW+ PURCHASE, skip
+    past last row) maintained ACROSS micro-batches in explicit group
+    state — the streaming counterpart of the batch
+    ``events_match_recognize`` plan, i.e. Flink's streaming
+    MATCH_RECOGNIZE re-expressed on Spark's stateful API.  A row
+    pattern is inherently order-sensitive state no built-in streaming
+    aggregate expresses; the FSM here is the batch plan's transition
+    table verbatim, with (matches, fsm_state, seen) as three int64s
+    of group state — exact integer arithmetic end to end, so the
+    drained state hash-matches the SAME oracle as the batch plan.
+
+    EXACT batch parity requires the cross-batch fold order to equal
+    the batch plan's per-user (ts, event_id) sort; the caller stages
+    the landing dir as ts-range slices with increasing mtimes +
+    ``maxFilesPerTrigger=1`` (the streaming_cusum staging contract).
+    A half-open match (fsm_state != 0) carries across the batch
+    boundary by construction — the property batch re-runs get for
+    free and naive per-batch matching silently breaks."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = _events_stream(spark, events_dir, max_files=1)
+    codes = {"click": 1, "view": 2, "purchase": 3}
+
+    def update(key, pdfs, state: GroupState):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        if state.exists:
+            matches, fsm, seen = state.get
+        else:
+            matches, fsm, seen = 0, 0, 0
+        for et in pdf["event_type"]:
+            x = codes.get(et, 0)
+            if x == 1:
+                fsm = 1
+            elif x == 2 and fsm in (1, 2):
+                fsm = 2
+            elif x == 3 and fsm == 2:
+                matches += 1
+                fsm = 0
+            else:
+                fsm = 0
+            seen += 1
+        state.update((matches, fsm, seen))
+        yield pd.DataFrame({"user_id": [key[0]], "n_seen": [seen],
+                            "n_matches": [matches], "fsm": [fsm]})
+
+    out = (events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=("user_id LONG, n_seen LONG, n_matches LONG,"
+                          " fsm LONG"),
+        stateStructType="matches LONG, fsm LONG, seen LONG",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout))
+    query = (out.writeStream.outputMode("update")
+             .format("memory").queryName(query_name)
+             .option("checkpointLocation", checkpoint)
+             .trigger(availableNow=True).start())
+    query.awaitTermination()
+    emissions = spark.table(query_name)
+    return (emissions.groupBy("user_id")
+            .agg(F.max("n_seen").alias("n_events"),
+                 F.max_by("n_matches", "n_seen").alias("n_matches"),
+                 F.max_by("fsm", "n_seen").alias("final_state"))
+            .select("user_id", "n_events", "n_matches", "final_state"))

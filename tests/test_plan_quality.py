@@ -1048,3 +1048,17 @@ def test_neyman_alloc_on_aggregate_broadcast_quota(spark):
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
     assert "partitionBy=[lang" in plan or "hashpartitioning(lang" in plan
+
+
+def test_pq_train_step_rowlocal_assignment_no_selfjoin(spark):
+    """The PQ train step must keep the code assignment row-local next
+    to the element explode (the r06 PCA lesson: no exploded-elements
+    x codes self-join): no Join anywhere, the encode rides the Arrow
+    kernel (never row-at-a-time Python), and the only hash exchange
+    is the 1024-key map-side-combined mean agg."""
+    plan = plan_of(spark, "embedding_pq_train_step")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial" in plan

@@ -1209,3 +1209,110 @@ def profile_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
                     obs.alias("obs_milli"), "exp_milli",
                     F.abs(obs - F.col("exp_milli"))
                     .alias("abs_dev_milli")))
+
+
+_LOUVAIN_ORACLE = """
+WITH li AS (
+  SELECT DISTINCT l.l_orderkey AS okey, l.l_partkey AS part
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderpriority = '1-URGENT'
+), e AS (
+  SELECT a.part AS s, b.part AS d, CAST(COUNT(*) AS BIGINT) AS w
+  FROM li a JOIN li b ON a.okey = b.okey AND a.part < b.part
+  GROUP BY a.part, b.part
+), und AS (
+  SELECT s AS u, d AS v, w FROM e
+  UNION ALL SELECT d AS u, s AS v, w FROM e
+), deg AS (
+  SELECT u AS node, CAST(SUM(w) AS BIGINT) AS k FROM und GROUP BY u
+), m2 AS (
+  SELECT CAST(SUM(k) AS BIGINT) AS m2 FROM deg
+), gains AS (
+  SELECT und.u AS node, und.v AS neighbor,
+         m2.m2 * und.w - du.k * dv.k AS gain_num
+  FROM und
+  JOIN deg du ON und.u = du.node
+  JOIN deg dv ON und.v = dv.node
+  CROSS JOIN m2
+), best AS (
+  SELECT node, neighbor, gain_num,
+         row_number() OVER (PARTITION BY node
+                            ORDER BY gain_num DESC, neighbor) AS rn
+  FROM gains
+)
+SELECT b.node, d.k AS k_node,
+       CASE WHEN b.gain_num > 0 THEN b.neighbor ELSE b.node END
+         AS community,
+       CASE WHEN b.gain_num > 0 THEN b.gain_num ELSE 0 END AS gain_num
+FROM best b JOIN deg d ON b.node = d.node
+WHERE b.rn = 1
+"""
+
+
+@register("graph_louvain_merge_step", oracle=_LOUVAIN_ORACLE,
+    doc="One Louvain community-detection merge pass (Blondel et al. "
+        "2008, phase-1 first sweep from singleton communities) over "
+        "the WEIGHTED co-purchase graph (edge weight = shared URGENT "
+        "orders): each node moves to the neighbor community with the "
+        "best modularity gain dQ proportional to w_ij - k_i*k_j/2m, "
+        "decided on the CROSS-MULTIPLIED exact integer "
+        "2m*w_ij - k_i*k_j — no float ever compares, so the argmax "
+        "(ties by neighbor id) and the stay-put rule (gain <= 0 "
+        "keeps the singleton) are engine-identical.  Output: every "
+        "node's weighted degree, chosen community, and the winning "
+        "gain numerator — all hash-checked.  Later Louvain rounds "
+        "re-run this step with community-contracted edges (the "
+        "pagerank/kcore iterate-the-registered-step pattern).  Scale "
+        "shape: one weighted-degree agg (map-side combined), two "
+        "node-keyed joins annotating edge endpoints with degrees, "
+        "the 2m scalar broadcast back, per-node argmax via max_by "
+        "riding the edge list's u-partitioning — work linear in "
+        "edges, and the degree-join is the same O(E) the triangle "
+        "family pays.")
+def graph_louvain_merge_step(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    basket = (li.join(orders.filter(F.col("o_orderpriority") == "1-URGENT")
+                      .select("o_orderkey"),
+                      li.l_orderkey == F.col("o_orderkey"))
+              .select(F.col("l_orderkey").alias("okey"),
+                      F.col("l_partkey").alias("part"))
+              .distinct())
+    b2 = basket.select(F.col("okey").alias("okey2"),
+                       F.col("part").alias("part2"))
+    e = (basket.join(b2, (F.col("okey") == F.col("okey2"))
+                     & (F.col("part") < F.col("part2")))
+         .groupBy(F.col("part").alias("s"), F.col("part2").alias("d"))
+         .agg(F.count("*").cast("long").alias("w")))
+    und = (e.select(F.col("s").alias("u"), F.col("d").alias("v"), "w")
+           .unionAll(e.select(F.col("d").alias("u"),
+                              F.col("s").alias("v"), "w")))
+    deg = (und.groupBy(F.col("u").alias("node"))
+           .agg(F.sum("w").cast("long").alias("k")))
+    m2 = deg.agg(F.sum("k").cast("long").alias("m2"))
+    gains = (und
+             .join(deg.select(F.col("node").alias("u"),
+                              F.col("k").alias("ku")), "u")
+             .join(deg.select(F.col("node").alias("v"),
+                              F.col("k").alias("kv")), "v")
+             .crossJoin(F.broadcast(m2))
+             .select(F.col("u").alias("node"),
+                     F.col("v").alias("neighbor"), "ku",
+                     (F.col("m2") * F.col("w")
+                      - F.col("ku") * F.col("kv")).alias("gain_num")))
+    best = (gains.groupBy("node")
+            .agg(F.max(F.struct(
+                    F.col("gain_num"),
+                    (-F.col("neighbor")).alias("neg_nb"),
+                    F.col("neighbor"),
+                    F.col("ku"))).alias("b"))
+            .select("node", F.col("b.ku").alias("k_node"),
+                    F.col("b.gain_num").alias("g"),
+                    F.col("b.neighbor").alias("nb")))
+    return best.select(
+        "node", "k_node",
+        F.when(F.col("g") > 0, F.col("nb")).otherwise(F.col("node"))
+        .alias("community"),
+        F.when(F.col("g") > 0, F.col("g")).otherwise(F.lit(0))
+        .cast("long").alias("gain_num"))

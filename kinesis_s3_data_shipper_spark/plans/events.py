@@ -1396,3 +1396,67 @@ def events_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", "n_events",
                     F.expr(f"acc div {m}L").alias("n_matches"),
                     F.expr(f"acc % {m}L").alias("final_state")))
+
+
+@register("events_seasonal_decompose_ma", oracle=f"""
+WITH hourly AS (
+  SELECT event_type, epoch_ns(ts) // {NS_PER_HOUR} AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), ma AS (
+  SELECT event_type, hr, n,
+         CAST(SUM(n) OVER w AS BIGINT) AS trend_sum,
+         CAST(COUNT(*) OVER w AS BIGINT) AS frame_n
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+), detr AS (
+  SELECT event_type, hr % 24 AS hour_of_day,
+         25 * n - trend_sum AS detr_num
+  FROM ma WHERE frame_n = 25
+)
+SELECT event_type, hour_of_day,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(detr_num) AS BIGINT) AS seasonal_num,
+       ROUND(CAST(SUM(detr_num) AS DOUBLE) / (25 * COUNT(*)), 6)
+         AS seasonal
+FROM detr GROUP BY event_type, hour_of_day
+""", doc="Classical moving-average seasonal decomposition of the "
+         "per-type hourly rate series (the decompose() every "
+         "capacity-planning / anomaly-baseline pipeline runs before "
+         "alerting on residuals): trend = centered 25-hour moving "
+         "sum over the hourly counts, detrended value = 25*n - "
+         "trend_sum kept as an EXACT INTEGER (the division by 25 is "
+         "deferred to the final seasonal index, one double division "
+         "rounded at 6dp), seasonal index per (type, hour-of-day) = "
+         "mean detrended — the daily shape the rate series repeats.  "
+         "Edge hours without a full centered frame are excluded by "
+         "the frame COUNT (both engines evaluate the same ROWS "
+         "frame, so exclusion is engine-identical).  Scale shape: "
+         "the corpus term is the one map-side-combined hourly "
+         "pre-agg (the events_changepoint/autocorr cost model); the "
+         "MA window and the 24-key rollup run on the |types|x|hours| "
+         "aggregate.")
+def events_seasonal_decompose_ma(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.select("event_type",
+                        F.expr(f"ts div {NS_PER_HOUR}").alias("hr"))
+              .groupBy("event_type", "hr")
+              .agg(F.count("*").cast("long").alias("n")))
+    w = (W.partitionBy("event_type").orderBy("hr")
+         .rowsBetween(-12, 12))
+    ma = hourly.select(
+        "event_type", "hr", "n",
+        F.sum("n").over(w).cast("long").alias("trend_sum"),
+        F.count("*").over(w).cast("long").alias("frame_n"))
+    detr = (ma.filter(F.col("frame_n") == 25)
+            .select("event_type",
+                    F.expr("hr % 24").alias("hour_of_day"),
+                    (25 * F.col("n") - F.col("trend_sum"))
+                    .alias("detr_num")))
+    return (detr.groupBy("event_type", "hour_of_day")
+            .agg(F.count("*").cast("long").alias("n_windows"),
+                 F.sum("detr_num").cast("long").alias("seasonal_num"),
+                 F.round(F.sum("detr_num").cast("double")
+                         / (25 * F.count("*")), 6).alias("seasonal")))

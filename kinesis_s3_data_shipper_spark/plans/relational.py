@@ -2511,3 +2511,43 @@ def agg_incremental_view_merge(spark: SparkSession,
                      + F.coalesce(F.col("s_n_delta"),
                                   F.lit(0).cast("decimal(18,6)")))
                     .cast("double").alias("sum_total")))
+
+
+@register("agg_log2_histogram", oracle="""
+WITH b AS (
+  SELECT event_type,
+         CAST(length(bin(CAST(floor(value * 1000000.0) AS BIGINT)))
+              - 1 AS BIGINT) AS bucket
+  FROM events
+)
+SELECT event_type, bucket,
+       CAST(1 AS BIGINT) << CAST(bucket AS INTEGER) AS lo_micros,
+       CAST(1 AS BIGINT) << CAST(bucket + 1 AS INTEGER) AS hi_micros,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY event_type, bucket
+""", doc="Log2-scaled (exponential-bucket) value histogram per event "
+         "type — how latency/size distributions are actually "
+         "monitored (HdrHistogram / Prometheus exponential buckets: "
+         "equal-width bins waste resolution at the head and truncate "
+         "the tail; log buckets give constant RELATIVE error): "
+         "bucket = floor(log2(value in micros)) computed WITHOUT "
+         "log() as length(bin(v)) - 1 — the binary-string length of "
+         "the scaled integer, an exact integer identity both engines "
+         "share, keeping the repo's no-libm bit-parity convention "
+         "(agg_histogram is the equi-width sibling).  Bucket bounds "
+         "[2^b, 2^(b+1)) ride along as shifted integers.  Scale "
+         "shape: one map-side-combined (type, bucket) count — "
+         "|types| x ~40 keys at any corpus size; nothing else.")
+def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.expr("CAST(length(bin(CAST(floor(value * 1000000.0) "
+                    "AS BIGINT))) - 1 AS BIGINT)")
+    return (ev.select("event_type", bucket.alias("bucket"))
+            .groupBy("event_type", "bucket")
+            .agg(F.count("*").cast("long").alias("n"))
+            .select("event_type", "bucket",
+                    F.expr("shiftleft(1L, CAST(bucket AS INT))")
+                    .alias("lo_micros"),
+                    F.expr("shiftleft(1L, CAST(bucket AS INT) + 1)")
+                    .alias("hi_micros"),
+                    "n"))

@@ -1062,3 +1062,37 @@ def test_pq_train_step_rowlocal_assignment_no_selfjoin(spark):
     assert "ArrowEvalPython" in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial" in plan
+
+
+def test_log2_histogram_one_mapside_count(spark):
+    """The log2 histogram's only work is one map-side-combined
+    (type, bucket) count — no join, no window, no Python."""
+    plan = plan_of(spark, "agg_log2_histogram")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "partial_count" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_louvain_gain_integer_argmax_on_edges(spark):
+    """Louvain's gain pass: degree annotations join on node keys (no
+    cartesian), the 2m scalar comes back as a broadcast, and the
+    per-node argmax is an aggregate riding the edge list — no window
+    over the corpus, no Python."""
+    plan = plan_of(spark, "graph_louvain_merge_step")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row 2m scalar
+    assert "Window" not in plan
+    assert "partial_max" in plan or "partial_sum" in plan
+
+
+def test_seasonal_decompose_runs_on_hourly_aggregate(spark):
+    """Seasonal decomposition's corpus term must be the one map-side
+    combined hourly pre-agg; the MA window and 24-key rollup run on
+    the aggregate — no join, no Python, no global-sort window."""
+    plan = plan_of(spark, "events_seasonal_decompose_ma")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "partial_count" in plan
+    assert "SinglePartition" not in plan

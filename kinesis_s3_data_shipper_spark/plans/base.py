@@ -81,7 +81,8 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
 #: profile_benford_digits, sample_stratified_neyman,
 #: streaming_match_recognize, embedding_pq_train_step,
 #: agg_log2_histogram, graph_louvain_merge_step,
-#: events_seasonal_decompose_ma,
+#: events_seasonal_decompose_ma, warehouse_constraint_check,
+#: events_outage_gaps, embedding_cosine_histogram,
 #: graph_kcore_peel and text_cdc_chunks, the round-7
 #: queries registered after
 #: the window filled (locally swept + scale-stepped this round;

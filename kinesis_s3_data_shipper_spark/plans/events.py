@@ -1460,3 +1460,53 @@ def events_seasonal_decompose_ma(spark: SparkSession,
                  F.sum("detr_num").cast("long").alias("seasonal_num"),
                  F.round(F.sum("detr_num").cast("double")
                          / (25 * F.count("*")), 6).alias("seasonal")))
+
+
+@register("events_outage_gaps", oracle=f"""
+WITH g AS (
+  SELECT event_type,
+         epoch_ns(ts) - lag(epoch_ns(ts))
+           OVER (PARTITION BY event_type
+                 ORDER BY ts, event_id) AS gap_ns,
+         epoch_ns(ts) // 1000000 AS gap_end_ms,
+         lag(epoch_ns(ts)) OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id) // 1000000
+           AS gap_start_ms,
+         event_id AS end_event_id
+  FROM events
+)
+SELECT event_type, gap_start_ms, gap_end_ms,
+       CAST(gap_ns AS BIGINT) AS gap_ns,
+       CAST(gap_ns // 60000000000 AS BIGINT) AS gap_minutes
+FROM g WHERE gap_ns IS NOT NULL
+ORDER BY gap_ns DESC, event_type, end_event_id
+LIMIT 20
+""", doc="Outage / silence detection from inter-arrival gaps — the "
+         "monitoring query behind every 'no data from source X' "
+         "alert: per event type, the gap between consecutive events "
+         "(ordered by (ts, event_id) — the engine's unique-tiebreak "
+         "convention), top-20 longest gaps with their boundaries.  "
+         "In production the threshold version streams (a "
+         "flatMapGroupsWithState timeout); this batch form is the "
+         "backfill/audit twin that quantifies historical silence.  "
+         "Scale shape: ONE event_type shuffle for the lag window "
+         "(the per-entity-series cost model), TakeOrdered bounds "
+         "the result — no global sort, no join; at 100 TB the lag "
+         "rides the same sort any sessionization already pays.")
+def events_outage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type", "event_id",
+        (F.col("ts") - F.lag("ts").over(w)).alias("gap_ns"),
+        F.expr("ts div 1000000").alias("gap_end_ms"),
+        F.expr("lag(ts) OVER (PARTITION BY event_type "
+               "ORDER BY ts, event_id) div 1000000")
+        .alias("gap_start_ms"))
+    return (g.filter(F.col("gap_ns").isNotNull())
+            .orderBy(F.desc("gap_ns"), "event_type", "event_id")
+            .limit(20)
+            .select("event_type", "gap_start_ms", "gap_end_ms",
+                    F.col("gap_ns").cast("long").alias("gap_ns"),
+                    F.expr("gap_ns div 60000000000").cast("long")
+                    .alias("gap_minutes")))

@@ -1701,3 +1701,68 @@ def embedding_pq_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .cast("decimal(28,0)")).cast("double")
                   / 10000000.0 / F.count("*")).alias("c_val"),
                  F.count("*").cast("long").alias("n_members")))
+
+
+#: Fixed diagnostic-sample size for the cosine histogram: pair count
+#: is C(64,2) = 2016 at ANY corpus size.
+_COSHIST_K = 64
+
+
+@register("embedding_cosine_histogram", oracle=f"""
+WITH s AS (
+  SELECT vec_id, embedding FROM (
+    SELECT vec_id, embedding,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                              vec_id) AS rk
+    FROM embeddings
+  ) WHERE rk <= {_COSHIST_K}
+), pairs AS (
+  SELECT CAST(floor(ROUND({sql_cosine('a.embedding', 'b.embedding')},
+                          6) * 10) AS BIGINT) AS bin
+  FROM s a JOIN s b ON a.vec_id < b.vec_id
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total FROM pairs
+)
+SELECT p.bin,
+       ROUND(p.bin / 10.0, 1) AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       (1000 * CAST(COUNT(*) AS BIGINT)) // MIN(t.total) AS share_milli
+FROM pairs p CROSS JOIN tot t
+GROUP BY p.bin
+""", doc="Pairwise-cosine distribution histogram over a FIXED "
+         "64-vector diagnostic sample — the embedding-space health "
+         "check run before trusting any ANN index or semantic dedup "
+         "threshold (anisotropy/collapse shows up as cosine mass "
+         "concentrating near 1; a healthy space spreads): the "
+         "sample is the md5-rank exact-k draw (deterministic, "
+         "engine-replayable), all C(64,2) = 2016 pairs are scored "
+         "with the engine's exact cosine, rounded at 6dp THEN "
+         "binned at 0.1 (floor of r*10 — binning after the rounding "
+         "convention keeps boundaries engine-identical), with "
+         "integer per-mille shares.  Scale shape: the sample rank "
+         "window is the one corpus-sized term (and at 100 TB it "
+         "pre-gates on a hash threshold first, the exact-k "
+         "convention); the pair join, scoring and the <=21-key "
+         "rollup are CONSTANT work at any corpus size — that's the "
+         "point of a fixed-size diagnostic.")
+def embedding_cosine_histogram(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = W.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    s = (emb.select("vec_id", "embedding",
+                    F.row_number().over(w).alias("rk"))
+         .filter(F.col("rk") <= _COSHIST_K)
+         .select("vec_id", "embedding"))
+    b = s.select(F.col("vec_id").alias("vid2"),
+                 F.col("embedding").alias("emb2"))
+    pairs = (s.join(F.broadcast(b), F.col("vec_id") < F.col("vid2"))
+             .select(F.floor(F.round(cosine("embedding", "emb2", _DIM),
+                                     6) * 10).cast("long").alias("bin")))
+    tot = pairs.agg(F.count("*").cast("long").alias("total"))
+    return (pairs.crossJoin(F.broadcast(tot))
+            .groupBy("bin")
+            .agg(F.round(F.col("bin") / 10.0, 1).alias("bin_lo"),
+                 F.count("*").cast("long").alias("n_pairs"),
+                 F.expr("(1000 * COUNT(*)) div MIN(total)")
+                 .alias("share_milli"))
+            .select("bin", "bin_lo", "n_pairs", "share_milli"))

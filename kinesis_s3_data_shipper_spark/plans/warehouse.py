@@ -982,3 +982,90 @@ def warehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+@register("warehouse_constraint_check", oracle="""
+SELECT 'orders_pk_unique' AS constraint_name,
+       CAST(COUNT(*) AS BIGINT) AS n_checked,
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+         AS n_violations
+FROM orders
+UNION ALL
+SELECT 'lineitem_fk_orders',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'orders_totalprice_positive',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orders_orderdate_not_null',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orders_status_domain',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0
+                ELSE 1 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'lineitem_quantity_range',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END)
+            AS BIGINT)
+FROM lineitem
+""", doc="Declarative data-quality constraint audit — the dbt-test / "
+         "Delta CHECK-constraint / Great-Expectations sweep a "
+         "warehouse runs after every load, as ONE batch dataflow "
+         "over six constraints: primary-key uniqueness (count vs "
+         "distinct — never a self-join), referential integrity "
+         "(lineitem->orders as a left join null-count, which at "
+         "scale is the same shuffle the FK's consumers pay anyway), "
+         "positivity / NOT NULL / domain-membership / range gates "
+         "(scan-side CASE sums).  Output one row per constraint "
+         "with checked and violation counts, all exact integers — a "
+         "constraint report the pipeline can gate on (and the hash "
+         "gate itself re-proves every arm).  Scale shape: each arm "
+         "is one map-side-combined scan agg; the FK arm's join is "
+         "the only shuffle and carries just (l_orderkey) against "
+         "the orders key column; arms run in one job, sharing "
+         "nothing, trivially parallel.")
+def warehouse_constraint_check(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def arm(name: str, df: DataFrame, viol) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("constraint_name"),
+            F.count("*").cast("long").alias("n_checked"),
+            F.sum(viol).cast("long").alias("n_violations"))
+
+    pk = o.agg(F.lit("orders_pk_unique").alias("constraint_name"),
+               F.count("*").cast("long").alias("n_checked"),
+               (F.count("*") - F.countDistinct("o_orderkey"))
+               .cast("long").alias("n_violations"))
+    fk = (li.join(o.select("o_orderkey"),
+                  li.l_orderkey == F.col("o_orderkey"), "left")
+          .agg(F.lit("lineitem_fk_orders").alias("constraint_name"),
+               F.count("*").cast("long").alias("n_checked"),
+               F.sum(F.when(F.col("o_orderkey").isNull(), 1)
+                     .otherwise(0)).cast("long").alias("n_violations")))
+    price = arm("orders_totalprice_positive", o,
+                F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+    nn = arm("orders_orderdate_not_null", o,
+             F.when(F.col("o_orderdate").isNull(), 1).otherwise(0))
+    dom = arm("orders_status_domain", o,
+              F.when(F.col("o_orderstatus").isin("O", "F", "P"), 0)
+              .otherwise(1))
+    rng = arm("lineitem_quantity_range", li,
+              F.when(F.col("l_quantity").between(1, 50), 0)
+              .otherwise(1))
+    return pk.unionAll(fk).unionAll(price).unionAll(nn) \
+             .unionAll(dom).unionAll(rng)

@@ -1096,3 +1096,36 @@ def test_seasonal_decompose_runs_on_hourly_aggregate(spark):
     assert "BatchEvalPython" not in plan
     assert "partial_count" in plan
     assert "SinglePartition" not in plan
+
+
+def test_constraint_check_mapside_arms_single_fk_shuffle(spark):
+    """The constraint audit: every arm is a map-side-combined scan
+    agg; the FK arm's left join is the only join; no Python, no
+    cartesian."""
+    plan = plan_of(spark, "warehouse_constraint_check")
+    assert plan.count("partial_count") >= 5
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_outage_gaps_one_type_shuffle_takeordered(spark):
+    """Outage gaps: one event_type exchange feeds the lag window;
+    top-20 via TakeOrdered, never a global sort; no join, no
+    Python."""
+    plan = plan_of(spark, "events_outage_gaps")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_cosine_histogram_constant_pair_work(spark):
+    """Cosine histogram: the 64-row sample side broadcasts (the pair
+    join must be a broadcast NLJ over the capped sample, never a
+    shuffle of the corpus against itself), and the rollup map-side
+    combines; no Python."""
+    plan = plan_of(spark, "embedding_cosine_histogram")
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan

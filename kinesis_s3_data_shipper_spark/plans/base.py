@@ -83,6 +83,7 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
 #: agg_log2_histogram, graph_louvain_merge_step,
 #: events_seasonal_decompose_ma, warehouse_constraint_check,
 #: events_outage_gaps, embedding_cosine_histogram,
+#: dedup_minhash_est_quality, agg_ols_two_factor,
 #: graph_kcore_peel and text_cdc_chunks, the round-7
 #: queries registered after
 #: the window filled (locally swept + scale-stepped this round;

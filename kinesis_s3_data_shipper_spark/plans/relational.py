@@ -2551,3 +2551,118 @@ def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("shiftleft(1L, CAST(bucket AS INT) + 1)")
                     .alias("hi_micros"),
                     "n"))
+
+
+#: Shared closed-form expressions for the two-factor OLS: centered
+#: moments, Cramer's-rule solve and R^2 as ONE double tree both
+#: engines evaluate identically (inputs are exact integer moment
+#: sums; doubles appear only here).
+_OLS2_DEFS = """
+  CAST(sx AS DOUBLE) AS dsx, CAST(sd AS DOUBLE) AS dsd,
+  CAST(sy AS DOUBLE) AS dsy, CAST(sxx AS DOUBLE) AS dsxx,
+  CAST(sdd AS DOUBLE) AS dsdd, CAST(sxd AS DOUBLE) AS dsxd,
+  CAST(sxy AS DOUBLE) AS dsxy, CAST(sdy AS DOUBLE) AS dsdy,
+  CAST(syy AS DOUBLE) AS dsyy, CAST(n AS DOUBLE) AS dn
+"""
+
+
+@register("agg_ols_two_factor", oracle=f"""
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS xq,
+         CAST(floor(l_discount * 1000 + 0.5) AS BIGINT) AS xd,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS yc
+  FROM lineitem
+), m AS (
+  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(xq AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(CAST(xd AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sd,
+         CAST(SUM(CAST(yc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(CAST(xq * xq AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(xd * xd AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sdd,
+         CAST(SUM(CAST(xq * xd AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxd,
+         CAST(SUM(CAST(xq * yc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(xd * yc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sdy,
+         CAST(SUM(CAST(yc * yc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+  FROM q GROUP BY l_returnflag
+), d AS (
+  SELECT l_returnflag, n, {_OLS2_DEFS}
+  FROM m
+), c AS (
+  SELECT l_returnflag, n,
+         dsxx - dsx * dsx / dn AS s11,
+         dsdd - dsd * dsd / dn AS s22,
+         dsxd - dsx * dsd / dn AS s12,
+         dsxy - dsx * dsy / dn AS s1y,
+         dsdy - dsd * dsy / dn AS s2y,
+         dsyy - dsy * dsy / dn AS syy_c,
+         dsx / dn AS mx, dsd / dn AS md, dsy / dn AS my
+  FROM d
+), s AS (
+  SELECT l_returnflag, n,
+         (s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12) AS b1,
+         (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) AS b2,
+         s1y, s2y, syy_c, mx, md, my
+  FROM c
+)
+SELECT l_returnflag, n,
+       ROUND(my - b1 * mx - b2 * md, 6) AS intercept_cents,
+       ROUND(b1, 6) AS beta_qty,
+       ROUND(b2, 6) AS beta_disc_milli,
+       ROUND((b1 * s1y + b2 * s2y) / syy_c, 6) AS r2
+FROM s
+""", doc="Grouped TWO-predictor OLS in closed form — multiple "
+         "regression extending agg_ols_by_group's single factor: "
+         "extendedprice (cents) on quantity and discount (milli) per "
+         "returnflag, solved by Cramer's rule on the 2x2 centered "
+         "normal equations.  Inputs floor-quantize to integers "
+         "(+0.5 before floor: the doubles are identical on both "
+         "engines, so the rounding is too) and ALL nine moment sums "
+         "are exact DECIMAL(38,0) — order-free; doubles appear only "
+         "in the final closed-form tree, written ONCE and evaluated "
+         "with the identical nesting on both engines, outputs "
+         "rounded at 6dp.  Fit millions of per-group 2-factor "
+         "models with zero iterative solving.  Scale shape: one "
+         "map-side-combined moment agg (9 sums + count per group); "
+         "the solve runs on the |groups|-row aggregate.")
+def agg_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.selectExpr(
+        "l_returnflag",
+        "CAST(floor(l_quantity + 0.5) AS BIGINT) AS xq",
+        "CAST(floor(l_discount * 1000 + 0.5) AS BIGINT) AS xd",
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS yc")
+    dec = "decimal(38,0)"
+    m = (q.groupBy("l_returnflag")
+         .agg(F.count("*").cast("long").alias("n"),
+              F.sum(F.col("xq").cast(dec)).alias("sx"),
+              F.sum(F.col("xd").cast(dec)).alias("sd"),
+              F.sum(F.col("yc").cast(dec)).alias("sy"),
+              F.sum((F.col("xq") * F.col("xq")).cast(dec)).alias("sxx"),
+              F.sum((F.col("xd") * F.col("xd")).cast(dec)).alias("sdd"),
+              F.sum((F.col("xq") * F.col("xd")).cast(dec)).alias("sxd"),
+              F.sum((F.col("xq") * F.col("yc")).cast(dec)).alias("sxy"),
+              F.sum((F.col("xd") * F.col("yc")).cast(dec)).alias("sdy"),
+              F.sum((F.col("yc") * F.col("yc")).cast(dec)).alias("syy")))
+    d = m.selectExpr("l_returnflag", "n", *[
+        e.strip() for e in _OLS2_DEFS.split(",")])
+    c = d.selectExpr(
+        "l_returnflag", "n",
+        "dsxx - dsx * dsx / dn AS s11",
+        "dsdd - dsd * dsd / dn AS s22",
+        "dsxd - dsx * dsd / dn AS s12",
+        "dsxy - dsx * dsy / dn AS s1y",
+        "dsdy - dsd * dsy / dn AS s2y",
+        "dsyy - dsy * dsy / dn AS syy_c",
+        "dsx / dn AS mx", "dsd / dn AS md", "dsy / dn AS my")
+    s = c.selectExpr(
+        "l_returnflag", "n",
+        "(s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12) AS b1",
+        "(s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) AS b2",
+        "s1y", "s2y", "syy_c", "mx", "md", "my")
+    return s.selectExpr(
+        "l_returnflag", "n",
+        "ROUND(my - b1 * mx - b2 * md, 6) AS intercept_cents",
+        "ROUND(b1, 6) AS beta_qty",
+        "ROUND(b2, 6) AS beta_disc_milli",
+        "ROUND((b1 * s1y + b2 * s2y) / syy_c, 6) AS r2")

@@ -1129,3 +1129,24 @@ def test_cosine_histogram_constant_pair_work(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "partial_count" in plan
+
+
+def test_minhash_est_quality_candidates_only(spark):
+    """The estimate-quality eval must ride the band-bucket equi-join
+    (never an all-pairs product): no cartesian, no Python, and the
+    per-doc signature frames join candidates on doc id."""
+    plan = plan_of(spark, "dedup_minhash_est_quality")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_ols_two_factor_one_moment_agg(spark):
+    """The 2-factor OLS must be one map-side-combined moment agg with
+    the solve on the |groups|-row aggregate: no join, no window, no
+    Python, one exchange."""
+    plan = plan_of(spark, "agg_ols_two_factor")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "partial_sum" in plan
+    assert plan.count("Exchange hashpartitioning") == 1

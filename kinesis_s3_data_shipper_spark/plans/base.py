@@ -84,6 +84,9 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
 #: events_seasonal_decompose_ma, warehouse_constraint_check,
 #: events_outage_gaps, embedding_cosine_histogram,
 #: dedup_minhash_est_quality, agg_ols_two_factor,
+#: sample_kfold_assign, embedding_dim_variance_prune,
+#: text_kneser_ney_counts, events_markov_stationary_step,
+#: warehouse_partition_stats_skew,
 #: graph_kcore_peel and text_cdc_chunks, the round-7
 #: queries registered after
 #: the window filled (locally swept + scale-stepped this round;

@@ -1510,3 +1510,63 @@ def events_outage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("gap_ns").cast("long").alias("gap_ns"),
                     F.expr("gap_ns div 60000000000").cast("long")
                     .alias("gap_minutes")))
+
+
+@register("events_markov_stationary_step", oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+), c AS (
+  SELECT event_type AS src, nxt AS dst, CAST(COUNT(*) AS BIGINT) AS c
+  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+), rowtot AS (
+  SELECT src, CAST(SUM(c) AS BIGINT) AS c_src FROM c GROUP BY src
+), msg AS (
+  SELECT c.dst,
+         (200000000 * c.c) // r.c_src AS units,
+         c.src
+  FROM c JOIN rowtot r ON c.src = r.src
+)
+SELECT dst AS event_type,
+       CAST(SUM(units) AS BIGINT) AS inflow_units,
+       CAST(COUNT(*) AS BIGINT) AS n_in_edges
+FROM msg GROUP BY dst
+""", doc="One power-iteration step toward the stationary distribution "
+         "of the user-journey Markov chain (events_path_transitions' "
+         "matrix, iterated — the PageRank-style fixpoint whose limit "
+         "says where user sessions SETTLE): v' = v.P from the "
+         "uniform start, in SCALED INTEGERS — each type starts with "
+         "1e9/5 = 2e8 units and sends floor(units * c_ij / c_i) "
+         "along each transition edge (the graph_pagerank_iter "
+         "message-passing convention: integer div per edge, exact "
+         "sums, no float accumulation anywhere).  Iterating = "
+         "feeding inflow_units back as the next round's weights.  "
+         "Scale shape: the corpus term is the one lead() pass on "
+         "the user_id partitioning (reused by the whole journey "
+         "family); the chain math runs on the <=|types|^2-row "
+         "aggregate with the row totals joined back.")
+def events_markov_stationary_step(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("event_type",
+                    F.lead("event_type").over(w).alias("nxt"))
+    c = (seq.filter(F.col("nxt").isNotNull())
+         .groupBy(F.col("event_type").alias("src"),
+                  F.col("nxt").alias("dst"))
+         .agg(F.count("*").cast("long").alias("c"))
+         # Materialize the <=|types|^2-row aggregate once: both the
+         # row-total branch and the message join read it, and without
+         # this the totals branch re-runs the corpus lead() window
+         # (the IVFPQ double-eval lesson; plan-pinned below).
+         .localCheckpoint(eager=True))
+    rowtot = (c.groupBy("src")
+              .agg(F.sum("c").cast("long").alias("c_src")))
+    msg = (c.join(F.broadcast(rowtot), "src")
+           .select("dst", F.expr("(200000000 * c) div c_src")
+                   .alias("units")))
+    return (msg.groupBy(F.col("dst").alias("event_type"))
+            .agg(F.sum("units").cast("long").alias("inflow_units"),
+                 F.count("*").cast("long").alias("n_in_edges")))

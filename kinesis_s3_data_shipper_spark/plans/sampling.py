@@ -627,3 +627,47 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ranked.join(F.broadcast(alloc), "lang")
             .filter(F.col("pick_rank") <= F.col("alloc"))
             .select("lang", "n_h", "alloc", "doc_id", "pick_rank"))
+
+
+@register("sample_kfold_assign", oracle="""
+WITH f AS (
+  SELECT doc_id, lang,
+         (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+               AS BIGINT) % 5) AS fold
+  FROM documents
+), s AS (
+  SELECT fold, lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM f GROUP BY fold, lang
+), t AS (
+  SELECT lang, CAST(SUM(n) AS BIGINT) AS lang_total FROM s GROUP BY lang
+)
+SELECT s.fold, s.lang, s.n,
+       t.lang_total,
+       (1000 * s.n) // t.lang_total AS share_milli
+FROM s JOIN t ON s.lang = t.lang
+""", doc="Deterministic k-fold cross-validation assignment (k=5) with "
+         "a per-fold class-balance audit — the CV split a model-eval "
+         "pipeline needs to be retry-stable and engine-reproducible: "
+         "fold = md5(doc_id) % 5 (the portable 60-bit hash gate, so "
+         "re-runs and other engines assign identically — no "
+         "rand(seed), whose stream is engine-private), and the "
+         "checked output is the (fold, lang) contingency with each "
+         "fold's per-mille share of its language — the balance "
+         "numbers a stratification decision reads (if shares drift "
+         "from ~200, switch to the stratified assigner).  Scale "
+         "shape: the fold tag is a scan-side projection; one "
+         "map-side-combined (fold, lang) count; the per-lang total "
+         "joins back on the tiny aggregate.")
+def sample_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    gate = ("pmod(CAST(conv(substring(md5(CAST(doc_id AS STRING)), "
+            "1, 15), 16, 10) AS BIGINT), 5)")
+    s = (docs.select(F.expr(gate).alias("fold"), "lang")
+         .groupBy("fold", "lang")
+         .agg(F.count("*").cast("long").alias("n")))
+    t = (s.groupBy("lang")
+         .agg(F.sum("n").cast("long").alias("lang_total")))
+    return (s.join(F.broadcast(t), "lang")
+            .select("fold", "lang", "n", "lang_total",
+                    F.expr("(1000 * n) div lang_total")
+                    .alias("share_milli")))

@@ -1766,3 +1766,67 @@ def embedding_cosine_histogram(spark: SparkSession,
                  F.expr("(1000 * COUNT(*)) div MIN(total)")
                  .alias("share_milli"))
             .select("bin", "bin_lo", "n_pairs", "share_milli"))
+
+
+@register("embedding_dim_variance_prune", oracle="""
+WITH e AS (
+  SELECT unnest(generate_series(0, len(embedding) - 1)) AS dim,
+         unnest(embedding) AS x
+  FROM embeddings
+), m AS (
+  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 10000000.0)
+                       AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 10000000.0)
+                       AS DECIMAL(38,0))
+                  * CAST(floor(CAST(x AS DOUBLE) * 10000000.0)
+                         AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx
+  FROM e GROUP BY dim
+), v AS (
+  SELECT CAST(dim AS BIGINT) AS dim, n,
+         ROUND((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                * CAST(sx AS DOUBLE) / n) / (n - 1)
+               / 100000000000000.0, 9) AS variance
+  FROM m
+)
+SELECT dim, n, variance,
+       CAST(row_number() OVER (ORDER BY variance DESC, dim) AS BIGINT)
+         AS var_rank,
+       CASE WHEN row_number() OVER (ORDER BY variance DESC, dim) > 48
+            THEN 1 ELSE 0 END AS prune_flag
+FROM v
+""", doc="Per-dimension variance ranking of the embedding space — the "
+         "dead/low-information-dimension diagnostic behind PCA-free "
+         "dimension pruning (and the sanity check before Matryoshka "
+         "truncation: if variance is NOT front-loaded, prefix-dim "
+         "recall will crater): elements floor-quantized at 1e-7 into "
+         "exact DECIMAL(38,0) moment sums per dimension (the "
+         "kmeans/ttest convention — order-free, engine-exact), "
+         "sample variance as one double tree rounded at 9dp, rank by "
+         "variance with dim tiebreak, bottom-16 flagged for pruning. "
+         " Scale shape: ONE map-side-combined |dims|-key moment agg "
+         "is the only corpus term; ranking runs on the 64-row "
+         "aggregate (the zscore broadcast-back family).")
+def embedding_dim_variance_prune(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = (emb.select(F.posexplode("embedding").alias("dim", "x"))
+         .select("dim",
+                 F.floor(F.col("x").cast("double") * 10000000.0)
+                 .cast("decimal(38,0)").alias("q"))
+         .groupBy("dim")
+         .agg(F.count("*").cast("long").alias("n"),
+              F.sum("q").alias("sx"),
+              F.sum(F.col("q") * F.col("q")).alias("sxx")))
+    v = m.selectExpr(
+        "CAST(dim AS BIGINT) AS dim", "n",
+        "ROUND((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) "
+        "* CAST(sx AS DOUBLE) / n) / (n - 1) / 100000000000000.0, 9)"
+        " AS variance")
+    w = W.orderBy(F.desc("variance"), "dim")
+    return (v.select("dim", "n", "variance",
+                     F.row_number().over(w).cast("long")
+                     .alias("var_rank"))
+            .select("dim", "n", "variance", "var_rank",
+                    F.when(F.col("var_rank") > 48, 1).otherwise(0)
+                    .alias("prune_flag")))

@@ -1941,3 +1941,84 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("doc_id").alias("first_doc"))
             .orderBy(F.desc("n_occ"), "chunk_digest")
             .limit(25))
+
+
+@register("text_kneser_ney_counts", oracle="""
+WITH ws AS (
+  SELECT string_split(text, ' ') AS w FROM documents
+), bi AS (
+  SELECT t.b.w1 AS w1, t.b.w2 AS w2 FROM (
+    SELECT unnest(list_transform(range(2, len(w) + 1),
+           i -> struct_pack(w1 := w[i - 1], w2 := w[i]))) AS b
+    FROM ws
+  ) t
+), c2 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bi GROUP BY w1, w2
+), uni AS (
+  SELECT w2 AS word, CAST(SUM(c) AS BIGINT) AS c_w FROM c2 GROUP BY w2
+), lc AS (
+  SELECT w2 AS word, CAST(COUNT(*) AS BIGINT) AS n_left FROM c2
+  GROUP BY w2
+), rc AS (
+  SELECT w1 AS word, CAST(COUNT(*) AS BIGINT) AS n_right FROM c2
+  GROUP BY w1
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS t_bigrams,
+         CAST(COUNT(*) AS BIGINT) AS b_types
+  FROM c2
+)
+SELECT u.word, u.c_w, l.n_left,
+       COALESCE(r.n_right, 0) AS n_right,
+       (1000 * u.c_w) // t.t_bigrams AS p_raw_milli,
+       (1000 * l.n_left) // t.b_types AS p_cont_milli
+FROM uni u
+JOIN lc l ON u.word = l.word
+LEFT JOIN rc r ON u.word = r.word
+CROSS JOIN tot t
+ORDER BY l.n_left DESC, u.word
+LIMIT 20
+""", doc="Kneser-Ney continuation-count tables — the count statistics "
+         "the best classical LM smoothing runs on (Kneser-Ney's "
+         "insight: a word's unigram weight should be how many "
+         "DISTINCT contexts it follows, not how often it occurs — "
+         "'Francisco' is frequent but only ever follows 'San'): "
+         "bigram type/token counts, per-word left-context fan-in "
+         "N1+(.w) and right-context fan-out N1+(w.), raw vs "
+         "continuation probability in integer per-mille, top-20 by "
+         "continuation count.  The divergence between p_raw and "
+         "p_cont IS the Kneser-Ney correction.  Scale shape: bigrams "
+         "build IN-ROW (indexed transform over the split array — no "
+         "lag window), ONE map-side-combined (w1, w2) count, and "
+         "everything after runs on the bigram-TYPE dictionary, never "
+         "token occurrences; scalars broadcast back; TakeOrdered "
+         "bounds the result.")
+def text_kneser_ney_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bi = (docs.select(F.split("text", " ").alias("w"))
+          .select(F.explode(F.expr(
+              "transform(sequence(2, size(w)), "
+              "i -> struct(element_at(w, i - 1) AS w1, "
+              "element_at(w, i) AS w2))")).alias("b"))
+          .select("b.w1", "b.w2"))
+    c2 = (bi.groupBy("w1", "w2")
+          .agg(F.count("*").cast("long").alias("c")))
+    uni = (c2.groupBy(F.col("w2").alias("word"))
+           .agg(F.sum("c").cast("long").alias("c_w")))
+    lc = (c2.groupBy(F.col("w2").alias("word"))
+          .agg(F.count("*").cast("long").alias("n_left")))
+    rc = (c2.groupBy(F.col("w1").alias("word"))
+          .agg(F.count("*").cast("long").alias("n_right")))
+    tot = c2.agg(F.sum("c").cast("long").alias("t_bigrams"),
+                 F.count("*").cast("long").alias("b_types"))
+    return (uni.join(lc, "word")
+            .join(rc, "word", "left")
+            .crossJoin(F.broadcast(tot))
+            .select("word", "c_w", "n_left",
+                    F.coalesce("n_right", F.lit(0)).cast("long")
+                    .alias("n_right"),
+                    F.expr("(1000 * c_w) div t_bigrams")
+                    .alias("p_raw_milli"),
+                    F.expr("(1000 * n_left) div b_types")
+                    .alias("p_cont_milli"))
+            .orderBy(F.desc("n_left"), "word")
+            .limit(20))

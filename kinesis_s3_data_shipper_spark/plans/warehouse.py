@@ -1069,3 +1069,55 @@ def warehouse_constraint_check(spark: SparkSession,
               .otherwise(1))
     return pk.unionAll(fk).unionAll(price).unionAll(nn) \
              .unionAll(dom).unionAll(rng)
+
+
+@register("warehouse_partition_stats_skew", oracle="""
+WITH p AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS part_month,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT CAST(SUM(n_rows) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_parts,
+         CAST(MAX(n_rows) AS BIGINT) AS max_rows
+  FROM p
+)
+SELECT p.part_month, p.n_rows,
+       (1000 * p.n_rows) // t.total AS share_milli,
+       CAST(row_number() OVER (ORDER BY p.n_rows DESC, p.part_month)
+            AS BIGINT) AS size_rank,
+       (1000 * p.n_rows * t.n_parts) // t.total AS rel_to_even_milli
+FROM p CROSS JOIN t
+""", doc="Partition-size governance profile — the skew audit run "
+         "before choosing a partition scheme (a month 10x the even "
+         "share makes every downstream partition-pruned scan and "
+         "dynamic-overwrite backfill lopsided): per-month row "
+         "counts, per-mille share of the table, size rank, and the "
+         "ratio to the even share in integer per-mille "
+         "(rel_to_even 1000 = perfectly even; the alerting "
+         "threshold a layout job gates on).  profile_key_skew "
+         "measures JOIN-key skew for shuffle strategy; this "
+         "measures STORAGE partition skew for layout strategy.  "
+         "Scale shape: one map-side-combined per-month count (the "
+         "partition grain is bounded by the calendar); the totals "
+         "row broadcasts back; the rank window runs over the "
+         "|months|-row aggregate.")
+def warehouse_partition_stats_skew(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    p = (o.select(F.date_format("o_orderdate", "yyyy-MM")
+                  .alias("part_month"))
+         .groupBy("part_month")
+         .agg(F.count("*").cast("long").alias("n_rows")))
+    t = p.agg(F.sum("n_rows").cast("long").alias("total"),
+              F.count("*").cast("long").alias("n_parts"),
+              F.max("n_rows").cast("long").alias("max_rows"))
+    w = Window.orderBy(F.desc("n_rows"), "part_month")
+    return (p.crossJoin(F.broadcast(t))
+            .select("part_month", "n_rows",
+                    F.expr("(1000 * n_rows) div total")
+                    .alias("share_milli"),
+                    F.row_number().over(w).cast("long")
+                    .alias("size_rank"),
+                    F.expr("(1000 * n_rows * n_parts) div total")
+                    .alias("rel_to_even_milli")))

@@ -1150,3 +1150,60 @@ def test_ols_two_factor_one_moment_agg(spark):
     assert "BatchEvalPython" not in plan
     assert "partial_sum" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_kfold_scan_side_tag_tiny_join(spark):
+    """K-fold assignment: the fold tag is a scan-side projection (no
+    shuffle before the count), one map-side-combined (fold, lang)
+    count, totals broadcast back."""
+    plan = plan_of(spark, "sample_kfold_assign")
+    assert "BatchEvalPython" not in plan
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dim_variance_one_moment_agg(spark):
+    """Dimension-variance pruning: one |dims|-key map-side-combined
+    moment agg is the only corpus term; ranking runs on the 64-row
+    aggregate; no join, no Python."""
+    plan = plan_of(spark, "embedding_dim_variance_prune")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "partial_sum" in plan
+
+
+def test_kneser_ney_inrow_bigrams_dictionary_joins(spark):
+    """KN counts: bigrams build in-row (no lag window before the
+    count — exactly one Window allowed for nothing: zero Windows),
+    one (w1, w2) count, then dictionary-scale joins only; top-20 via
+    TakeOrdered."""
+    plan = plan_of(spark, "text_kneser_ney_counts")
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+
+
+def test_markov_step_on_transition_aggregate(spark):
+    """The Markov power step: the corpus's one lead() pass runs ONCE
+    inside the transition-aggregate localCheckpoint job; the final
+    plan must read only the materialized |types|^2-row aggregate
+    (Scan ExistingRDD), joining the broadcast row totals — no
+    user_id exchange may survive into it (it would mean the totals
+    branch re-ran the corpus window, the IVFPQ double-eval bug)."""
+    plan = plan_of(spark, "events_markov_stationary_step")
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Scan ExistingRDD" in plan
+    assert "Exchange hashpartitioning(user_id" not in plan
+
+
+def test_partition_stats_calendar_grain(spark):
+    """Partition-skew profile: one map-side-combined per-month count;
+    the totals row broadcasts back; the rank window runs over the
+    calendar-bounded aggregate (a SinglePartition of |months| rows is
+    the intended tiny-aggregate shape)."""
+    plan = plan_of(spark, "warehouse_partition_stats_skew")
+    assert "BatchEvalPython" not in plan
+    assert "partial_count" in plan
+    assert "BroadcastNestedLoopJoin" in plan

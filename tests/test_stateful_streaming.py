@@ -434,3 +434,49 @@ def test_streaming_rate_limit_state_survives_checkpoint_restart(
     grew = [u for u, (n, *_rest) in got.items()
             if n > partial_n.get(u, 0)]
     assert grew, "third slice added no events to any user — staging bug"
+
+
+def test_streaming_match_recognize_half_open_match_spans_batches(
+        spark, tmp_path):
+    """The FSM's defining streaming property: a match whose prefix
+    (CLICK VIEW) lands in micro-batch 1 and whose PURCHASE lands in
+    micro-batch 2 must still count — the half-open state carries
+    across the batch boundary in group state. Naive per-batch
+    re-matching (the rewrite that drops state between batches) yields
+    0 here; the control user whose purchase arrives with no open
+    prefix pins the FSM's reset path in the same drain."""
+    import glob
+    import os
+
+    from kinesis_s3_data_shipper_spark.streaming.jobs import (
+        streaming_match_recognize_final)
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    schema = ("event_id long, ts long, user_id long,"
+              " event_type string, value double, props string")
+    # user 7: click+view in slice 0, purchase in slice 1 -> 1 match.
+    # user 8: view in slice 0, purchase in slice 1 -> 0 matches
+    # (purchase without an open click-view prefix resets to idle).
+    slices = [
+        [(1, 1_000, 7, "click", 1.0, "{}"),
+         (2, 2_000, 7, "view", 1.0, "{}"),
+         (3, 2_500, 8, "view", 1.0, "{}")],
+        [(4, 3_000, 7, "purchase", 1.0, "{}"),
+         (5, 3_500, 8, "purchase", 1.0, "{}")],
+    ]
+    for i, rows in enumerate(slices):
+        d = str(tmp_path / f"s{i}")
+        (spark.createDataFrame(rows, schema)
+         .coalesce(1).write.mode("overwrite").parquet(d))
+        part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        dest = os.path.join(landing, f"slice_{i}.parquet")
+        os.rename(part, dest)
+        os.utime(dest, (1_000_000 + i, 1_000_000 + i))
+
+    out = streaming_match_recognize_final(
+        spark, landing, checkpoint=str(tmp_path / "ckpt"),
+        query_name="mr_halfopen")
+    got = {r.user_id: (r.n_events, r.n_matches, r.final_state)
+           for r in out.collect()}
+    assert got == {7: (3, 1, 0), 8: (2, 0, 0)}

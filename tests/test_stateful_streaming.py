@@ -480,3 +480,42 @@ def test_streaming_match_recognize_half_open_match_spans_batches(
     got = {r.user_id: (r.n_events, r.n_matches, r.final_state)
            for r in out.collect()}
     assert got == {7: (3, 1, 0), 8: (2, 0, 0)}
+
+
+def test_time_travel_horizon_is_vacuum_retention(spark, tmp_path):
+    """warehouse_time_travel's documented coupling, as a property:
+    with all versions retained, AS OF v reads the exact post-epoch-v
+    state; after vacuum(keep=1) the older versions are gone and the
+    SAME as-of manifest resolves to nothing — the travel horizon IS
+    the retention policy, and shrinking retention makes historical
+    reads unservable (exactly why Delta couples VACUUM to time
+    travel)."""
+    from pyspark.sql import functions as F
+
+    from kinesis_s3_data_shipper_spark.operators.maintenance import (
+        vacuum_versions)
+    from kinesis_s3_data_shipper_spark.streaming.jobs import (
+        _bucket_versions, _read_buckets,
+        merge_delta_into_bucketed_table)
+
+    table_dir = str(tmp_path / "tt_table")
+    # Two epochs over the same single user: n goes 1 -> 2.
+    for epoch in (1, 2):
+        delta = spark.createDataFrame(
+            [(7, 1, 100)], "user_id long, d_n long, d_sum long")
+        merge_delta_into_bucketed_table(spark, delta, epoch, table_dir)
+
+    as_of_1 = _read_buckets(spark, table_dir,
+                            _bucket_versions(table_dir, below=2))
+    assert [(r.user_id, r.n) for r in as_of_1.collect()] == [(7, 1)]
+
+    vacuum_versions(table_dir, keep=1)
+    # v=1 is gone: the as-of-1 manifest resolves to NO versions — the
+    # historical read is not silently re-pointed, it is UNSERVABLE,
+    # which is the failure mode a retention policy must budget for.
+    post = _read_buckets(spark, table_dir,
+                         _bucket_versions(table_dir, below=2))
+    assert post is None
+    latest = _read_buckets(spark, table_dir,
+                           _bucket_versions(table_dir))
+    assert [(r.user_id, r.n) for r in latest.collect()] == [(7, 2)]

@@ -86,6 +86,8 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
 #: dedup_minhash_est_quality, agg_ols_two_factor,
 #: sample_kfold_assign, embedding_dim_variance_prune,
 #: text_kneser_ney_counts, events_markov_stationary_step,
+#: events_ab_lift_funnel, warehouse_gdpr_delete_audit,
+#: sample_poisson_bootstrap_mean,
 #: warehouse_partition_stats_skew,
 #: graph_kcore_peel and text_cdc_chunks, the round-7
 #: queries registered after

@@ -1570,3 +1570,85 @@ def events_markov_stationary_step(spark: SparkSession,
     return (msg.groupBy(F.col("dst").alias("event_type"))
             .agg(F.sum("units").cast("long").alias("inflow_units"),
                  F.count("*").cast("long").alias("n_in_edges")))
+
+
+@register("events_ab_lift_funnel", oracle="""
+WITH tagged AS (
+  SELECT user_id, user_id % 2 AS variant, event_type, ts, event_id
+  FROM events
+), steps AS (
+  SELECT user_id, MAX(variant) AS variant,
+         MIN(CASE WHEN event_type = 'click' THEN epoch_ns(ts) END)
+           AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END)
+           AS t_purchase
+  FROM tagged GROUP BY user_id
+), conv AS (
+  SELECT variant,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(CASE WHEN t_click IS NOT NULL
+                       AND t_purchase > t_click
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_conv
+  FROM steps GROUP BY variant
+), wide AS (
+  SELECT MAX(CASE WHEN variant = 0 THEN n_users END) AS n0,
+         MAX(CASE WHEN variant = 0 THEN n_conv END) AS c0,
+         MAX(CASE WHEN variant = 1 THEN n_users END) AS n1,
+         MAX(CASE WHEN variant = 1 THEN n_conv END) AS c1
+  FROM conv
+)
+SELECT n0, c0, n1, c1,
+       (1000 * c0) // n0 AS rate0_milli,
+       (1000 * c1) // n1 AS rate1_milli,
+       ROUND((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+             / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)), 6) AS z_score
+FROM wide
+""", doc="A/B experiment readout over the conversion funnel — the "
+         "two-proportion z-test every growth team runs: users split "
+         "into variants by a deterministic key hash (user_id % 2 — "
+         "the assignment IS replayable, rand() buckets are not), "
+         "per-variant click->purchase conversion (purchase strictly "
+         "after first click, the events_funnel ordering), rates in "
+         "integer per-mille, and the pooled two-proportion z-score "
+         "as one fixed double tree (sqrt-only, the agg_ttest_welch "
+         "convention) rounded at 6dp.  Scale shape: ONE user_id "
+         "shuffle for the per-user step MINs (the funnel cost "
+         "model), then a 2-row variant rollup pivoted in a 1-row "
+         "aggregate — the statistics run on 4 integers however "
+         "large the corpus.")
+def events_ab_lift_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    steps = (ev.select("user_id",
+                       F.expr("user_id % 2").alias("variant"),
+                       "event_type", "ts")
+             .groupBy("user_id")
+             .agg(F.max("variant").alias("variant"),
+                  F.min(F.when(F.col("event_type") == "click",
+                               F.col("ts"))).alias("t_click"),
+                  F.min(F.when(F.col("event_type") == "purchase",
+                               F.col("ts"))).alias("t_purchase")))
+    conv = (steps.groupBy("variant")
+            .agg(F.count("*").cast("long").alias("n_users"),
+                 F.sum(F.when(F.col("t_click").isNotNull()
+                              & (F.col("t_purchase") > F.col("t_click")),
+                              1).otherwise(0)).cast("long")
+                 .alias("n_conv")))
+    wide = conv.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users")))
+        .alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_conv")))
+        .alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users")))
+        .alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_conv")))
+        .alias("c1"))
+    return wide.selectExpr(
+        "n0", "c0", "n1", "c1",
+        "(1000 * c0) div n0 AS rate0_milli",
+        "(1000 * c1) div n1 AS rate1_milli",
+        "ROUND((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)"
+        " / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))"
+        " * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))"
+        " * (1.0D / n0 + 1.0D / n1)), 6) AS z_score")

@@ -671,3 +671,143 @@ def sample_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("fold", "lang", "n", "lang_total",
                     F.expr("(1000 * n) div lang_total")
                     .alias("share_milli")))
+
+
+#: Poisson(1) pmf, cumulative, in integer per-mille — the replicate
+#: weight gate for the deterministic bootstrap (public constants;
+#: no exp()/factorial enters either engine).
+#: P(k): 368, 368, 184, 61, 15, 3, rest -> cum: 368 736 920 981 996 999
+_POIS_W = ("CASE WHEN {u} < 368 THEN 0 WHEN {u} < 736 THEN 1 "
+           "WHEN {u} < 920 THEN 2 WHEN {u} < 981 THEN 3 "
+           "WHEN {u} < 996 THEN 4 WHEN {u} < 999 THEN 5 ELSE 6 END")
+_BOOT_B = 32
+
+
+def _boot_perm_params(num: int = _BOOT_B) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) for the replicate-draw family
+    u_j(h) = ((a_j*h32 + b_j) mod 4294967311) mod 1000 — md5-derived
+    from the index alone (the minhash_perm_params convention), so one
+    md5 per ROW serves all replicates instead of one md5 per
+    (row, replicate): the exact num_hashes-fold hashing saving
+    operators.dedup documents for signatures. a_j odd, below 2^28."""
+    import hashlib
+
+    def _c(tag: str, j: int) -> int:
+        return int(hashlib.md5(f"bootstrap-{tag}-{j}".encode())
+                   .hexdigest()[:7], 16)
+
+    return [(_c("a", j) | 1, _c("b", j)) for j in range(num)]
+
+
+_BOOT_A_SQL = "[" + ", ".join(str(a) for a, _ in _boot_perm_params()) + "]"
+_BOOT_B_SQL = "[" + ", ".join(str(b) for _, b in _boot_perm_params()) + "]"
+_BOOT_A_SPARK = ("array(" + ", ".join(
+    f"{a}L" for a, _ in _boot_perm_params()) + ")")
+_BOOT_B_SPARK = ("array(" + ", ".join(
+    f"{b}L" for _, b in _boot_perm_params()) + ")")
+
+
+@register("sample_poisson_bootstrap_mean", oracle=f"""
+WITH h AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         (CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+               AS BIGINT) % 4294967296) AS h32
+  FROM orders
+), rep AS (
+  SELECT b.b AS b, h.cents,
+         {_POIS_W.format(u=f"((({_BOOT_A_SQL}[CAST(b.b + 1 AS INTEGER)] * h.h32 + {_BOOT_B_SQL}[CAST(b.b + 1 AS INTEGER)]) % 4294967311) % 1000)")} AS w
+  FROM h CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b) b
+), means AS (
+  SELECT CAST(b AS BIGINT) AS b,
+         CAST(SUM(w) AS BIGINT) AS n_eff,
+         ROUND(CAST(SUM(CAST(w * cents AS DECIMAL(38,0)))
+                    AS DOUBLE) / SUM(w), 6) AS mean_cents
+  FROM rep GROUP BY b
+), q AS (
+  SELECT b, n_eff, mean_cents,
+         CAST(floor(mean_cents * 1000000 + 0.5) AS BIGINT) AS mq
+  FROM means
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nb,
+         CAST(SUM(CAST(mq AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS smq,
+         CAST(SUM(CAST(mq AS DECIMAL(38,0))
+                  * CAST(mq AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS smq2
+  FROM q
+)
+SELECT q.b, q.n_eff, q.mean_cents,
+       ROUND(CAST(s.smq AS DOUBLE) / s.nb / 1000000.0, 6)
+         AS boot_mean_cents,
+       ROUND(sqrt((CAST(s.smq2 AS DOUBLE) - CAST(s.smq AS DOUBLE)
+                   * CAST(s.smq AS DOUBLE) / s.nb) / (s.nb - 1))
+             / 1000000.0, 6) AS boot_se_cents
+FROM q CROSS JOIN s
+""", doc="Deterministic Poisson bootstrap of the order-total mean — "
+         "the distributed bootstrap (Poisson(1) replicate weights "
+         "instead of multinomial resampling, the trick that makes "
+         "bootstrapping embarrassingly parallel at any scale): each "
+         "(row, replicate b) draws its weight from the Poisson(1) "
+         "pmf held as integer per-mille LITERALS (no exp/factorial "
+         "in either engine) gated on a universal-hash family over "
+         "ONE md5 per row ((a_b*h32 + b_b) mod p mod 1000, "
+         "md5-derived literal coefficients — the minhash signature "
+         "lesson: never pay B hashes per row for B draws) — every "
+         "draw replayable bit-for-bit, the engine's no-rand() "
+         "convention. "
+         " Per-replicate weighted means from exact integer/decimal "
+         "sums; the bootstrap SE of the mean — the CI machinery — "
+         "from the 32 replicate means floor-quantized to micros so "
+         "the across-replicate moments are exact integers too "
+         "(sqrt-only double tree at the end).  Scale shape: ONE "
+         "corpus scan exploded x32 (the replicate dimension rides "
+         "the scan, no reshuffle of the corpus), one "
+         "map-side-combined 32-key agg, stats on the 32-row "
+         "aggregate broadcast back.")
+def sample_poisson_bootstrap_mean(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    # The x32 explode + gate costs ~32 expression evals per input
+    # row; round-robin the corpus first so that stage's parallelism
+    # comes from the cluster, not the input file layout (the
+    # ann_pq_adc/_spread rationale — a single-row-group parquet
+    # otherwise serializes it into one task).
+    o = (load_table(spark, sf_dir, "orders")
+         .repartition(spark.sparkContext.defaultParallelism))
+    u = (f"pmod(pmod(element_at({_BOOT_A_SPARK}, CAST(b AS INT) + 1)"
+         f" * h32 + element_at({_BOOT_B_SPARK}, CAST(b AS INT) + 1),"
+         f" 4294967311L), 1000L)")
+    rep = (o.select(
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+        .alias("cents"),
+        F.expr("pmod(CAST(conv(substring(md5(CAST(o_orderkey AS "
+               "STRING)), 1, 15), 16, 10) AS BIGINT), 4294967296L)")
+        .alias("h32"),
+        F.explode(F.expr(f"sequence(0, {_BOOT_B - 1})")).alias("b"))
+           .select("b", "cents",
+                   F.expr(_POIS_W.format(u=u)).alias("w")))
+    means = (rep.groupBy("b")
+             .agg(F.sum("w").cast("long").alias("n_eff"),
+                  F.round(F.sum(F.expr("CAST(w * cents AS "
+                                       "DECIMAL(38,0))"))
+                          .cast("double") / F.sum("w"), 6)
+                  .alias("mean_cents"))
+             .select(F.col("b").cast("long").alias("b"), "n_eff",
+                     "mean_cents",
+                     F.expr("CAST(floor(mean_cents * 1000000 + 0.5) "
+                            "AS BIGINT)").alias("mq"))
+             # Materialize the 32-row replicate table once: the SE
+             # branch and the output both read it, and without this
+             # the stats branch re-runs the corpus x32 explode (the
+             # Markov-step double-eval lesson; plan-pinned).
+             .localCheckpoint(eager=True))
+    s = means.agg(
+        F.count("*").cast("long").alias("nb"),
+        F.sum(F.col("mq").cast("decimal(38,0)")).alias("smq"),
+        F.sum(F.col("mq").cast("decimal(38,0)")
+              * F.col("mq").cast("decimal(38,0)")).alias("smq2"))
+    return (means.crossJoin(F.broadcast(s))
+            .selectExpr(
+                "b", "n_eff", "mean_cents",
+                "ROUND(CAST(smq AS DOUBLE) / nb / 1000000.0, 6)"
+                " AS boot_mean_cents",
+                "ROUND(sqrt((CAST(smq2 AS DOUBLE) - CAST(smq AS "
+                "DOUBLE) * CAST(smq AS DOUBLE) / nb) / (nb - 1))"
+                " / 1000000.0, 6) AS boot_se_cents"))

@@ -1121,3 +1121,61 @@ def warehouse_partition_stats_skew(spark: SparkSession,
                     .alias("size_rank"),
                     F.expr("(1000 * n_rows * n_parts) div total")
                     .alias("rel_to_even_milli")))
+
+
+#: The deterministic "forget these users" request list for the GDPR
+#: audit: every 97th user — replayable on both engines, ~1% of keys.
+_GDPR_PRED = "user_id % 97 = 0"
+
+
+@register("warehouse_gdpr_delete_audit", oracle=f"""
+WITH req AS (
+  SELECT DISTINCT user_id FROM events WHERE {_GDPR_PRED}
+), purged AS (
+  SELECT e.user_id, e.event_id, e.event_type FROM events e
+  WHERE e.user_id NOT IN (SELECT user_id FROM req)
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM req) AS n_requests,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS rows_before,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM purged) AS rows_after,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM events)
+         - (SELECT CAST(COUNT(*) AS BIGINT) FROM purged)
+         AS rows_purged,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM purged p
+        JOIN req r ON p.user_id = r.user_id) AS residue_rows,
+       (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM purged)
+         AS users_after
+""", doc="Right-to-be-forgotten (GDPR Article 17) deletion with a "
+         "verifiable audit — the compliance job every user-data "
+         "warehouse schedules: a deterministic request list (every "
+         "97th user — stand-in for the requests table), the purge as "
+         "an ANTI JOIN (the shape a Delta DELETE WHERE compiles to), "
+         "and the AUDIT ROW a DPO can file: requests honored, rows "
+         "before/after/purged, residue count — with residue "
+         "hash-PINNED at whatever the purge actually leaves, so any "
+         "leak (a retry race, a partition missed by predicate "
+         "pushdown) breaks the gate.  Scale shape: the request list "
+         "broadcasts (deletion requests are tiny vs the corpus); the "
+         "purge is one broadcast anti-join scan; the residue check "
+         "re-joins the purged scan against the same broadcast — at "
+         "100 TB this composes with dynamic partition overwrite "
+         "(warehouse_backfill_partition) to rewrite only affected "
+         "files.")
+def warehouse_gdpr_delete_audit(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    req = (ev.filter(F.expr(_GDPR_PRED))
+           .select("user_id").distinct())
+    purged = ev.join(F.broadcast(req), "user_id", "left_anti")
+    residue = purged.join(F.broadcast(req), "user_id", "inner")
+    n_req = req.agg(F.count("*").cast("long").alias("n_requests"))
+    before = ev.agg(F.count("*").cast("long").alias("rows_before"))
+    after = purged.agg(
+        F.count("*").cast("long").alias("rows_after"),
+        F.countDistinct("user_id").cast("long").alias("users_after"))
+    res = residue.agg(F.count("*").cast("long").alias("residue_rows"))
+    return (n_req.crossJoin(before).crossJoin(after).crossJoin(res)
+            .select("n_requests", "rows_before", "rows_after",
+                    (F.col("rows_before") - F.col("rows_after"))
+                    .alias("rows_purged"),
+                    "residue_rows", "users_after"))

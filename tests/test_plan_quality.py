@@ -1207,3 +1207,37 @@ def test_partition_stats_calendar_grain(spark):
     assert "BatchEvalPython" not in plan
     assert "partial_count" in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_ab_lift_one_user_shuffle_stats_on_scalar(spark):
+    """The A/B funnel lift: one user_id shuffle for the step MINs
+    (the funnel cost model); the z statistic runs on a 1-row pivot —
+    no join, no Python."""
+    plan = plan_of(spark, "events_ab_lift_funnel")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_gdpr_purge_broadcast_antijoin(spark):
+    """The GDPR purge must be a broadcast ANTI join (requests are
+    tiny vs the corpus) and the residue check a broadcast inner
+    re-join — never a shuffled join of the corpus against itself."""
+    plan = plan_of(spark, "warehouse_gdpr_delete_audit")
+    assert "LeftAnti, BuildRight" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_poisson_bootstrap_replicates_ride_the_scan(spark):
+    """The bootstrap's replicate dimension must ride the scan (one
+    explode, no corpus reshuffle), and the corpus x32 pass must run
+    ONCE: the replicate table localCheckpoints, so the final plan
+    reads the materialized 32 rows (Scan ExistingRDD) with zero hash
+    exchanges — a surviving hashpartitioning(b) would mean the SE
+    branch re-ran the explode (the double-eval bug)."""
+    plan = plan_of(spark, "sample_poisson_bootstrap_mean")
+    assert "BatchEvalPython" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" in plan

@@ -87,7 +87,8 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
 #: sample_kfold_assign, embedding_dim_variance_prune,
 #: text_kneser_ney_counts, events_markov_stationary_step,
 #: events_ab_lift_funnel, warehouse_gdpr_delete_audit,
-#: sample_poisson_bootstrap_mean,
+#: sample_poisson_bootstrap_mean, parts_skyline_pareto,
+#: events_gap_percentiles,
 #: warehouse_partition_stats_skew,
 #: graph_kcore_peel and text_cdc_chunks, the round-7
 #: queries registered after

@@ -1652,3 +1652,71 @@ def events_ab_lift_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))"
         " * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))"
         " * (1.0D / n0 + 1.0D / n1)), 6) AS z_score")
+
+
+@register("events_gap_percentiles", oracle=f"""
+WITH g AS (
+  SELECT event_type,
+         (epoch_ns(ts) - lag(epoch_ns(ts))
+            OVER (PARTITION BY event_type ORDER BY ts, event_id))
+           // 1000000000 AS gap_s
+  FROM events
+), c AS (
+  SELECT event_type, gap_s, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM g WHERE gap_s IS NOT NULL GROUP BY event_type, gap_s
+), cum AS (
+  SELECT event_type, gap_s, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY gap_s)
+           AS below_eq,
+         SUM(cnt) OVER (PARTITION BY event_type) AS total
+  FROM c
+)
+SELECT event_type,
+       CAST(MIN(CASE WHEN 100 * below_eq >= 50 * total
+                THEN gap_s END) AS BIGINT) AS p50_s,
+       CAST(MIN(CASE WHEN 100 * below_eq >= 90 * total
+                THEN gap_s END) AS BIGINT) AS p90_s,
+       CAST(MIN(CASE WHEN 100 * below_eq >= 99 * total
+                THEN gap_s END) AS BIGINT) AS p99_s,
+       CAST(MAX(gap_s) AS BIGINT) AS max_s,
+       CAST(MIN(total) AS BIGINT) AS n_gaps
+FROM cum GROUP BY event_type
+""", doc="Exact inter-arrival-time percentiles per event type — the "
+         "latency-SLO readout (p50/p90/p99 waiting time) computed "
+         "EXACTLY, not sketched: gaps from the per-type lag pass "
+         "(the outage-gaps machinery), quantized to whole seconds, "
+         "then the profile_key_skew count-of-counts rewrite — "
+         "percentile ranks resolve on the DISTINCT-GAP-VALUE table "
+         "(bounded by the second grid, never |events| rows in a "
+         "window), discrete pick via the integer cross-product "
+         "compare 100*cum >= q*total (no float rank math).  Scale "
+         "shape: one event_type shuffle for the lag, one map-side-"
+         "combined (type, gap_s) count, cumulative windows over "
+         "distinct VALUES only — the same query over a billion "
+         "events windows over at most ~86400 x |types| rows.")
+def events_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        F.expr("(ts - lag(ts) OVER (PARTITION BY event_type "
+               "ORDER BY ts, event_id)) div 1000000000").alias("gap_s"))
+    c = (g.filter(F.col("gap_s").isNotNull())
+         .groupBy("event_type", "gap_s")
+         .agg(F.count("*").cast("long").alias("cnt")))
+    wc = W.partitionBy("event_type").orderBy("gap_s")
+    wt = W.partitionBy("event_type")
+    cum = c.select("event_type", "gap_s", "cnt",
+                   F.sum("cnt").over(wc).alias("below_eq"),
+                   F.sum("cnt").over(wt).alias("total"))
+
+    def pick(q: int, alias: str):
+        return F.min(F.when(100 * F.col("below_eq")
+                            >= q * F.col("total"),
+                            F.col("gap_s"))).cast("long").alias(alias)
+
+    return (cum.groupBy("event_type")
+            .agg(pick(50, "p50_s"), pick(90, "p90_s"),
+                 pick(99, "p99_s"),
+                 F.max("gap_s").cast("long").alias("max_s"),
+                 F.min("total").cast("long").alias("n_gaps")))

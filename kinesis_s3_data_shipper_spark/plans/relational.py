@@ -2666,3 +2666,54 @@ def agg_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(b1, 6) AS beta_qty",
         "ROUND(b2, 6) AS beta_disc_milli",
         "ROUND((b1 * s1y + b2 * s2y) / syy_c, 6) AS r2")
+
+
+@register("parts_skyline_pareto", oracle="""
+WITH agg AS (
+  SELECT p_size, CAST(floor(MIN(p_retailprice) * 100 + 0.5) AS BIGINT)
+           AS best_cents
+  FROM part GROUP BY p_size
+), sky AS (
+  SELECT p_size, best_cents,
+         MIN(best_cents) OVER (ORDER BY p_size DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS better_above
+  FROM agg
+)
+SELECT p_size, best_cents,
+       CASE WHEN better_above IS NULL OR best_cents < better_above
+            THEN 1 ELSE 0 END AS on_skyline
+FROM sky
+""", doc="Pareto-dominance skyline (maximize size, minimize price) — "
+         "the multi-objective selection operator SQL standardized as "
+         "SKYLINE OF and Spark never shipped: a point is on the "
+         "skyline iff no other point is at least as good on both "
+         "axes and better on one.  The naive formulation is an "
+         "all-pairs dominance anti-join (quadratic); the scalable "
+         "rewrite here AGGREGATES FIRST — per size, the best "
+         "(cheapest) price, a map-side-combined |sizes|-key agg — "
+         "then resolves dominance on the tiny aggregate with ONE "
+         "running-min window ordered by size descending: a size is "
+         "dominated iff some strictly larger size is at least as "
+         "cheap.  Every original size rides out with its "
+         "on_skyline flag, so the dominance decisions themselves "
+         "are hash-checked.  Prices floor-quantize to integer "
+         "cents (+0.5: identical doubles, identical rounding).  "
+         "Scale shape: the corpus term is the one pre-agg; the "
+         "window runs over <=|distinct sizes| rows — the skyline "
+         "generalization to k objectives batches the same pre-agg "
+         "per objective pair.")
+def parts_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    agg = (p.groupBy("p_size")
+           .agg(F.expr("CAST(floor(MIN(p_retailprice) * 100 + 0.5) "
+                       "AS BIGINT)").alias("best_cents")))
+    w = (W.orderBy(F.desc("p_size"))
+         .rowsBetween(W.unboundedPreceding, -1))
+    sky = agg.select("p_size", "best_cents",
+                     F.min("best_cents").over(w).alias("better_above"))
+    return sky.select(
+        "p_size", "best_cents",
+        F.when(F.col("better_above").isNull()
+               | (F.col("best_cents") < F.col("better_above")), 1)
+        .otherwise(0).alias("on_skyline"))

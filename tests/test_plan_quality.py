@@ -1241,3 +1241,25 @@ def test_poisson_bootstrap_replicates_ride_the_scan(spark):
     assert "Scan ExistingRDD" in plan
     assert "Exchange hashpartitioning" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_skyline_aggregate_first_rewrite(spark):
+    """The skyline must be the aggregate-first rewrite: one map-side
+    combined |sizes|-key pre-agg, dominance via one running-min window
+    on the tiny aggregate — never an all-pairs dominance join."""
+    plan = plan_of(spark, "parts_skyline_pareto")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "partial_min" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_gap_percentiles_distinct_value_windows(spark):
+    """Gap percentiles: one event_type shuffle for the lag, one
+    map-side (type, gap_s) count, cumulative windows over distinct
+    VALUES only; no join, no Python, no global window."""
+    plan = plan_of(spark, "events_gap_percentiles")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "SinglePartition" not in plan
+    assert "partial_count" in plan

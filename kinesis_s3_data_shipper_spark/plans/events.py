@@ -1696,7 +1696,6 @@ FROM cum GROUP BY event_type
          "events windows over at most ~86400 x |types| rows.")
 def events_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("event_type").orderBy("ts", "event_id")
     g = ev.select(
         "event_type",
         F.expr("(ts - lag(ts) OVER (PARTITION BY event_type "

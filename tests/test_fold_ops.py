@@ -143,3 +143,105 @@ def test_bestfit_packing_matches_python_reference(spark):
         assert r.total_tok == sum(lens)
         assert r.n_bins >= r.lower_bound
         assert r.max_load <= _PACK_CAP
+
+
+@pytest.fixture(scope="module")
+def fsm_sf_dir(spark, tmp_path_factory):
+    """Events with adversarial pattern sequences: clicks re-anchoring
+    inside view runs, purchases with no open prefix, back-to-back
+    full matches, duplicate timestamps, and noise symbols."""
+    rng = np.random.default_rng(20260816)
+    types = ["click", "view", "purchase", "error", "signup"]
+    rows = []
+    eid = 0
+    base = 1_700_000_000_000_000
+    for uid in range(60):
+        n = int(rng.integers(1, 80))
+        t = base + int(rng.integers(0, 10**9))
+        for _ in range(n):
+            t += int(rng.integers(0, 2))  # frequent duplicate ts
+            rows.append((eid, t, uid,
+                         types[int(rng.integers(0, 5))],
+                         1.0, "{}"))
+            eid += 1
+    d = tmp_path_factory.mktemp("fsm_events")
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_us long, user_id long,"
+              " event_type string, value double, props string")
+    (df.selectExpr("event_id", "timestamp_micros(ts_us) AS ts",
+                   "user_id", "event_type", "value", "props")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(str(d), "events.parquet")))
+    return str(d)
+
+
+def test_match_recognize_fold_matches_python_reference(spark, fsm_sf_dir):
+    """The MATCH_RECOGNIZE packed-int FSM must equal the automaton as
+    you'd write it imperatively, on adversarial sequences — so an
+    encoding bug shared by the Spark CASE and the oracle CASE cannot
+    hide behind the hash gate."""
+    from kinesis_s3_data_shipper_spark.sources.tables import load_table
+
+    ev = load_table(spark, fsm_sf_dir, "events")
+    rows = ev.select("user_id", "ts", "event_id", "event_type").collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(
+            (r.ts, r.event_id, r.event_type))
+    code = {"click": 1, "view": 2, "purchase": 3}
+    want = {}
+    for uid, evs in by_user.items():
+        m, s = 0, 0
+        for _, _, et in sorted(evs):
+            x = code.get(et, 0)
+            if x == 1:
+                s = 1
+            elif x == 2 and s in (1, 2):
+                s = 2
+            elif x == 3 and s == 2:
+                m, s = m + 1, 0
+            else:
+                s = 0
+        want[uid] = (len(evs), m, s)
+
+    got = {r.user_id: (r.n_events, r.n_matches, r.final_state)
+           for r in REGISTRY["events_match_recognize"]
+           .spark(spark, fsm_sf_dir).collect()}
+    assert got == want
+    # The fixture must actually exercise matches and open states.
+    assert any(m > 0 for _, m, _ in want.values())
+    assert any(s != 0 for _, _, s in want.values())
+
+
+def test_poisson_bootstrap_weights_follow_pmf(spark):
+    """The universal-hash replicate draws must actually be Poisson(1):
+    across all (row, replicate) draws on real data, the empirical
+    weight frequencies must sit within 3% absolute of the pmf
+    literals, and the mean weight within 2% of 1 — guarding the
+    (a_j*h + b_j) family against a coefficient/modulus bug that the
+    oracle (which replays the same family) could never catch."""
+    from pyspark.sql import functions as F
+
+    from kinesis_s3_data_shipper_spark.plans.sampling import (
+        _BOOT_A_SPARK, _BOOT_B_SPARK, _BOOT_B, _POIS_W)
+    from kinesis_s3_data_shipper_spark.sources.tables import load_table
+
+    o = load_table(spark, os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"), "orders")
+    u = (f"pmod(pmod(element_at({_BOOT_A_SPARK}, CAST(b AS INT) + 1)"
+         f" * h32 + element_at({_BOOT_B_SPARK}, CAST(b AS INT) + 1),"
+         f" 4294967311L), 1000L)")
+    freq = (o.select(
+        F.expr("pmod(CAST(conv(substring(md5(CAST(o_orderkey AS "
+               "STRING)), 1, 15), 16, 10) AS BIGINT), 4294967296L)")
+        .alias("h32"),
+        F.explode(F.expr(f"sequence(0, {_BOOT_B - 1})")).alias("b"))
+        .select(F.expr(_POIS_W.format(u=u)).alias("w"))
+        .groupBy("w").count().collect())
+    counts = {r.w: r["count"] for r in freq}
+    total = sum(counts.values())
+    pmf = {0: .368, 1: .368, 2: .184, 3: .061, 4: .015, 5: .003}
+    for k, p in pmf.items():
+        assert abs(counts.get(k, 0) / total - p) < 0.03, (k, counts)
+    mean_w = sum(k * c for k, c in counts.items()) / total
+    assert abs(mean_w - 1.0) < 0.02

@@ -197,3 +197,18 @@ ORDER BY doc_id, chunk_id""").fetchall()
         pre += 1
     assert pre + tail >= len(a) - 2, (pre, tail, len(a))
     assert tail >= 3 and pre >= 3
+
+
+def test_gdpr_purge_leaves_zero_residue(spark):
+    """The purge invariant stated outright (the oracle pins residue at
+    whatever the purge leaves — this pins that it leaves NOTHING):
+    every requested user's rows are gone, purged == their row count,
+    and the audit's arithmetic is internally consistent."""
+    from kinesis_s3_data_shipper_spark.plans import REGISTRY, all_queries
+    all_queries()
+    r = (REGISTRY["warehouse_gdpr_delete_audit"]
+         .spark(spark, "/root/testdata/sf0.01").collect()[0])
+    assert r.residue_rows == 0
+    assert r.rows_purged > 0
+    assert r.rows_before == r.rows_after + r.rows_purged
+    assert r.n_requests > 0

@@ -1263,3 +1263,52 @@ def test_gap_percentiles_distinct_value_windows(spark):
     assert "BatchEvalPython" not in plan
     assert "SinglePartition" not in plan
     assert "partial_count" in plan
+
+
+def test_tfidf_no_python_dictionary_joins(spark):
+    """TF-IDF top terms: token stats shuffle on doc/term keys with
+    map-side combines, df joins at dictionary scale, top-k via a
+    per-doc window — no Python, no cartesian."""
+    plan = plan_of(spark, "text_tfidf_top_terms")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+
+
+def test_path_transitions_reuses_user_partitioning(spark):
+    """The Markov matrix: one user_id exchange for the lead() pass,
+    pair counts map-side combine to <=|types|^2 keys, probability
+    window over the tiny aggregate — no join, no Python."""
+    plan = plan_of(spark, "events_path_transitions")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "partial_count" in plan
+
+
+def test_rollup_is_expand_with_partial_agg(spark):
+    """ROLLUP must compile to the Expand operator feeding one
+    map-side-combined aggregation — never a union of per-level
+    rescans (N scans of the fact table at scale)."""
+    plan = plan_of(spark, "agg_rollup")
+    assert "Expand" in plan
+    assert "partial" in plan
+    assert "Union" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_triangle_count_degree_oriented_no_cartesian(spark):
+    """Degree-oriented triangle counting: the wedge self-join keys on
+    the oriented source (hash join), closing edges via a keyed
+    semi-join — no cartesian, no Python (the BroadcastNestedLoopJoin
+    Cross entries are the 1-row scalar assembly, allowed).  KNOWN
+    round-8 item (SCALE.md): the four output scalars each re-derive
+    the edge pipeline — the n_nodes/n_edges/n_wedges/n_triangles
+    branches should share one localCheckpointed edge/degree table
+    (the Markov/bootstrap double-eval fix); gated for next round
+    because a plan change would strand the query's external green row
+    at round end."""
+    plan = plan_of(spark, "graph_triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "LeftSemi" in plan

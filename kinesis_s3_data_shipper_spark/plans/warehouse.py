@@ -1164,8 +1164,12 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM req) AS n_requests,
 def warehouse_gdpr_delete_audit(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # Materialize the (tiny) request list once: it feeds the purge
+    # anti-join, the residue re-join and its own count — without the
+    # checkpoint each consumer re-runs the filtered scan + distinct.
     req = (ev.filter(F.expr(_GDPR_PRED))
-           .select("user_id").distinct())
+           .select("user_id").distinct()
+           .localCheckpoint(eager=True))
     purged = ev.join(F.broadcast(req), "user_id", "left_anti")
     residue = purged.join(F.broadcast(req), "user_id", "inner")
     n_req = req.agg(F.count("*").cast("long").alias("n_requests"))

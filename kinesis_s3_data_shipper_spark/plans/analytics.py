@@ -56,6 +56,14 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-row-per-user aggregates once and ties the blocks' lifetime
     # to these DataFrames — no cached blocks outlive the query call
     # (the same cache-lifetime fix events_funnel_window got in r07).
+    # Accepted trade-off vs persist+unpersist-in-finally: checkpointing
+    # DISCARDS lineage, so an executor lost between materialization
+    # and consumption fails the query instead of recomputing, and the
+    # eager materialization forecloses later branch pruning.  For
+    # these plans the checkpointed frames are aggregate-sized and the
+    # consumers run immediately, so the leak-proof lifetime wins; a
+    # long-lived production pipeline holding big frames across stages
+    # would flip to persist(MEMORY_AND_DISK) + try/finally unpersist.
     v = (ev.filter(F.col("event_type") == "view")
          .groupBy("user_id").agg(F.min("ts_us").alias("v_us"))
          .localCheckpoint(eager=True))
@@ -459,6 +467,91 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "s.n_distinct", "s.min_val", "s.max_val"))
 
 
+def _graph_ckpt(df: DataFrame) -> DataFrame:
+    """Materialize a graph-family intermediate ONCE so every consumer
+    branch reads the same blocks instead of re-deriving its lineage
+    from the parquet scans.  The co-purchase family (triangle count,
+    neighborhood Jaccard, k-core, Louvain) branches 2-5 consumers off
+    the basket-self-join edge build; without materialization the
+    executed plans repeat the full scan pipeline per branch (measured
+    in the r07 plan sweep: 248 parquet scans in k-core, 32 in the
+    Louvain step, ~10 edge rebuilds in triangle count) — invisible on
+    tiny local files, the dominant cost at 100 TB.
+
+    Storage level is DISK_ONLY by design, not default MEMORY_AND_DISK:
+    the naive checkpoint attempt pushed the downstream degree
+    aggregation into AGGREGATE_OUT_OF_MEMORY at the 10x scale step
+    once cached edge blocks claimed unified storage memory.  DISK_ONLY
+    keeps the materialized blocks out of the storage pool entirely —
+    aggregation keeps its full execution share, and the re-read is a
+    sequential local-disk scan, always cheaper than re-deriving a
+    basket self-join.  Accepted trade-off (same as the funnel family's
+    eager localCheckpoint): lineage is discarded, so an executor loss
+    between materialization and consumption fails the query instead of
+    recomputing — a cluster deployment would back these blocks with
+    reliable shuffle storage; the plan SHAPE is what carries to
+    100 TB."""
+    from pyspark.storagelevel import StorageLevel
+    return df.localCheckpoint(eager=True,
+                              storageLevel=StorageLevel.DISK_ONLY)
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str, *,
+                      weighted: bool = False) -> DataFrame:
+    """URGENT co-purchase part edges (s < d) — the shared front of the
+    whole graph family: parts are adjacent when they appear in the
+    same URGENT order.  ``weighted`` keeps the shared-order count as
+    edge weight (Louvain); otherwise edges are distinct.  The result
+    is checkpointed (see _graph_ckpt) because every caller branches
+    multiple consumers off it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    basket = (li.join(orders.filter(F.col("o_orderpriority") == "1-URGENT")
+                      .select("o_orderkey"),
+                      li.l_orderkey == F.col("o_orderkey"))
+              .select(F.col("l_orderkey").alias("okey"),
+                      F.col("l_partkey").alias("part"))
+              .distinct())
+    b2 = basket.select(F.col("okey").alias("okey2"),
+                       F.col("part").alias("part2"))
+    pairs = basket.join(b2, (F.col("okey") == F.col("okey2"))
+                        & (F.col("part") < F.col("part2")))
+    if weighted:
+        e = (pairs.groupBy(F.col("part").alias("s"),
+                           F.col("part2").alias("d"))
+             .agg(F.count("*").cast("long").alias("w")))
+    else:
+        e = (pairs.select(F.col("part").alias("s"),
+                          F.col("part2").alias("d"))
+             .distinct())
+    return _graph_ckpt(e)
+
+
+def _oriented_edges(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Degree table + degree-oriented edge list from a materialized
+    distinct edge list — the shared middle of the triangle/Jaccard
+    dataflow.  Each edge is oriented from its (degree, id)-smaller
+    endpoint (u -> v, carrying v's degree), which counts each triangle
+    once and bounds out-degrees by O(sqrt(E)).  Both outputs are
+    checkpointed: deg feeds the two orientation annotations plus the
+    callers' final degree joins, o feeds the wedge self-join (twice)
+    plus the closing-edge probe."""
+    deg = _graph_ckpt(
+        e.select(F.col("s").alias("node"))
+        .unionAll(e.select(F.col("d").alias("node")))
+        .groupBy("node").agg(F.count("*").alias("dg")))
+    ds = deg.select(F.col("node").alias("s"), F.col("dg").alias("sdg"))
+    dd = deg.select(F.col("node").alias("d"), F.col("dg").alias("ddg"))
+    ann = e.join(F.broadcast(ds), "s").join(F.broadcast(dd), "d")
+    lt = (F.col("sdg") < F.col("ddg")) | \
+         ((F.col("sdg") == F.col("ddg")) & (F.col("s") < F.col("d")))
+    o = _graph_ckpt(ann.select(
+        F.when(lt, F.col("s")).otherwise(F.col("d")).alias("u"),
+        F.when(lt, F.col("d")).otherwise(F.col("s")).alias("v"),
+        F.when(lt, F.col("ddg")).otherwise(F.col("sdg")).alias("vdg")))
+    return deg, o
+
+
 @register("graph_triangle_count", oracle="""
 WITH li AS (
   SELECT DISTINCT l.l_orderkey AS okey, l.l_partkey AS part
@@ -500,49 +593,34 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
          "sum(deg^2) on raw degrees (quadratic in the hub) into "
          "O(E^1.5) worst-case total. Dataflow: distinct edges, "
          "degree agg, two broadcast-degree annotations, wedge "
-         "self-join on the oriented source, closing-edge semi-join. "
+         "self-join on the oriented source, closing-edge probe. "
          "All-integer arithmetic; the oracle replays the identical "
-         "orientation rule.")
+         "orientation rule. The edge, degree and oriented-edge tables "
+         "are materialized ONCE (_graph_ckpt) so the four output "
+         "scalars' branches read the same blocks — the r07 executed "
+         "plan re-derived the basket self-join ~10x, once per branch; "
+         "and the wedge/triangle counts ride ONE pass over the wedge "
+         "join (closing-edge LEFT join + count of the match flag — "
+         "oriented edges are distinct so the left join never "
+         "duplicates) instead of counting wedges and semi-joining "
+         "them separately.")
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    basket = (li.join(orders.filter(F.col("o_orderpriority") == "1-URGENT")
-                      .select("o_orderkey"),
-                      li.l_orderkey == F.col("o_orderkey"))
-              .select(F.col("l_orderkey").alias("okey"),
-                      F.col("l_partkey").alias("part"))
-              .distinct())
-    b2 = basket.select(F.col("okey").alias("okey2"),
-                       F.col("part").alias("part2"))
-    e = (basket.join(b2, (F.col("okey") == F.col("okey2"))
-                     & (F.col("part") < F.col("part2")))
-         .select(F.col("part").alias("s"), F.col("part2").alias("d"))
-         .distinct())
-    deg = (e.select(F.col("s").alias("node"))
-           .unionAll(e.select(F.col("d").alias("node")))
-           .groupBy("node").agg(F.count("*").alias("dg")))
-    ds = deg.select(F.col("node").alias("s"), F.col("dg").alias("sdg"))
-    dd = deg.select(F.col("node").alias("d"), F.col("dg").alias("ddg"))
-    ann = (e.join(F.broadcast(ds), "s").join(F.broadcast(dd), "d"))
-    lt = (F.col("sdg") < F.col("ddg")) | \
-         ((F.col("sdg") == F.col("ddg")) & (F.col("s") < F.col("d")))
-    o = ann.select(
-        F.when(lt, F.col("s")).otherwise(F.col("d")).alias("u"),
-        F.when(lt, F.col("d")).otherwise(F.col("s")).alias("v"),
-        F.when(lt, F.col("ddg")).otherwise(F.col("sdg")).alias("vdg"))
+    e = _copurchase_edges(spark, sf_dir)
+    deg, o = _oriented_edges(e)
     o2 = o.select(F.col("u").alias("u2"), F.col("v").alias("v2"),
                   F.col("vdg").alias("vdg2"))
     wlt = (F.col("vdg") < F.col("vdg2")) | \
           ((F.col("vdg") == F.col("vdg2")) & (F.col("v") < F.col("v2")))
     w = (o.join(o2, F.col("u") == F.col("u2")).filter(wlt)
          .select(F.col("v").alias("a"), F.col("v2").alias("b")))
-    closing = o.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    tri = w.join(closing, ["a", "b"], "left_semi")
+    closing = o.select(F.col("u").alias("a"), F.col("v").alias("b"),
+                       F.lit(1).alias("cl"))
+    wt = (w.join(closing, ["a", "b"], "left")
+          .agg(F.count("*").cast("long").alias("n_wedges"),
+               F.count("cl").cast("long").alias("n_triangles")))
     return (deg.agg(F.count("*").cast("long").alias("n_nodes"))
             .crossJoin(e.agg(F.count("*").cast("long").alias("n_edges")))
-            .crossJoin(w.agg(F.count("*").cast("long").alias("n_wedges")))
-            .crossJoin(tri.agg(F.count("*").cast("long")
-                               .alias("n_triangles"))))
+            .crossJoin(wt))
 
 
 @register("basket_pair_lift", oracle="""
@@ -928,34 +1006,14 @@ JOIN deg db ON c.pb = db.node
          "common/(deg_a+deg_b-common) is one exact-integer-fed "
          "division. Scale shape: distinct-edge and degree aggs, "
          "broadcast degree annotations, the bounded wedge join, and "
-         "a triangle-sized shuffle — all keyed, nothing all-pairs.")
+         "a triangle-sized shuffle — all keyed, nothing all-pairs; "
+         "the edge/degree/oriented tables are materialized once "
+         "(_graph_ckpt) and shared across the wedge join's two sides, "
+         "the closing probe and the final degree annotations, instead "
+         "of re-deriving the basket self-join per branch.")
 def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    basket = (li.join(orders.filter(F.col("o_orderpriority") == "1-URGENT")
-                      .select("o_orderkey"),
-                      li.l_orderkey == F.col("o_orderkey"))
-              .select(F.col("l_orderkey").alias("okey"),
-                      F.col("l_partkey").alias("part"))
-              .distinct())
-    b2 = basket.select(F.col("okey").alias("okey2"),
-                       F.col("part").alias("part2"))
-    e = (basket.join(b2, (F.col("okey") == F.col("okey2"))
-                     & (F.col("part") < F.col("part2")))
-         .select(F.col("part").alias("s"), F.col("part2").alias("d"))
-         .distinct())
-    deg = (e.select(F.col("s").alias("node"))
-           .unionAll(e.select(F.col("d").alias("node")))
-           .groupBy("node").agg(F.count("*").alias("dg")))
-    ds = deg.select(F.col("node").alias("s"), F.col("dg").alias("sdg"))
-    dd = deg.select(F.col("node").alias("d"), F.col("dg").alias("ddg"))
-    ann = (e.join(F.broadcast(ds), "s").join(F.broadcast(dd), "d"))
-    lt = (F.col("sdg") < F.col("ddg")) | \
-         ((F.col("sdg") == F.col("ddg")) & (F.col("s") < F.col("d")))
-    o = ann.select(
-        F.when(lt, F.col("s")).otherwise(F.col("d")).alias("u"),
-        F.when(lt, F.col("d")).otherwise(F.col("s")).alias("v"),
-        F.when(lt, F.col("ddg")).otherwise(F.col("sdg")).alias("vdg"))
+    e = _copurchase_edges(spark, sf_dir)
+    deg, o = _oriented_edges(e)
     o2 = o.select(F.col("u").alias("u2"), F.col("v").alias("v2"),
                   F.col("vdg").alias("vdg2"))
     wlt = (F.col("vdg") < F.col("vdg2")) | \
@@ -1102,48 +1160,42 @@ LEFT JOIN deg2 d2 ON d0.node = d2.node
         "combines; semi-joins hash on node id — at 100 TB the edge "
         "list is bucketed by u once and both semi-joins ride the "
         "bucketing; power-law hubs cost their degree, never "
-        "degree-squared.")
+        "degree-squared.  Every multi-consumer intermediate (the "
+        "undirected edge list and each round's survivors + degrees) "
+        "is materialized once via _graph_ckpt — the r07 executed plan "
+        "re-derived the edge build per consumer branch, 248 parquet "
+        "scans in total; now each source table is scanned once.")
 def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    basket = (li.join(orders.filter(F.col("o_orderpriority") == "1-URGENT")
-                      .select("o_orderkey"),
-                      li.l_orderkey == F.col("o_orderkey"))
-              .select(F.col("l_orderkey").alias("okey"),
-                      F.col("l_partkey").alias("part"))
-              .distinct())
-    b2 = basket.select(F.col("okey").alias("okey2"),
-                       F.col("part").alias("part2"))
-    e = (basket.join(b2, (F.col("okey") == F.col("okey2"))
-                     & (F.col("part") < F.col("part2")))
-         .select(F.col("part").alias("s"), F.col("part2").alias("d"))
-         .distinct())
-    und = (e.select(F.col("s").alias("u"), F.col("d").alias("v"))
-           .unionAll(e.select(F.col("d").alias("u"),
-                              F.col("s").alias("v"))))
+    e = _copurchase_edges(spark, sf_dir)
+    und = _graph_ckpt(
+        e.select(F.col("s").alias("u"), F.col("d").alias("v"))
+        .unionAll(e.select(F.col("d").alias("u"),
+                           F.col("s").alias("v"))))
 
-    def degrees(edges: DataFrame) -> DataFrame:
-        return (edges.groupBy(F.col("u").alias("node"))
-                .agg(F.count("*").cast("long").alias("dg")))
-
-    def peel(edges: DataFrame, deg: DataFrame) -> DataFrame:
-        alive = deg.filter(F.col("dg") >= _KCORE_K).select("node")
-        return (edges
-                .join(alive.withColumnRenamed("node", "u"), "u",
-                      "left_semi")
-                .join(alive.withColumnRenamed("node", "v"), "v",
-                      "left_semi"))
-
-    deg0 = degrees(und)
-    und1 = peel(und, deg0)
-    deg1 = degrees(und1)
-    und2 = peel(und1, deg1)
-    deg2 = degrees(und2)
+    deg0 = _graph_ckpt(_kcore_degrees(und))
+    und1 = _graph_ckpt(_kcore_peel(und, deg0))
+    deg1 = _graph_ckpt(_kcore_degrees(und1))
+    und2 = _kcore_peel(und1, deg1)
+    deg2 = _kcore_degrees(und2)
     return (deg0.select("node", F.col("dg").alias("deg0"))
             .join(deg1.select("node", F.col("dg").alias("deg1")),
                   "node", "left")
             .join(deg2.select("node", F.col("dg").alias("deg2")),
                   "node", "left"))
+
+
+def _kcore_degrees(edges: DataFrame) -> DataFrame:
+    return (edges.groupBy(F.col("u").alias("node"))
+            .agg(F.count("*").cast("long").alias("dg")))
+
+
+def _kcore_peel(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    alive = deg.filter(F.col("dg") >= _KCORE_K).select("node")
+    return (edges
+            .join(alive.withColumnRenamed("node", "u"), "u",
+                  "left_semi")
+            .join(alive.withColumnRenamed("node", "v"), "v",
+                  "left_semi"))
 
 
 #: Benford first-digit expectation, per mille: round(log10(1+1/d)*1000)
@@ -1211,7 +1263,12 @@ def profile_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("abs_dev_milli")))
 
 
-_LOUVAIN_ORACLE = """
+#: Shared CTE prefix of the Louvain oracles: weighted edges -> degrees
+#: -> 2m -> per-node best-gain neighbor (phase-1 merge decisions).
+#: graph_louvain_merge_step selects the decisions directly;
+#: graph_louvain_contract_step contracts communities and replays the
+#: identical merge rule on the contracted graph.
+_LOUVAIN_CTES = """
 WITH li AS (
   SELECT DISTINCT l.l_orderkey AS okey, l.l_partkey AS part
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -1240,6 +1297,9 @@ WITH li AS (
                             ORDER BY gain_num DESC, neighbor) AS rn
   FROM gains
 )
+"""
+
+_LOUVAIN_ORACLE = _LOUVAIN_CTES + """
 SELECT b.node, d.k AS k_node,
        CASE WHEN b.gain_num > 0 THEN b.neighbor ELSE b.node END
          AS community,
@@ -1262,35 +1322,46 @@ WHERE b.rn = 1
         "node's weighted degree, chosen community, and the winning "
         "gain numerator — all hash-checked.  Later Louvain rounds "
         "re-run this step with community-contracted edges (the "
-        "pagerank/kcore iterate-the-registered-step pattern).  Scale "
+        "phase-2 pass graph_louvain_contract_step registers).  Scale "
         "shape: one weighted-degree agg (map-side combined), two "
         "node-keyed joins annotating edge endpoints with degrees, "
         "the 2m scalar broadcast back, per-node argmax via max_by "
         "riding the edge list's u-partitioning — work linear in "
         "edges, and the degree-join is the same O(E) the triangle "
-        "family pays.")
+        "family pays.  The weighted edge list and degree table are "
+        "materialized once (_graph_ckpt) instead of re-deriving the "
+        "basket self-join per consumer branch (32 parquet scans in "
+        "the r07 executed plan).")
 def graph_louvain_merge_step(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    basket = (li.join(orders.filter(F.col("o_orderpriority") == "1-URGENT")
-                      .select("o_orderkey"),
-                      li.l_orderkey == F.col("o_orderkey"))
-              .select(F.col("l_orderkey").alias("okey"),
-                      F.col("l_partkey").alias("part"))
-              .distinct())
-    b2 = basket.select(F.col("okey").alias("okey2"),
-                       F.col("part").alias("part2"))
-    e = (basket.join(b2, (F.col("okey") == F.col("okey2"))
-                     & (F.col("part") < F.col("part2")))
-         .groupBy(F.col("part").alias("s"), F.col("part2").alias("d"))
-         .agg(F.count("*").cast("long").alias("w")))
-    und = (e.select(F.col("s").alias("u"), F.col("d").alias("v"), "w")
-           .unionAll(e.select(F.col("d").alias("u"),
-                              F.col("s").alias("v"), "w")))
-    deg = (und.groupBy(F.col("u").alias("node"))
-           .agg(F.sum("w").cast("long").alias("k")))
+    und, deg, m2 = _louvain_graph(spark, sf_dir)
+    return _louvain_merge_decision(und, deg, m2)
+
+
+def _louvain_graph(spark: SparkSession,
+                   sf_dir: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Weighted undirected co-purchase graph for the Louvain family:
+    both-direction edge list, weighted degrees, and the 2m scalar.
+    Edge list and degrees are checkpointed (multi-consumer)."""
+    ew = _copurchase_edges(spark, sf_dir, weighted=True)
+    und = _graph_ckpt(
+        ew.select(F.col("s").alias("u"), F.col("d").alias("v"), "w")
+        .unionAll(ew.select(F.col("d").alias("u"),
+                            F.col("s").alias("v"), "w")))
+    deg = _graph_ckpt(und.groupBy(F.col("u").alias("node"))
+                      .agg(F.sum("w").cast("long").alias("k")))
     m2 = deg.agg(F.sum("k").cast("long").alias("m2"))
+    return und, deg, m2
+
+
+def _louvain_merge_decision(und: DataFrame, deg: DataFrame,
+                            m2: DataFrame) -> DataFrame:
+    """The exact-integer Louvain merge rule over any weighted graph
+    (und: u/v/w both directions, deg: node/k, m2: 1-row scalar):
+    per-node argmax of 2m*w_uv - k_u*k_v, ties by neighbor id, stay
+    put when the best gain is <= 0.  Shared verbatim by the phase-1
+    merge step and the phase-2 contracted re-run, mirroring the
+    oracle's shared CTE prefix."""
     gains = (und
              .join(deg.select(F.col("node").alias("u"),
                               F.col("k").alias("ku")), "u")
@@ -1316,3 +1387,175 @@ def graph_louvain_merge_step(spark: SparkSession,
         .alias("community"),
         F.when(F.col("g") > 0, F.col("g")).otherwise(F.lit(0))
         .cast("long").alias("gain_num"))
+
+
+_LOUVAIN_CONTRACT_ORACLE = _LOUVAIN_CTES + """
+, comm AS (
+  SELECT b.node,
+         CASE WHEN b.gain_num > 0 THEN b.neighbor ELSE b.node END
+           AS community
+  FROM best b WHERE b.rn = 1
+), cund AS (
+  SELECT cu.community AS u, cv.community AS v,
+         CAST(SUM(und.w) AS BIGINT) AS w
+  FROM und
+  JOIN comm cu ON und.u = cu.node
+  JOIN comm cv ON und.v = cv.node
+  WHERE cu.community <> cv.community
+  GROUP BY cu.community, cv.community
+), cdeg AS (
+  SELECT c.community AS node, CAST(SUM(d.k) AS BIGINT) AS k
+  FROM deg d JOIN comm c ON d.node = c.node
+  GROUP BY c.community
+), gains2 AS (
+  SELECT cund.u AS node, cund.v AS neighbor,
+         m2.m2 * cund.w - du.k * dv.k AS gain_num
+  FROM cund
+  JOIN cdeg du ON cund.u = du.node
+  JOIN cdeg dv ON cund.v = dv.node
+  CROSS JOIN m2
+), best2 AS (
+  SELECT node, neighbor, gain_num,
+         row_number() OVER (PARTITION BY node
+                            ORDER BY gain_num DESC, neighbor) AS rn
+  FROM gains2
+)
+SELECT d.node, d.k AS k_node,
+       COALESCE(CASE WHEN b.gain_num > 0 THEN b.neighbor END, d.node)
+         AS community,
+       CASE WHEN b.gain_num > 0 THEN b.gain_num ELSE 0 END AS gain_num
+FROM cdeg d
+LEFT JOIN (SELECT * FROM best2 WHERE rn = 1) b ON d.node = b.node
+"""
+
+
+@register("graph_louvain_contract_step", oracle=_LOUVAIN_CONTRACT_ORACLE,
+    doc="Louvain PHASE 2 + the next merge pass (Blondel et al. 2008): "
+        "contract each phase-1 community to a super-node (cross-"
+        "community edge weights summed, intra-community edges folded "
+        "into the super-node's degree — k_C = sum of member degrees, "
+        "so 2m is INVARIANT under contraction and the same scalar "
+        "serves both levels), then replay the IDENTICAL exact-integer "
+        "merge rule on the contracted graph — proving the merge step "
+        "composes into the full Louvain loop the way "
+        "text_bpe_merge_2step proves BPE's iteration.  A super-node "
+        "whose edges are all internal has no move candidate and stays "
+        "put with gain 0 (cdeg LEFT JOIN decisions — the one case "
+        "phase 1 cannot hit, since every node there has an incident "
+        "edge by construction).  Output: per super-node weighted "
+        "degree, chosen community, winning gain numerator — all "
+        "integer, all hash-checked.  Scale shape: phase 1's plan plus "
+        "ONE community-keyed contraction agg (map-side combined; the "
+        "contracted graph is strictly smaller) and the same "
+        "linear-in-edges decision joins on it; the phase-1 decision "
+        "table is node-sized and checkpointed, never recomputed per "
+        "endpoint annotation.")
+def graph_louvain_contract_step(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    und, deg, m2 = _louvain_graph(spark, sf_dir)
+    comm = _graph_ckpt(_louvain_merge_decision(und, deg, m2)
+                       .select("node", "community"))
+    cund = _graph_ckpt(
+        und.join(comm.select(F.col("node").alias("u"),
+                             F.col("community").alias("cu")), "u")
+        .join(comm.select(F.col("node").alias("v"),
+                          F.col("community").alias("cv")), "v")
+        .filter(F.col("cu") != F.col("cv"))
+        .groupBy(F.col("cu").alias("u"), F.col("cv").alias("v"))
+        .agg(F.sum("w").cast("long").alias("w")))
+    cdeg = _graph_ckpt(
+        deg.join(comm, "node")
+        .groupBy(F.col("community").alias("node"))
+        .agg(F.sum("k").cast("long").alias("k")))
+    decided = _louvain_merge_decision(cund, cdeg, m2)
+    return (cdeg.select("node", F.col("k").alias("k_node"))
+            .join(decided.select("node",
+                                 F.col("community").alias("comm2"),
+                                 F.col("gain_num").alias("g2")),
+                  "node", "left")
+            .select("node", "k_node",
+                    F.coalesce("comm2", F.col("node")).alias("community"),
+                    F.coalesce("g2", F.lit(0)).cast("long")
+                    .alias("gain_num")))
+
+
+#: Upper bound on k-core peel rounds for the FIXPOINT query: the Spark
+#: loop exits early when a round peels nothing (peeling a fixpoint is
+#: the identity, so extra unrolled oracle rounds are no-ops and the
+#: two engines agree whether convergence takes 2 rounds or all 8).
+_KCORE_FIX_ROUNDS = 8
+
+
+def _kcore_fixpoint_sql(k: int, rounds: int) -> str:
+    """Unrolled-round ANSI oracle for the k-core fixpoint: identical
+    front (URGENT co-purchase edges) to _KCORE_ORACLE, then `rounds`
+    peel rounds; because peeling past the fixpoint is the identity,
+    the unrolled form equals the converged k-core whenever convergence
+    happens within `rounds` (and the Spark loop is capped at the same
+    bound, so the two agree even if it does not).  Every per-round CTE
+    is AS MATERIALIZED: each round references the previous one three
+    times (degree filter + two IN probes), so default CTE inlining
+    would expand the plan 3^rounds-fold — the SQL analogue of the very
+    lineage re-derivation the Spark side checkpoints away."""
+    parts = [f"""
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l.l_orderkey AS okey, l.l_partkey AS part
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderpriority = '1-URGENT'
+), e AS MATERIALIZED (
+  SELECT DISTINCT a.part AS s, b.part AS d
+  FROM li a JOIN li b ON a.okey = b.okey AND a.part < b.part
+), und0 AS MATERIALIZED (
+  SELECT s AS u, d AS v FROM e UNION ALL SELECT d AS u, s AS v FROM e
+)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""", a{r} AS MATERIALIZED (
+  SELECT u AS node FROM und{r - 1} GROUP BY u HAVING COUNT(*) >= {k}
+), und{r} AS MATERIALIZED (
+  SELECT u, v FROM und{r - 1}
+  WHERE u IN (SELECT node FROM a{r}) AND v IN (SELECT node FROM a{r})
+)""")
+    parts.append(f"""
+SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+FROM und{rounds} GROUP BY u""")
+    return "".join(parts)
+
+
+@register("graph_kcore_fixpoint", oracle=_kcore_fixpoint_sql(
+        _KCORE_K, _KCORE_FIX_ROUNDS),
+    doc="The CONVERGED k-core (k=5) of the URGENT co-purchase graph — "
+        "graph_kcore_peel's 2-round step iterated to fixpoint, "
+        "proving the registered loop body composes: peel rounds run "
+        "until no edge is dropped (checked by ONE driver-side long "
+        "per round, the surviving edge count — bounded driver state), "
+        "capped at 8 rounds; the oracle unrolls the same 8 rounds, "
+        "and since peeling a fixpoint is the identity the engines "
+        "agree wherever convergence lands.  Output: every surviving "
+        "node with its within-core degree (>= k by definition — the "
+        "invariant the parity test asserts).  Scale shape: per round "
+        "one map-side-combined degree agg + two node-keyed semi-joins "
+        "over the CHECKPOINTED survivor edge list (each round's "
+        "survivors are materialized once and feed the count, the "
+        "degree agg and the next peel — never a lineage chain "
+        "re-deriving all prior rounds, which is what makes iterative "
+        "Spark dataflows quadratic in rounds at 100 TB).")
+def graph_kcore_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _copurchase_edges(spark, sf_dir)
+    und = _graph_ckpt(
+        e.select(F.col("s").alias("u"), F.col("d").alias("v"))
+        .unionAll(e.select(F.col("d").alias("u"),
+                           F.col("s").alias("v"))))
+    n_edges = und.count()
+    for _ in range(_KCORE_FIX_ROUNDS):
+        # The degree table feeds BOTH semi-join sides of the peel; the
+        # node-sized checkpoint keeps the agg from running twice.
+        deg = _graph_ckpt(_kcore_degrees(und))
+        survived = _graph_ckpt(_kcore_peel(und, deg))
+        n_next = survived.count()
+        if n_next == n_edges:
+            break
+        und, n_edges = survived, n_next
+    else:
+        und = survived
+    return (und.groupBy(F.col("u").alias("node"))
+            .agg(F.count("*").cast("long").alias("core_deg")))

@@ -542,9 +542,11 @@ WITH s AS (
   FROM documents GROUP BY lang
 ), w AS (
   SELECT lang, n_h,
-         CAST(floor(n_h * sqrt(
-           CAST(n_h * sxx - sx * sx AS DOUBLE)
-             / (n_h * (n_h - 1))) * 1000) AS BIGINT) AS w_milli
+         CASE WHEN n_h < 2 THEN CAST(0 AS BIGINT) ELSE
+           CAST(floor(n_h * sqrt(
+             CAST(n_h * sxx - sx * sx AS DOUBLE)
+               / (n_h * (n_h - 1))) * 1000) AS BIGINT)
+         END AS w_milli
   FROM s
 ), tw AS (
   SELECT CAST(SUM(w_milli) AS BIGINT) AS tw FROM w
@@ -599,10 +601,20 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.sum(F.col("n_chars").cast("decimal(38,0)")
                     * F.col("n_chars").cast("decimal(38,0)"))
               .alias("sxx")))
+    # Singleton-stratum guard: n_h = 1 makes the variance term 0/0 ->
+    # NaN, whose BIGINT cast is engine-divergent (Spark: NULL, silently
+    # dropping the stratum; DuckDB: a hard cast error).  A 1-doc
+    # stratum has no measurable variance, so its Neyman weight is
+    # DEFINED as 0 on both sides (it can still win a largest-remainder
+    # unit only if every stratum is singleton — tw = 0 never divides
+    # because documents is non-empty implies some stratum has n_h >= 1
+    # and w_milli >= 0; an all-singleton corpus zeroes tw, which the
+    # fixtures exclude and the allocation would surface loudly).
     w = s.select(
         "lang", "n_h",
-        F.expr("CAST(floor(n_h * sqrt(CAST(n_h * sxx - sx * sx AS "
-               "DOUBLE) / (n_h * (n_h - 1))) * 1000) AS BIGINT)")
+        F.expr("CASE WHEN n_h < 2 THEN CAST(0 AS BIGINT) ELSE "
+               "CAST(floor(n_h * sqrt(CAST(n_h * sxx - sx * sx AS "
+               "DOUBLE) / (n_h * (n_h - 1))) * 1000) AS BIGINT) END")
         .alias("w_milli"))
     tot = w.agg(F.sum("w_milli").cast("long").alias("tw"))
     aw = w.crossJoin(F.broadcast(tot)).select(

@@ -1809,8 +1809,9 @@ WITH d AS (
 )
 SELECT p.doc_id, p.n_grams,
        COALESCE(n.n_novel, 0) AS n_novel,
-       ROUND(CAST(COALESCE(n.n_novel, 0) AS DOUBLE) / p.n_grams, 6)
-         AS novelty
+       CASE WHEN p.n_grams = 0 THEN 0.0 ELSE
+         ROUND(CAST(COALESCE(n.n_novel, 0) AS DOUBLE) / p.n_grams, 6)
+       END AS novelty
 FROM per_doc p LEFT JOIN novel n USING (doc_id)
 """, doc="First-occurrence n-gram novelty scoring — the contribution/"
          "freshness metric diversity-aware data selection ranks by "
@@ -1831,13 +1832,20 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode): the digest shuffle receives each (doc, gram) once with
     # NO (doc_id, gram) distinct exchange, and the per-doc gram count
     # is a scan-side projection, not an aggregation.
+    # Short-document guard (matches text_bigram_lm_score's): with <3
+    # words Spark's sequence(1, n-2) STEPS DOWN (start > stop), so the
+    # transform would evaluate slice(w, 0, 3) and throw — the oracle's
+    # range() is empty there instead.  Empty grams also zeroes n_grams,
+    # which the novelty division guards on both sides.
     d = docs.select(
         "doc_id",
         F.expr(
-            "array_distinct(transform("
+            "CASE WHEN size(split(text, ' ')) < 3"
+            " THEN CAST(array() AS ARRAY<STRING>)"
+            " ELSE array_distinct(transform("
             " sequence(1, size(split(text, ' ')) - 2),"
             " i -> md5(array_join(slice(split(text, ' '), i, 3),"
-            " ' '))))").alias("grams"))
+            " ' ')))) END").alias("grams"))
     per_doc = d.select(
         "doc_id", F.size("grams").cast("long").alias("n_grams"))
     g = d.select("doc_id", F.explode("grams").alias("gram"))
@@ -1848,8 +1856,10 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_grams",
                     F.coalesce("n_novel", F.lit(0)).cast("long")
                     .alias("n_novel"),
-                    F.round(F.coalesce("n_novel", F.lit(0)).cast("double")
-                            / F.col("n_grams"), 6).alias("novelty")))
+                            F.when(F.col("n_grams") == 0, F.lit(0.0))
+                    .otherwise(F.round(
+                        F.coalesce("n_novel", F.lit(0)).cast("double")
+                        / F.col("n_grams"), 6)).alias("novelty")))
 
 
 #: CDC boundary gate: a chunk boundary opens BEFORE word i (i>0) iff
@@ -1994,11 +2004,17 @@ LIMIT 20
          "bounds the result.")
 def text_kneser_ney_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # 1-word guard (the bpe_encode/pair_counts convention): Spark's
+    # sequence(2, 1) steps DOWN to [2, 1], so i=1 would evaluate
+    # element_at(w, 0) and throw; the oracle's range(2, len+1) is
+    # simply empty for len=1.  Explode drops the empty arrays.
     bi = (docs.select(F.split("text", " ").alias("w"))
           .select(F.explode(F.expr(
-              "transform(sequence(2, size(w)), "
+              "CASE WHEN size(w) < 2"
+              " THEN CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)"
+              " ELSE transform(sequence(2, size(w)), "
               "i -> struct(element_at(w, i - 1) AS w1, "
-              "element_at(w, i) AS w2))")).alias("b"))
+              "element_at(w, i) AS w2)) END")).alias("b"))
           .select("b.w1", "b.w2"))
     c2 = (bi.groupBy("w1", "w2")
           .agg(F.count("*").cast("long").alias("c")))

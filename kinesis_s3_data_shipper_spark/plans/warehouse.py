@@ -941,7 +941,6 @@ FROM v3 LEFT JOIN v2 ON v3.user_id = v2.user_id
          "Staging is mkdtemp-per-invocation (concurrent-session "
          "safe).")
 def warehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
     import tempfile
 
     from ..streaming.jobs import (_bucket_versions, _read_buckets,
@@ -979,9 +978,13 @@ def warehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
            .withColumn("added_n", F.col("n_latest") - F.col("n_v2"))
            .withColumn("added_sum",
                        F.col("sum_latest") - F.col("sum_v2")))
-    rows = out.collect()
-    shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    # Returned DISTRIBUTED: the result is corpus-keyed (one row per
+    # user), so collecting it to free the staging dir would be O(|users|)
+    # driver memory — against the repo's bounded-collect convention.
+    # The mkdtemp staging outlives the call instead (the evolve/backfill
+    # convention: OS/test-teardown owned), and the caller consumes the
+    # DataFrame lazily over the retained version files.
+    return out
 
 
 @register("warehouse_constraint_check", oracle="""

@@ -52,102 +52,59 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
 #: local sweep (correctness_local.py / tests/test_oracle_parity.py);
 #: this list ROTATES which ones land in the externally-verified window
 #: so the union across rounds converges on the whole registry.
-#: Round-7 window, in strict priority order (never-checked beats
-#: changed beats stale-checked; stale ranked by last-green round from
-#: CORRECTNESS_r0{1..6}.json): (1) queries with no external green row
-#: yet — the round-6 buzzer-beater multimodal_audio_chunks (the r06
-#: verdict's ask #2: slot 1) plus the two registered this round (the
-#: composed warehouse lifecycle, the chained 2-step BPE proof, the
-#: box-filter resize closing the multimodal quartet, the IVFPQ exact
-#: refine stage, the two-phase skew-safe distinct, the bloom
-#: runtime-filter join, the forward as-of, the hybrid
-#: lexical->semantic dedup);
-#: (2) queries whose plan or oracle changed this round — the PCA
-#: power-step vec_id-self-join removal, the funnel-window cache-leak
-#: fix (and the same persist→eager-localCheckpoint fix applied to
-#: events_funnel), the compaction staging-race fix, BM25's query
-#: workload moving from a driver literal to a staged storage table,
-#: and the three consumers of the values_df swap (split-target /
-#: probe-token broadcast frames now JVM VALUES relations, not
-#: Python-RDD createDataFrame); (3) 30 of the 41-query r03-green cohort
-#: (streaming family, TPC-H shapes, events/json scalars — green rows
-#: now 4 driver data generations old). join_interval_binned and the
-#: whole r04 cohort rotate to round 8 — as do pack_sequences_bestfit,
-#: agg_chi2_independence, text_ngram_novelty,
-#: warehouse_schema_evolution, agg_mannwhitney_u and
-#: agg_ks_statistic, warehouse_backfill_partition and
-#: sample_group_holdout, retrieval_hybrid_rrf, events_match_recognize,
-#: warehouse_time_travel, agg_incremental_view_merge,
-#: profile_benford_digits, sample_stratified_neyman,
-#: streaming_match_recognize, embedding_pq_train_step,
-#: agg_log2_histogram, graph_louvain_merge_step,
-#: events_seasonal_decompose_ma, warehouse_constraint_check,
-#: events_outage_gaps, embedding_cosine_histogram,
-#: dedup_minhash_est_quality, agg_ols_two_factor,
-#: sample_kfold_assign, embedding_dim_variance_prune,
-#: text_kneser_ney_counts, events_markov_stationary_step,
-#: events_ab_lift_funnel, warehouse_gdpr_delete_audit,
-#: sample_poisson_bootstrap_mean, parts_skyline_pareto,
-#: events_gap_percentiles,
-#: warehouse_partition_stats_skew,
-#: graph_kcore_peel and text_cdc_chunks, the round-7
-#: queries registered after
-#: the window filled (locally swept + scale-stepped this round;
-#: external slots next round — the deferral rule is pinned by
-#: tests/test_correctness_local_cli.py).
+#: Round-8 window, in strict priority order (the r07 verdict's ask #2:
+#: drain the 37-query never-driver-checked backlog with a near-frozen
+#: registry — only 3 registrations this round):
+#: (1) the four graph queries whose plans changed this round (the
+#: lineage-checkpoint fix: edge/degree/oriented tables materialized
+#: once, DISK_ONLY) — triangle count and Jaccard re-prove their prior
+#: green rows post-change; kcore peel and the Louvain merge step were
+#: ALSO in the backlog, so their first external rows land post-change;
+#: (2) the remaining 34 never-externally-checked round-7 registrations
+#: (every one hash-green in both committed full local sweeps since
+#: r07, re-swept this round);
+#: (3) the three round-8 registrations: the k-core FIXPOINT (the peel
+#: step iterated to convergence), Louvain phase-2 contraction (the
+#: merge step re-run on the contracted graph), and the streaming Holt
+#: twin (float group state through the shared recursive-CTE oracle);
+#: (4) nine of the stale r03-green cohort (rows 5 data generations
+#: old): the ANN/clustering block + pagerank + json scalars + the two
+#: events series ops.  ingest_pipeline keeps its rows-only-by-contract
+#: driver row and takes no slot.  Still-deferred (r03 green, rotate
+#: next): the streaming_hourly/sessions/late_data/interval_join/
+#: outer_join/sliding block, events_retention_cohort,
+#: scd2_priority_history, window_distribution, join_full_outer,
+#: join_right_agg, join_interval_binned and the TPC-H q-series rows —
+#: all hash-green in both committed local sweeps
+#: (tests/test_correctness_local_cli.py pins the deferral rule).
 _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
-    # (1) never externally checked:
-    "multimodal_audio_chunks", "warehouse_lifecycle",
-    "text_bpe_merge_2step", "multimodal_image_resize",
-    "ann_ivfpq_refine", "agg_distinct_twophase", "join_bloom_prefilter",
-    "asof_join_forward", "dedup_hybrid_lsh_semantic",
-    "cdc_apply_changes", "warehouse_deletion_vectors",
-    "embedding_matryoshka_recall", "agg_weighted_quantile",
-    "asof_join_nearest", "multimodal_audio_vad",
-    "feature_hash_vectorize", "warehouse_zorder_cluster",
-    "dedup_cluster_canonicalize", "text_bpe_encode",
-    "multimodal_video_scenecut", "asof_join_tolerance",
-    "events_sliding_distinct", "text_bigram_lm_score",
-    "grouped_quantile_normalize", "dedup_containment",
-    "events_interpolate_linear", "sample_negatives_per_user",
-    "agg_sketch_countmin", "text_winnowing_fingerprint",
-    "embedding_kcenter_step", "ann_binary_hamming",
-    "events_hourly_autocorr", "events_rate_limit",
-    "events_changepoint_binary", "graph_jaccard_neighbors",
-    "profile_gini_simpson", "text_keyword_rake",
-    "streaming_rate_limit", "events_holt_step", "dedup_bow_priority",
-    "agg_ttest_welch",
-    # (2) plan/oracle changed in round 7 — re-prove externally
-    # (the last three via the values_df swap of their broadcast
-    # split-target / probe-token frames):
-    "embedding_pca_power_step", "events_funnel_window",
-    "maintenance_compact_roundtrip", "text_bm25_topk",
-    "compute_range_splits", "compute_range_splits_sampled",
-    "customer_rfm_segments", "events_funnel",
-    # (3) the stale r03-era cohort, whole block:
-    "dedup_minhash_lsh",
-    # (ann_lsh_probe, ann_pq_adc, semdedup_kmeans, kmeans_lloyd_iter,
-    # graph_pagerank_iter,
-    # streaming_hourly, streaming_sessions,
-    # streaming_late_data, streaming_interval_join,
-    # streaming_outer_join, events_retention_cohort,
-    # streaming_sliding, scd2_priority_history, q4_exists_priority,
-    # q6_forecast_revenue, q13_order_distribution,
-    # q17_small_qty_revenue, q7_nation_volume,
-    # q15_top_supplier, q21_sole_supplier,
-    # q22_idle_customers, window_distribution, join_full_outer,
-    # q12_priority_by_status, q14_promo_revenue_share,
-    # q19_disjunctive_revenue, q10_returned_revenue, q8_market_share,
-    # join_right_agg, q2_min_cost_supplier, q9_product_profit,
-    # q11_important_stock,
-    # q16_supplier_cnt, q20_excess_suppliers, scalar_json_map,
-    # scalar_variant_json, events_gap_fill,
-    # events_anomaly_zscore, join_interval_binned and the r04 cohort
-    # rotate to round 8 — the values_df-changed queries and the
-    # new round-7 ops (incl. the CDC apply, the deletion-vector read
-    # path, the Matryoshka recall eval, the Z-order layout, the
-    # canonicalize/encode/scenecut/tolerance/sliding-distinct/bigram
-    # batch) took their slots.)
+    # (1) plan changed this round (graph lineage-checkpoint fix):
+    "graph_triangle_count", "graph_jaccard_neighbors",
+    "graph_kcore_peel", "graph_louvain_merge_step",
+    # (2) the never-externally-checked backlog, drained whole:
+    "dedup_minhash_est_quality", "retrieval_hybrid_rrf",
+    "embedding_pq_train_step", "embedding_cosine_histogram",
+    "embedding_dim_variance_prune", "events_match_recognize",
+    "events_seasonal_decompose_ma", "events_outage_gaps",
+    "events_markov_stationary_step", "events_ab_lift_funnel",
+    "events_gap_percentiles", "streaming_match_recognize",
+    "pack_sequences_bestfit", "text_ngram_novelty", "text_cdc_chunks",
+    "text_kneser_ney_counts", "sample_group_holdout",
+    "sample_stratified_neyman", "sample_kfold_assign",
+    "sample_poisson_bootstrap_mean", "profile_benford_digits",
+    "warehouse_schema_evolution", "warehouse_backfill_partition",
+    "warehouse_time_travel", "warehouse_constraint_check",
+    "warehouse_partition_stats_skew", "warehouse_gdpr_delete_audit",
+    "agg_chi2_independence", "agg_mannwhitney_u", "agg_ks_statistic",
+    "agg_incremental_view_merge", "agg_log2_histogram",
+    "agg_ols_two_factor", "parts_skyline_pareto",
+    # (3) registered this round:
+    "graph_kcore_fixpoint", "graph_louvain_contract_step",
+    "streaming_holt",
+    # (4) stalest r03-green cohort (9 slots):
+    "ann_lsh_probe", "ann_pq_adc", "semdedup_kmeans",
+    "kmeans_lloyd_iter", "graph_pagerank_iter", "scalar_json_map",
+    "scalar_variant_json", "events_gap_fill", "events_anomaly_zscore",
 )
 
 

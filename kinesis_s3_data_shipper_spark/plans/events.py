@@ -1241,7 +1241,7 @@ def events_changepoint_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("b.g"), 6).alias("gain"))
 
 
-@register("events_holt_step", oracle="""
+HOLT_ORACLE = """
 WITH RECURSIVE rows_i AS (
   SELECT user_id, CAST(value AS DOUBLE) AS x,
          row_number() OVER (PARTITION BY user_id
@@ -1268,7 +1268,11 @@ SELECT user_id, n AS n_events,
        ROUND(b, 6) AS trend_final,
        ROUND(l + b, 6) AS forecast_next
 FROM hs WHERE i = n
-""", doc="Holt's linear-trend exponential smoothing per entity — the "
+"""
+
+
+@register("events_holt_step", oracle=HOLT_ORACLE,
+    doc="Holt's linear-trend exponential smoothing per entity — the "
          "two-recursion load forecaster (level AND trend, where "
          "recursive_ewma_monthly is the single-recursion mean): "
          "l' = alpha*x + (1-alpha)(l+b), b' = beta*(l'-l) + "

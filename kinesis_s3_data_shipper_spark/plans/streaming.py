@@ -23,7 +23,7 @@ from ..functions.decimal_safe import sql_dsum
 from ..streaming.jobs import (streaming_dedup_counts, streaming_hourly_counts,
                               streaming_session_windows)
 from .base import register
-from .events import (CUSUM_ORACLE, MATCH_RECOGNIZE_ORACLE,
+from .events import (CUSUM_ORACLE, HOLT_ORACLE, MATCH_RECOGNIZE_ORACLE,
                      RATE_LIMIT_ORACLE)
 
 NS_PER_HOUR = 3_600_000_000_000
@@ -469,3 +469,31 @@ def streaming_match_recognize(spark: SparkSession,
     name = f"matchrec_{uuid.uuid4().hex[:8]}"
     return streaming_match_recognize_final(
         spark, landing, checkpoint=checkpoint, query_name=name)
+
+
+@register("streaming_holt", oracle=HOLT_ORACLE,
+          doc="STATEFUL-STREAMING Holt linear-trend smoothing through "
+              "the oracle gate — the ONLINE forecast-serving form of "
+              "events_holt_step, sharing its oracle text exactly as "
+              "the CUSUM/rate-limit/MATCH_RECOGNIZE twins share "
+              "theirs, and the first FLOAT-state twin: per-user "
+              "(x1, l, b, seen) group state where the first "
+              "observation is HELD until the second initializes "
+              "l0 = x1, b0 = x2 - x1 — across a batch boundary if "
+              "needed, the float analogue of the half-open "
+              "MATCH_RECOGNIZE match.  The update l' = 0.5x + "
+              "0.5(l+b), b' = 0.25(l'-l) + 0.75b is the batch fold's "
+              "IEEE expression tree verbatim (dyadic coefficients, "
+              "Python floats ARE IEEE doubles), so the drained state "
+              "is bit-identical to the batch plan's and round(6) "
+              "hash-matches the shared recursive-CTE oracle.  Landing "
+              "dir staged as ts-range slices with increasing mtimes + "
+              "maxFilesPerTrigger=1 (the streaming_cusum contract); "
+              "the n >= 4 floor applies on the drained state, since a "
+              "stream cannot know final per-user counts mid-flight.")
+def streaming_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import streaming_holt_final
+    landing, checkpoint = _stage_time_slices(sf_dir=sf_dir, spark=spark)
+    name = f"holt_{uuid.uuid4().hex[:8]}"
+    return streaming_holt_final(spark, landing, checkpoint=checkpoint,
+                                query_name=name)

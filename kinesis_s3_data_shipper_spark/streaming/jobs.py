@@ -936,3 +936,82 @@ def streaming_match_recognize_final(spark: SparkSession,
                  F.max_by("n_matches", "n_seen").alias("n_matches"),
                  F.max_by("fsm", "n_seen").alias("final_state"))
             .select("user_id", "n_events", "n_matches", "final_state"))
+
+
+def streaming_holt_final(spark: SparkSession, events_dir: str, *,
+                         checkpoint: str, query_name: str) -> DataFrame:
+    """Per-user Holt linear-trend smoothing maintained ACROSS
+    micro-batches in explicit group state — the streaming counterpart
+    of the batch ``events_holt_step`` plan (the forecasting SERVING
+    path: each batch refreshes the one-step-ahead forecast per
+    entity), and the first FLOAT-state twin: the CUSUM/rate-limit/
+    MATCH_RECOGNIZE twins carry int64 state, Holt carries the (l, b)
+    doubles plus the deferred first observation.
+
+    State per user is (x1, l, b, seen): Holt initializes l0 = x1,
+    b0 = x2 - x1, so the first observation must be HELD until the
+    second arrives — across a batch boundary if necessary (seen == 1
+    state), the float analogue of the half-open MATCH_RECOGNIZE match.
+    From the third observation on, l' = 0.5*x + 0.5*(l+b), b' =
+    0.25*(l'-l) + 0.75*b — the IDENTICAL IEEE expression tree as the
+    batch plan's in-row fold and the oracle's recursive CTE (dyadic
+    coefficients: exact binary multiplies; Python floats ARE IEEE
+    doubles, so the drained state is bit-identical, and the final
+    round(6) runs JVM-side on the emitted doubles exactly as the
+    batch plan's does).
+
+    EXACT batch parity requires the cross-batch fold order to equal
+    the batch plan's per-user (ts, event_id) sort; the caller stages
+    the landing dir as ts-range slices with increasing mtimes +
+    ``maxFilesPerTrigger=1`` (the streaming_cusum staging contract).
+    The batch plan's n >= 4 floor is applied on the DRAINED state
+    (a stream can't know a user's final count mid-flight)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = _events_stream(spark, events_dir, max_files=1)
+
+    def update(key, pdfs, state: GroupState):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        if state.exists:
+            x1, l, b, seen = state.get
+        else:
+            x1, l, b, seen = 0.0, 0.0, 0.0, 0
+        for v in pdf["value"]:
+            x = float(v)
+            if seen == 0:
+                x1 = x
+            elif seen == 1:
+                l, b = x1, x - x1
+            else:
+                l2 = 0.5 * x + 0.5 * (l + b)
+                b = 0.25 * (l2 - l) + 0.75 * b
+                l = l2
+            seen += 1
+        state.update((x1, l, b, seen))
+        yield pd.DataFrame({"user_id": [key[0]], "n_seen": [seen],
+                            "l": [l], "b": [b]})
+
+    out = (events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id LONG, n_seen LONG, l DOUBLE, b DOUBLE",
+        stateStructType="x1 DOUBLE, l DOUBLE, b DOUBLE, seen LONG",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout))
+    query = (out.writeStream.outputMode("update")
+             .format("memory").queryName(query_name)
+             .option("checkpointLocation", checkpoint)
+             .trigger(availableNow=True).start())
+    query.awaitTermination()
+    emissions = spark.table(query_name)
+    return (emissions.groupBy("user_id")
+            .agg(F.max("n_seen").alias("n_events"),
+                 F.max_by("l", "n_seen").alias("lf"),
+                 F.max_by("b", "n_seen").alias("bf"))
+            .filter(F.col("n_events") >= 4)
+            .select("user_id", "n_events",
+                    F.round(F.col("lf"), 6).alias("level_final"),
+                    F.round(F.col("bf"), 6).alias("trend_final"),
+                    F.round(F.col("lf") + F.col("bf"), 6)
+                    .alias("forecast_next")))

@@ -1,0 +1,54 @@
+"""Semantic invariants of the co-purchase graph family's composed
+queries (the oracle gate proves Spark==DuckDB; these prove both equal
+the DEFINITIONS — a k-core is degree->=k and peel-stable, contraction
+preserves total weighted degree)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kinesis_s3_data_shipper_spark.plans import REGISTRY, all_queries
+from kinesis_s3_data_shipper_spark.plans.analytics import _KCORE_K
+
+all_queries()
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_kcore_fixpoint_is_a_kcore(spark):
+    """Every surviving node has within-core degree >= k (the defining
+    property), and the fixpoint is a SUBSET of the 2-round peel's
+    round-2 survivors (peeling is monotone)."""
+    fix = REGISTRY["graph_kcore_fixpoint"].spark(spark, SF)
+    rows = fix.collect()
+    assert rows, "fixture graph must have a non-empty 5-core"
+    assert all(r.core_deg >= _KCORE_K for r in rows)
+    peel = REGISTRY["graph_kcore_peel"].spark(spark, SF)
+    two_round = {r.node for r in peel.filter(
+        F.col("deg2").isNotNull()).collect()}
+    assert {r.node for r in rows} <= two_round
+
+
+def test_kcore_fixpoint_stable_under_one_more_peel(spark):
+    """Peeling the converged core once more must drop nothing: every
+    node already has degree >= k inside the core."""
+    fix = REGISTRY["graph_kcore_fixpoint"].spark(spark, SF).collect()
+    # within-core degrees ARE the post-peel degrees; stability is
+    # exactly min(core_deg) >= k on the closed subgraph, which the
+    # query reports directly.
+    assert min(r.core_deg for r in fix) >= _KCORE_K
+
+
+def test_louvain_contraction_preserves_total_degree(spark):
+    """2m is invariant under contraction: the contracted super-node
+    degrees (intra-community edges folded in) must sum to the same
+    total as phase 1's node degrees, and the contracted node set must
+    equal phase 1's chosen communities."""
+    merge = REGISTRY["graph_louvain_merge_step"].spark(spark, SF)
+    contract = REGISTRY["graph_louvain_contract_step"].spark(spark, SF)
+    m_rows = merge.collect()
+    c_rows = contract.collect()
+    assert sum(r.k_node for r in m_rows) == sum(r.k_node for r in c_rows)
+    assert {r.community for r in m_rows} == {r.node for r in c_rows}
+    # gains are clamped at 0 (stay-put), never negative
+    assert all(r.gain_num >= 0 for r in c_rows)

@@ -996,9 +996,12 @@ def test_kcore_peel_semi_joins_and_partial_degrees(spark):
     """Each peel round must filter edges by LEFT SEMI joins on the
     survivor set (never an inner join that could duplicate edge rows)
     and every degree agg must map-side combine; no Python, no
-    cartesian anywhere."""
+    cartesian anywhere.  Round 1's peel is materialized inside the
+    checkpoints (its semi-joins ran at build time); round 2's peel and
+    degree aggs remain in the final plan, reading the checkpointed
+    survivors."""
     plan = plan_of(spark, "graph_kcore_peel")
-    assert plan.count("LeftSemi") >= 4      # 2 rounds x 2 endpoints
+    assert plan.count("LeftSemi") >= 2      # final round x 2 endpoints
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "partial_count" in plan
@@ -1299,16 +1302,41 @@ def test_rollup_is_expand_with_partial_agg(spark):
 
 def test_triangle_count_degree_oriented_no_cartesian(spark):
     """Degree-oriented triangle counting: the wedge self-join keys on
-    the oriented source (hash join), closing edges via a keyed
-    semi-join — no cartesian, no Python (the BroadcastNestedLoopJoin
-    Cross entries are the 1-row scalar assembly, allowed).  KNOWN
-    round-8 item (SCALE.md): the four output scalars each re-derive
-    the edge pipeline — the n_nodes/n_edges/n_wedges/n_triangles
-    branches should share one localCheckpointed edge/degree table
-    (the Markov/bootstrap double-eval fix); gated for next round
-    because a plan change would strand the query's external green row
-    at round end."""
+    the oriented source (hash join), no cartesian, no Python (the
+    BroadcastNestedLoopJoin Cross entries are the 1-row scalar
+    assembly, allowed).  The r07 scalar-branch re-derivation is fixed:
+    the four output scalars read the checkpointed edge/degree/oriented
+    tables (test_graph_family_single_edge_derivation pins the 0-scan
+    invariant), and the wedge/triangle counts ride ONE pass over the
+    wedge join — a closing-edge LEFT join whose match flag is counted,
+    replacing the former count-then-semi-join double consumption."""
     plan = plan_of(spark, "graph_triangle_count")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
-    assert "LeftSemi" in plan
+    # one outer-join probe of the closing edges, no semi-join rescan
+    assert "LeftOuter" in plan
+    assert "LeftSemi" not in plan
+
+
+#: The co-purchase graph family: every member must derive the basket
+#: self-join edge build exactly once (DISK_ONLY localCheckpoint) —
+#: the r07 plan sweep measured 248 parquet scans in k-core's executed
+#: plan, 32 in Louvain's, ~10 edge rebuilds in triangle count, all
+#: from consumer branches re-deriving lineage.
+_GRAPH_FAMILY = ("graph_triangle_count", "graph_jaccard_neighbors",
+                 "graph_kcore_peel", "graph_kcore_fixpoint",
+                 "graph_louvain_merge_step",
+                 "graph_louvain_contract_step")
+
+
+@pytest.mark.parametrize("name", _GRAPH_FAMILY)
+def test_graph_family_single_edge_derivation(spark, name):
+    """The final executed plan must read ONLY materialized RDD blocks:
+    zero parquet scans (each source table was scanned exactly once,
+    inside the eager edge-build checkpoint) and at least one
+    Scan ExistingRDD.  This is the 100 TB invariant — at local scale
+    the re-scans were invisible because the files are tiny."""
+    plan = plan_of(spark, name)
+    assert plan.count("Scan parquet") == 0, plan
+    assert "Scan ExistingRDD" in plan
+    assert "InMemoryTableScan" not in plan  # checkpoint, not persist

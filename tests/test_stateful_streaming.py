@@ -482,6 +482,64 @@ def test_streaming_match_recognize_half_open_match_spans_batches(
     assert got == {7: (3, 1, 0), 8: (2, 0, 0)}
 
 
+def test_streaming_holt_init_spans_batches(spark, tmp_path):
+    """The float-state twin's defining streaming property: Holt's
+    initialization needs TWO observations (l0 = x1, b0 = x2 - x1), so
+    a user whose first event lands in micro-batch 1 and second in
+    micro-batch 2 must initialize across the boundary from the held
+    x1 in group state — the float analogue of the half-open match.
+    The drained (level, trend, forecast) must equal the batch fold's
+    IEEE arithmetic exactly (dyadic coefficients, same op order)."""
+    import glob
+    import os
+
+    from kinesis_s3_data_shipper_spark.streaming.jobs import (
+        streaming_holt_final)
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    schema = ("event_id long, ts long, user_id long,"
+              " event_type string, value double, props string")
+    # user 7: x1 alone in slice 0 (seen==1 crosses the boundary);
+    # user 8: fully inside slice 1 (control, same drain).
+    vals7 = [10.0, 14.0, 11.0, 13.0, 9.5]
+    vals8 = [3.0, 5.0, 4.0, 6.0]
+    slices = [
+        [(1, 1_000, 7, "view", vals7[0], "{}")],
+        [(i + 2, 2_000 + i * 1_000, 7, "view", v, "{}")
+         for i, v in enumerate(vals7[1:])]
+        + [(100 + i, 2_500 + i * 1_000, 8, "view", v, "{}")
+           for i, v in enumerate(vals8)],
+    ]
+    for i, rows in enumerate(slices):
+        d = str(tmp_path / f"s{i}")
+        (spark.createDataFrame(rows, schema)
+         .coalesce(1).write.mode("overwrite").parquet(d))
+        part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        dest = os.path.join(landing, f"slice_{i}.parquet")
+        os.rename(part, dest)
+        os.utime(dest, (1_000_000 + i, 1_000_000 + i))
+
+    out = streaming_holt_final(
+        spark, landing, checkpoint=str(tmp_path / "ckpt"),
+        query_name="holt_init_span")
+    got = {r.user_id: r for r in out.collect()}
+
+    def fold(vals):
+        l, b = vals[0], vals[1] - vals[0]
+        for x in vals[2:]:
+            l2 = 0.5 * x + 0.5 * (l + b)
+            b = 0.25 * (l2 - l) + 0.75 * b
+            l = l2
+        return round(l, 6), round(b, 6), round(l + b, 6)
+
+    for uid, vals in ((7, vals7), (8, vals8)):
+        l, b, f = fold(vals)
+        r = got[uid]
+        assert (r.n_events, r.level_final, r.trend_final,
+                r.forecast_next) == (len(vals), l, b, f), uid
+
+
 def test_time_travel_horizon_is_vacuum_retention(spark, tmp_path):
     """warehouse_time_travel's documented coupling, as a property:
     with all versions retained, AS OF v reads the exact post-epoch-v

@@ -308,10 +308,14 @@ def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey")
-    edges = (orders.join(li, orders.o_orderkey == li.l_orderkey)
-             .select(F.col("o_custkey").alias("src"),
-                     F.col("l_suppkey").alias("dst"))
-             .distinct())
+    # Materialized once (the graph-family rule): edges feed BOTH the
+    # outdegree agg and the contribution join — unchecked, the
+    # orders x lineitem join + distinct would re-derive per consumer.
+    edges = _graph_ckpt(
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("src"),
+                F.col("l_suppkey").alias("dst"))
+        .distinct())
     outdeg = edges.groupBy("src").agg(F.count("*").alias("d"))
     contrib = (edges.join(outdeg, "src")
                .select("dst", F.expr("1000000000000 div d").alias("c")))

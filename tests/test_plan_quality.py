@@ -303,10 +303,14 @@ def test_fuzzy_match_blocked_join(spark):
 def test_pagerank_three_node_shuffles(spark):
     # Edge dedup, outdegree, and the contribution sum are the only
     # hash shuffles; the outdegree join rides the edge partitioning
-    # or a broadcast — never a cartesian.
+    # or a broadcast — never a cartesian.  The deduped edge list is
+    # materialized once (r08: the graph-family single-derivation
+    # rule), so the final plan reads RDD blocks, never parquet.
     plan = plan_of(spark, "graph_pagerank_iter")
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 4  # partial+final x2 at least
+    assert plan.count("Scan parquet") == 0
+    assert "Scan ExistingRDD" in plan
 
 
 def test_lsh_probe_is_bucket_equijoin(spark):

@@ -261,10 +261,14 @@ def agg_sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.theta_intersection("click", "purchase")).alias("_est_both"),
         F.theta_sketch_estimate(
             F.theta_difference("click", "purchase")).alias("_est_diff"))
-    cu = (ev.filter(F.col("event_type") == "click")
-          .select("user_id").distinct())
-    pu = (ev.filter(F.col("event_type") == "purchase")
-          .select("user_id").distinct())
+    # The exact gate arms consume each distinct-user set TWICE (the
+    # intersection join and the anti join); materialized once so the
+    # corpus distinct doesn't re-derive per consumer (r08 plan audit:
+    # 5 events scans).  DISK_ONLY — user sets are corpus-keyed.
+    cu = _graph_ckpt(ev.filter(F.col("event_type") == "click")
+                     .select("user_id").distinct())
+    pu = _graph_ckpt(ev.filter(F.col("event_type") == "purchase")
+                     .select("user_id").distinct())
     exact_both = cu.join(pu, "user_id").agg(
         F.count("*").alias("exact_both"))
     exact_only = cu.join(pu, "user_id", "left_anti").agg(
@@ -663,9 +667,15 @@ CROSS JOIN n
          "surviving pairs. All ratios are exact-integer numerators "
          "over exact-integer denominators, divided once.")
 def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = (load_table(spark, sf_dir, "lineitem")
-          .select(F.col("l_orderkey").alias("okey"),
-                  F.col("l_partkey").alias("part")).distinct())
+    # The distinct basket table feeds FOUR consumers (basket count,
+    # per-part counts, both sides of the pair self-join); materialized
+    # once, DISK_ONLY, so the corpus distinct never re-derives (r08
+    # plan audit: 5 lineitem scans) — the same rule as the co-purchase
+    # edge build, whose front this is.
+    li = _graph_ckpt(
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("okey"),
+                F.col("l_partkey").alias("part")).distinct())
     n_baskets = li.agg(F.countDistinct("okey").alias("n_baskets"))
     pc = li.groupBy("part").agg(F.count("*").alias("n_part"))
     b2 = li.select(F.col("okey").alias("okey2"),
@@ -745,7 +755,12 @@ FROM tot t CROSS JOIN (
 def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     kc = li.groupBy("l_suppkey").agg(F.count("*").cast("long").alias("c"))
-    coc = kc.groupBy("c").agg(F.count("*").cast("long").alias("k"))
+    # coc is TINY (bounded by distinct count VALUES) but sits on top of
+    # the corpus-sized key shuffle; without materialization every
+    # branch below (totals, cum window, p50, p99) re-derives that
+    # shuffle — the r08 plan audit measured 5 lineitem scans here.
+    coc = (kc.groupBy("c").agg(F.count("*").cast("long").alias("k"))
+           .localCheckpoint(eager=True))
     tot = coc.agg(F.sum("k").cast("long").alias("n_keys"),
                   F.sum(F.col("c") * F.col("k")).cast("long")
                   .alias("n_rows"),

@@ -2253,9 +2253,14 @@ FROM c
          "count; margins/expected/statistic all on the aggregate.")
 def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # The contingency table is |types| x 24 rows but sits on the one
+    # corpus-sized aggregation; materialized once so the marginals and
+    # total branches don't each re-derive the events shuffle (r08 plan
+    # audit: 4 events scans).
     o = (ev.groupBy("event_type",
                     F.expr("ts div 3600000000000 % 24").alias("hod"))
-         .agg(F.count("*").cast("long").alias("n")))
+         .agg(F.count("*").cast("long").alias("n"))
+         .localCheckpoint(eager=True))
     m = o.groupBy("event_type").agg(F.sum("n").cast("long").alias("n_row"))
     h = o.groupBy("hod").agg(F.sum("n").cast("long").alias("n_col"))
     t = o.agg(F.sum("n").cast("long").alias("total"))

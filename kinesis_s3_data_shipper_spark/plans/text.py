@@ -835,7 +835,14 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = docs.select(F.split("text", " ").alias("ws"))
     uni = w.select(F.explode("ws").alias("word"))
-    uc = uni.groupBy("word").agg(F.count("*").cast("long").alias("c"))
+    # Vocab-sized, but on top of the corpus explode + count: three
+    # branches (totals + both endpoint annotations) read it, so it is
+    # materialized once (r08 plan audit: 6 documents scans here, 3 of
+    # them this table's re-derivations).  DISK_ONLY — vocab-scale.
+    from pyspark.storagelevel import StorageLevel
+    uc = (uni.groupBy("word").agg(F.count("*").cast("long").alias("c"))
+          .localCheckpoint(eager=True,
+                           storageLevel=StorageLevel.DISK_ONLY))
     tot = uc.agg(F.sum("c").cast("long").alias("t"))
     pairs = (w.filter(F.size("ws") >= 2)
              .select(F.explode(F.expr(
@@ -2016,8 +2023,15 @@ def text_kneser_ney_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
               "i -> struct(element_at(w, i - 1) AS w1, "
               "element_at(w, i) AS w2)) END")).alias("b"))
           .select("b.w1", "b.w2"))
+    # The bigram-TYPE dictionary feeds four branches (unigram mass,
+    # left fan-in, right fan-out, totals); materialized once so the
+    # corpus explode + count doesn't re-derive per branch (r08 plan
+    # audit: 4 documents scans).  DISK_ONLY — dictionary-scale.
+    from pyspark.storagelevel import StorageLevel
     c2 = (bi.groupBy("w1", "w2")
-          .agg(F.count("*").cast("long").alias("c")))
+          .agg(F.count("*").cast("long").alias("c"))
+          .localCheckpoint(eager=True,
+                           storageLevel=StorageLevel.DISK_ONLY))
     uni = (c2.groupBy(F.col("w2").alias("word"))
            .agg(F.sum("c").cast("long").alias("c_w")))
     lc = (c2.groupBy(F.col("w2").alias("word"))

@@ -1034,44 +1034,50 @@ FROM lineitem
          "(scan-side CASE sums).  Output one row per constraint "
          "with checked and violation counts, all exact integers — a "
          "constraint report the pipeline can gate on (and the hash "
-         "gate itself re-proves every arm).  Scale shape: each arm "
-         "is one map-side-combined scan agg; the FK arm's join is "
-         "the only shuffle and carries just (l_orderkey) against "
-         "the orders key column; arms run in one job, sharing "
-         "nothing, trivially parallel.")
+         "gate itself re-proves every arm).  Scale shape: ALL FOUR "
+         "orders-local constraints ride ONE map-side-combined scan "
+         "agg (parallel aggregates over the same rows) and unpivot "
+         "into report rows via stack() on the 1-row result — at "
+         "100 TB the audit costs one orders scan, not four (the r08 "
+         "plan-audit finding); the FK arm's join is the only shuffle "
+         "and carries just (l_orderkey) against the orders key "
+         "column; the quantity-range arm keeps its own lineitem scan "
+         "rather than riding the FK join, whose row multiplicity "
+         "would be corrupted by the very PK violations the audit "
+         "exists to catch.")
 def warehouse_constraint_check(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-
-    def arm(name: str, df: DataFrame, viol) -> DataFrame:
-        return df.agg(
-            F.lit(name).alias("constraint_name"),
-            F.count("*").cast("long").alias("n_checked"),
-            F.sum(viol).cast("long").alias("n_violations"))
-
-    pk = o.agg(F.lit("orders_pk_unique").alias("constraint_name"),
-               F.count("*").cast("long").alias("n_checked"),
-               (F.count("*") - F.countDistinct("o_orderkey"))
-               .cast("long").alias("n_violations"))
+    oa = o.agg(
+        F.count("*").cast("long").alias("n"),
+        (F.count("*") - F.countDistinct("o_orderkey")).cast("long")
+        .alias("pk_v"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("long").alias("price_v"),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0))
+        .cast("long").alias("nn_v"),
+        F.sum(F.when(F.col("o_orderstatus").isin("O", "F", "P"), 0)
+              .otherwise(1)).cast("long").alias("dom_v"))
+    orders_rows = oa.select(F.expr(
+        "stack(4,"
+        " 'orders_pk_unique', n, pk_v,"
+        " 'orders_totalprice_positive', n, price_v,"
+        " 'orders_orderdate_not_null', n, nn_v,"
+        " 'orders_status_domain', n, dom_v)"
+        " AS (constraint_name, n_checked, n_violations)"))
     fk = (li.join(o.select("o_orderkey"),
                   li.l_orderkey == F.col("o_orderkey"), "left")
           .agg(F.lit("lineitem_fk_orders").alias("constraint_name"),
                F.count("*").cast("long").alias("n_checked"),
                F.sum(F.when(F.col("o_orderkey").isNull(), 1)
                      .otherwise(0)).cast("long").alias("n_violations")))
-    price = arm("orders_totalprice_positive", o,
-                F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
-    nn = arm("orders_orderdate_not_null", o,
-             F.when(F.col("o_orderdate").isNull(), 1).otherwise(0))
-    dom = arm("orders_status_domain", o,
-              F.when(F.col("o_orderstatus").isin("O", "F", "P"), 0)
-              .otherwise(1))
-    rng = arm("lineitem_quantity_range", li,
-              F.when(F.col("l_quantity").between(1, 50), 0)
-              .otherwise(1))
-    return pk.unionAll(fk).unionAll(price).unionAll(nn) \
-             .unionAll(dom).unionAll(rng)
+    rng = li.agg(
+        F.lit("lineitem_quantity_range").alias("constraint_name"),
+        F.count("*").cast("long").alias("n_checked"),
+        F.sum(F.when(F.col("l_quantity").between(1, 50), 0)
+              .otherwise(1)).cast("long").alias("n_violations"))
+    return orders_rows.unionAll(fk).unionAll(rng)
 
 
 @register("warehouse_partition_stats_skew", oracle="""

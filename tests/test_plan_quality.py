@@ -1344,3 +1344,30 @@ def test_graph_family_single_edge_derivation(spark, name):
     assert plan.count("Scan parquet") == 0, plan
     assert "Scan ExistingRDD" in plan
     assert "InMemoryTableScan" not in plan  # checkpoint, not persist
+
+
+#: r08 plan-audit fixes (scripts/audit_plans.py): queries whose
+#: corpus-sized shuffle fed multiple consumer branches, now
+#: materialized once at the aggregate branch point.  Values are the
+#: maximum allowed parquet scans of any single source in the FINAL
+#: executed plan (self-joins and deliberate second arms keep theirs).
+_AUDIT_FIXED_MAX_SCANS = {
+    "warehouse_constraint_check": 2,  # orders: audit agg + FK side
+    "profile_key_skew": 1,
+    "agg_chi2_independence": 1,
+    "agg_sketch_theta_setops": 1,
+    "basket_pair_lift": 1,
+    "text_kneser_ney_counts": 1,
+    "text_collocations": 3,  # unigram ckpt + bigram pass + btot pass
+}
+
+
+@pytest.mark.parametrize("name", sorted(_AUDIT_FIXED_MAX_SCANS))
+def test_audit_fixed_plans_stay_single_derivation(spark, name):
+    import re
+    plan = plan_of(spark, name)
+    per: dict[str, int] = {}
+    for m in re.finditer(r"Location:.*?(\w+)\.parquet", plan):
+        per[m.group(1)] = per.get(m.group(1), 0) + 1
+    worst = max(per.values(), default=0)
+    assert worst <= _AUDIT_FIXED_MAX_SCANS[name], (name, per)

@@ -1106,11 +1106,15 @@ def test_seasonal_decompose_runs_on_hourly_aggregate(spark):
 
 
 def test_constraint_check_mapside_arms_single_fk_shuffle(spark):
-    """The constraint audit: every arm is a map-side-combined scan
-    agg; the FK arm's left join is the only join; no Python, no
+    """The constraint audit: the four orders-local constraints ride
+    ONE map-side-combined scan agg unpivoted via stack() (r08 audit
+    fix — 5 orders scans became 2), the FK and quantity-range arms
+    keep theirs; the FK left join is the only join; no Python, no
     cartesian."""
     plan = plan_of(spark, "warehouse_constraint_check")
-    assert plan.count("partial_count") >= 5
+    # three aggregation arms (orders audit, FK, range), each partial
+    assert plan.count("partial_count") >= 3
+    assert "Generate stack" in plan or "stack(4" in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
 

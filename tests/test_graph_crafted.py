@@ -1,0 +1,89 @@
+"""Closed-form graph checks on a CRAFTED co-purchase graph (the
+oracle gate proves Spark==DuckDB on driver data; these prove both
+equal textbook values a human can verify by hand).
+
+Construction: one URGENT 2-item order per desired edge, so the
+basket self-join yields exactly the chosen graph.  The graph:
+
+- K6 clique on parts 101..106 (each degree 5 inside the clique);
+- node 301 adjacent to 101..104 (degree 4 — dies in peel round 1,
+  and its removal drops 101..104 from degree 6 back to 5, so the
+  fixpoint needs the SECOND round to confirm stability);
+- pendant chain 106-201-202 (degrees 1-2 — dies in round 1).
+
+Known values: 9 nodes, 21 edges, 26 triangles (C(6,3)=20 in the
+clique + C(4,2)=6 through 301), 5-core = exactly the K6 at degree 5,
+and Jaccard(101,102) = 5/(6+6-5) = 5/7 (common neighbors: the other
+four clique members + 301).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from kinesis_s3_data_shipper_spark.plans import REGISTRY, all_queries
+
+all_queries()
+
+_CLIQUE = [101, 102, 103, 104, 105, 106]
+_EDGES = (
+    [(a, b) for i, a in enumerate(_CLIQUE) for b in _CLIQUE[i + 1:]]
+    + [(101, 301), (102, 301), (103, 301), (104, 301)]
+    + [(106, 201), (201, 202)]
+)
+
+
+@pytest.fixture(scope="module")
+def crafted_graph_sf_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("crafted_graph")
+    orders = spark.createDataFrame(
+        [(i, "1-URGENT") for i in range(len(_EDGES))],
+        "o_orderkey long, o_orderpriority string")
+    lineitem = spark.createDataFrame(
+        [(i, p) for i, (a, b) in enumerate(_EDGES) for p in (a, b)],
+        "l_orderkey long, l_partkey long")
+    for name, df in (("orders", orders), ("lineitem", lineitem)):
+        (df.coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(str(d), f"{name}.parquet")))
+    return str(d)
+
+
+def test_triangle_count_closed_form(spark, crafted_graph_sf_dir):
+    row = (REGISTRY["graph_triangle_count"]
+           .spark(spark, crafted_graph_sf_dir).collect()[0])
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (9, 21, 26)
+
+
+def test_kcore_fixpoint_is_exactly_the_clique(spark,
+                                              crafted_graph_sf_dir):
+    rows = (REGISTRY["graph_kcore_fixpoint"]
+            .spark(spark, crafted_graph_sf_dir).collect())
+    assert {r.node for r in rows} == set(_CLIQUE)
+    assert all(r.core_deg == 5 for r in rows)
+
+
+def test_kcore_peel_trajectory(spark, crafted_graph_sf_dir):
+    """Round 1 must peel 201/202/301 (degrees 2/1/4) and keep the
+    clique; 101..104 start at degree 6 (the 301 edges) and settle to
+    5 after 301 leaves."""
+    got = {r.node: r for r in REGISTRY["graph_kcore_peel"]
+           .spark(spark, crafted_graph_sf_dir).collect()}
+    assert got[301].deg0 == 4 and got[301].deg1 is None
+    assert got[201].deg0 == 2 and got[201].deg1 is None
+    assert got[101].deg0 == 6 and got[101].deg1 == 5 \
+        and got[101].deg2 == 5
+    assert got[105].deg0 == 5 and got[105].deg2 == 5
+
+
+def test_jaccard_closed_form(spark, crafted_graph_sf_dir):
+    rows = {(r.part_a, r.part_b): r
+            for r in REGISTRY["graph_jaccard_neighbors"]
+            .spark(spark, crafted_graph_sf_dir).collect()}
+    r = rows[(101, 102)]
+    # common: 103..106 and 301 = 5; degrees 6 and 6.
+    assert r.n_common == 5 and (r.deg_a, r.deg_b) == (6, 6)
+    assert r.jaccard == round(5 / 7, 6)
+    # the pendant edge (201, 202) has no common neighbor: absent.
+    assert (201, 202) not in rows

@@ -87,3 +87,51 @@ def test_jaccard_closed_form(spark, crafted_graph_sf_dir):
     assert r.jaccard == round(5 / 7, 6)
     # the pendant edge (201, 202) has no common neighbor: absent.
     assert (201, 202) not in rows
+
+
+#: Two triangles {1,2,3}, {4,5,6} joined by the bridge 3-4, all edge
+#: weights 1 (each pair co-occurs in exactly one URGENT order).
+#: Hand-computed merge decisions (m2 = 14, gain = 14*w - k_u*k_v):
+#: 1->2 (gain 10), 2->1 (10), 3->1 (tie 8 vs neighbor 2, lower id
+#: wins), 4->5 (tie 8 vs 6), 5->6 (10), 6->5 (10).  Phase-1
+#: communities: {2:[1], 1:[2,3], 5:[4,6], 6:[5]} with k = 2,5,5,2.
+#: Contracted cross edges: 2-1 (w2), 1-5 (w1), 5-6 (w2); phase-2
+#: merges 2<->1 and 5<->6 (gain 14*2 - 2*5 = 18), the bridge's
+#: gain 14*1 - 5*5 = -11 keeps the halves apart.
+_TRI_EDGES = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (4, 6), (5, 6)]
+
+
+@pytest.fixture(scope="module")
+def two_triangle_sf_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("two_triangles")
+    orders = spark.createDataFrame(
+        [(i, "1-URGENT") for i in range(len(_TRI_EDGES))],
+        "o_orderkey long, o_orderpriority string")
+    lineitem = spark.createDataFrame(
+        [(i, p) for i, (a, b) in enumerate(_TRI_EDGES) for p in (a, b)],
+        "l_orderkey long, l_partkey long")
+    for name, df in (("orders", orders), ("lineitem", lineitem)):
+        (df.coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(str(d), f"{name}.parquet")))
+    return str(d)
+
+
+def test_louvain_merge_closed_form(spark, two_triangle_sf_dir):
+    got = {r.node: (r.k_node, r.community, r.gain_num)
+           for r in REGISTRY["graph_louvain_merge_step"]
+           .spark(spark, two_triangle_sf_dir).collect()}
+    assert got == {
+        1: (2, 2, 10), 2: (2, 1, 10), 3: (3, 1, 8),
+        4: (3, 5, 8), 5: (2, 6, 10), 6: (2, 5, 10),
+    }
+
+
+def test_louvain_contract_closed_form(spark, two_triangle_sf_dir):
+    got = {r.node: (r.k_node, r.community, r.gain_num)
+           for r in REGISTRY["graph_louvain_contract_step"]
+           .spark(spark, two_triangle_sf_dir).collect()}
+    # Each half collapses into one community; the weak bridge
+    # (gain 14 - 25 = -11) never merges the halves.
+    assert got == {
+        1: (5, 2, 18), 2: (2, 1, 18), 5: (5, 6, 18), 6: (2, 5, 18),
+    }

@@ -135,3 +135,26 @@ def test_louvain_contract_closed_form(spark, two_triangle_sf_dir):
     assert got == {
         1: (5, 2, 18), 2: (2, 1, 18), 5: (5, 6, 18), 6: (2, 5, 18),
     }
+
+
+def test_pagerank_closed_form(spark, tmp_path_factory):
+    """Scaled-integer PageRank on a 3-edge bipartite graph: customers
+    {1, 2} -> suppliers {10, 20} with c1 -> {10, 20}, c2 -> {10}.
+    Contributions: floor(1e12/2) from c1, 1e12 from c2; damped score =
+    1.5e11 + 85%*sum — exact integers a human can check."""
+    d = tmp_path_factory.mktemp("crafted_pr")
+    orders = spark.createDataFrame(
+        [(1, 1), (2, 2)], "o_orderkey long, o_custkey long")
+    lineitem = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 10)], "l_orderkey long, l_suppkey long")
+    for name, df in (("orders", orders), ("lineitem", lineitem)):
+        (df.coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(str(d), f"{name}.parquet")))
+    got = {r.node: r.pagerank_scaled
+           for r in REGISTRY["graph_pagerank_iter"]
+           .spark(spark, str(d)).collect()}
+    assert got == {
+        10: 150_000_000_000 + 85 * (500_000_000_000
+                                    + 1_000_000_000_000) // 100,
+        20: 150_000_000_000 + 85 * 500_000_000_000 // 100,
+    }

@@ -37,11 +37,26 @@ TWIN_PATH = os.path.join(tempfile.gettempdir(), "ksds_ingest_twin.ndjson")
 
 
 def _write_twin() -> None:
-    tmp = TWIN_PATH + ".tmp"
-    with open(tmp, "w") as f:
-        for row in ground_truth_events():
-            f.write(json.dumps(row, separators=(",", ":")) + "\n")
-    os.replace(tmp, TWIN_PATH)  # atomic: concurrent importers race safely
+    # A UNIQUE tmp name per writer is what makes the final os.replace
+    # genuinely atomic under concurrency: with a fixed ".tmp" suffix two
+    # concurrent importers share the staging file, the first replace
+    # unlinks it, and the second dies with FileNotFoundError — aborting
+    # that process's whole registry import (observed when a pytest run
+    # overlapped a plan-audit run).
+    fd, tmp = tempfile.mkstemp(
+        prefix="ksds_ingest_twin.", suffix=".tmp",
+        dir=tempfile.gettempdir())
+    try:
+        with os.fdopen(fd, "w") as f:
+            for row in ground_truth_events():
+                f.write(json.dumps(row, separators=(",", ":")) + "\n")
+        os.replace(tmp, TWIN_PATH)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 _write_twin()

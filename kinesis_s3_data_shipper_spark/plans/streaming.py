@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import glob
 import os
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -22,9 +21,10 @@ from pyspark.sql import DataFrame, SparkSession
 from ..functions.decimal_safe import sql_dsum
 from ..streaming.jobs import (streaming_dedup_counts, streaming_hourly_counts,
                               streaming_session_windows)
+from ..session import staging_dir
 from .base import register
-from .events import (CUSUM_ORACLE, HOLT_ORACLE, MATCH_RECOGNIZE_ORACLE,
-                     RATE_LIMIT_ORACLE)
+from .events import (CHANGEPOINT_ORACLE, CUSUM_ORACLE, HOLT_ORACLE,
+                     MATCH_RECOGNIZE_ORACLE, RATE_LIMIT_ORACLE)
 
 NS_PER_HOUR = 3_600_000_000_000
 
@@ -41,7 +41,7 @@ def _stage_landing(sf_dir: str, copies: int = 1) -> tuple[str, str]:
         parts = sorted(glob.glob(os.path.join(events_path, "*.parquet")))
     else:
         parts = [events_path]
-    work = tempfile.mkdtemp(prefix="ksds_stream_")
+    work = staging_dir("ksds_stream_")
     landing = os.path.join(work, "landing")
     os.makedirs(landing)
     for i in range(copies):
@@ -158,7 +158,7 @@ def _stage_split_landing(sf_dir: str) -> tuple[str, str]:
 
     from ..streaming.jobs import SENTINEL_TS_NS, SENTINEL_USER
 
-    work = tempfile.mkdtemp(prefix="ksds_late_")
+    work = staging_dir("ksds_late_")
     landing = os.path.join(work, "landing")
     os.makedirs(landing)
     from ..sources.tables import table_path
@@ -363,7 +363,7 @@ def _stage_time_slices(spark: SparkSession, sf_dir: str,
     ev = load_table(spark, sf_dir, "events")  # ts → epoch-nanos long
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
     span = int(hi) - int(lo) + 1
-    work = tempfile.mkdtemp(prefix="ksds_stream_")
+    work = staging_dir("ksds_stream_")
     landing = os.path.join(work, "landing")
     os.makedirs(landing)
     for i in range(n_slices):
@@ -497,3 +497,32 @@ def streaming_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"holt_{uuid.uuid4().hex[:8]}"
     return streaming_holt_final(spark, landing, checkpoint=checkpoint,
                                 query_name=name)
+
+
+@register("streaming_changepoint", oracle=CHANGEPOINT_ORACLE,
+          doc="STATEFUL-STREAMING binary-segmentation change-point "
+              "detection through the oracle gate — the ONLINE form of "
+              "events_changepoint_binary (the last batch-only state "
+              "machine), sharing its oracle text exactly as the "
+              "CUSUM/rate-limit/MATCH_RECOGNIZE/Holt twins share "
+              "theirs: per-type (hour -> count) histogram kept as "
+              "ARRAY group state across micro-batches, the current "
+              "best split re-scored and emitted every batch via the "
+              "batch plan's IEEE gain tree and earliest-k argmax "
+              "verbatim.  Hourly counts are exact integers and "
+              "addition commutes, so slicing cannot perturb the "
+              "histogram and the drained state hash-matches the batch "
+              "oracle bit-for-bit.  State is O(stream HOURS) per type "
+              "— time-bounded, not row-bounded, and inherently so "
+              "(every prefix sum feeds the argmax: no fixed-size "
+              "sufficient statistic exists); a production deployment "
+              "caps it with a sliding detection window — the "
+              "boundedness argument streaming_changepoint_final and "
+              "SCALE.md record.")
+def streaming_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import streaming_changepoint_final
+    landing, checkpoint = _stage_time_slices(sf_dir=sf_dir, spark=spark)
+    name = f"chgpt_{uuid.uuid4().hex[:8]}"
+    return streaming_changepoint_final(spark, landing,
+                                       checkpoint=checkpoint,
+                                       query_name=name)

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import minhash_lsh_candidates
 from ..sources.tables import load_table
+from ..session import staging_dir
 from .base import register
 from .dedup import sql_minhash_cand_ctes
 
@@ -401,7 +402,7 @@ WHERE levenshtein(ta.text, tb.text) <= 10
          "sizes grow with the data. Restricted to lang='en' because "
          "the engines count edit ops in code points and multi-byte "
          "text could diverge; per-pair cost is O(len_a * len_b), "
-         "bounded by the documents' length cap.")
+         "bounded by the documents' length cap. Audit note (accepted 4-scan flag): candidate build and edit-distance verify each re-read pruned token projections; checkpointing would materialize tokenized text corpus-wide.")
 def text_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     en = docs.filter(F.col("lang") == "en")
@@ -955,10 +956,9 @@ FROM (
          "query-term postings (|terms| tiny, postings bounded by "
          "corpus df) — the corpus-wide vocabulary is never "
          "shuffled; avgdl is one map-side-combined scalar; final "
-         "ranking is a per-query window over candidate docs only.")
+         "ranking is a per-query window over candidate docs only. Audit note (accepted 4-scan flag): the postings, doc-length, avgdl and candidate arms each read a term-pruned projection of documents; the pruned re-scans are smaller than any materialized postings table at this query count.")
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     from pyspark.sql import Window as W
     docs = load_table(spark, sf_dir, "documents")
@@ -979,7 +979,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whose coalesce(1) write boots one Python worker per parent
     # partition serially (measured 5 s for 19 rows on local[32]).
     from ..functions.values import values_df
-    qdir = os.path.join(tempfile.mkdtemp(prefix="ksds_bm25_"), "queries")
+    qdir = os.path.join(staging_dir("ksds_bm25_"), "queries")
     (values_df(spark, list(_BM25_QUERIES), "query_id string, term string")
      .coalesce(1).write.parquet(qdir))
     q = spark.read.parquet(qdir)

@@ -24,6 +24,7 @@ from ..functions.decimal_safe import (dsum, fixed2_str, sql_dsum,
                                       sql_fixed2_str)
 from ..functions.values import values_df
 from ..sources.tables import load_table
+from ..session import staging_dir
 from .base import register
 
 
@@ -411,7 +412,6 @@ FROM lineitem GROUP BY l_returnflag
          "join over ≤ file-count rows — driver never holds data.")
 def maintenance_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
-    import tempfile
 
     from ..operators.maintenance import _dir_bytes, compact_parquet_dir
     # mkdtemp per invocation (not a path keyed on sf_dir alone): two
@@ -421,7 +421,7 @@ def maintenance_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     # compaction has consumed it; the compacted dir must outlive the
     # call (the returned plan reads it lazily), so it stays until the
     # tempdir sweeper collects it.
-    base = tempfile.mkdtemp(prefix="ksds_compact_")
+    base = staging_dir("ksds_compact_")
     small = os.path.join(base, "small")
     compacted = os.path.join(base, "out")
     # Scatter: 16 small files, the pre-OPTIMIZE state.
@@ -490,7 +490,6 @@ FROM events GROUP BY user_id
          "events).")
 def warehouse_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
-    import tempfile
     import uuid
 
     from ..operators.maintenance import (_dir_bytes, compact_parquet_dir,
@@ -814,9 +813,8 @@ GROUP BY 1
          "and this query documents the read-side SEMANTICS that "
          "catalog must honor.")
 def warehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
     cust = load_table(spark, sf_dir, "customer")
-    base = tempfile.mkdtemp(prefix="ksds_evolve_")
+    base = staging_dir("ksds_evolve_")
     old_dir = os.path.join(base, "v1")
     new_dir = os.path.join(base, "v2")
     (cust.filter(F.expr("c_custkey % 2 = 0"))
@@ -864,10 +862,9 @@ GROUP BY 1
          "the target day's rows; untouched partitions are never "
          "read, never rewritten.")
 def warehouse_backfill_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
     ev = load_table(spark, sf_dir, "events")
     day = F.expr("ts div 86400000000000").alias("day")
-    base = tempfile.mkdtemp(prefix="ksds_backfill_")
+    base = staging_dir("ksds_backfill_")
     tbl = os.path.join(base, "events_by_day")
     src = ev.select("event_id", "ts", "user_id", "event_type",
                     "value", day)
@@ -941,12 +938,10 @@ FROM v3 LEFT JOIN v2 ON v3.user_id = v2.user_id
          "Staging is mkdtemp-per-invocation (concurrent-session "
          "safe).")
 def warehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ..streaming.jobs import (_bucket_versions, _read_buckets,
                                   merge_delta_into_bucketed_table)
 
-    work = tempfile.mkdtemp(prefix="ksds_timetravel_")
+    work = staging_dir("ksds_timetravel_")
     table_dir = os.path.join(work, "table")
     ev = load_table(spark, sf_dir, "events")
     gate = ("pmod(CAST(conv(substring(md5(CAST(event_id AS STRING)), "
@@ -981,9 +976,10 @@ def warehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Returned DISTRIBUTED: the result is corpus-keyed (one row per
     # user), so collecting it to free the staging dir would be O(|users|)
     # driver memory — against the repo's bounded-collect convention.
-    # The mkdtemp staging outlives the call instead (the evolve/backfill
-    # convention: OS/test-teardown owned), and the caller consumes the
-    # DataFrame lazily over the retained version files.
+    # The staging outlives the call so the caller can consume the
+    # DataFrame lazily over the retained version files; session.py's
+    # staging_dir atexit reaper removes it at process exit (r08 advice:
+    # unbounded /tmp growth across a long sweep otherwise).
     return out
 
 

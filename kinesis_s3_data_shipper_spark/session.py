@@ -15,9 +15,41 @@ Arrow for the (rare) pandas-UDF path.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
+
+#: Staging dirs created by :func:`staging_dir`, reaped at interpreter
+#: exit.  Module-level so every plan module shares one registration.
+_STAGING_DIRS: list[str] = []
+
+
+def _reap_staging() -> None:
+    for d in _STAGING_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_reap_staging)
+
+
+def staging_dir(prefix: str) -> str:
+    """``tempfile.mkdtemp`` with process-exit cleanup.
+
+    Plans that write intermediate files (bucketed table versions,
+    compaction targets, streaming checkpoints, BM25 query staging) use
+    a fresh mkdtemp per invocation so concurrent sessions never share
+    staging — but a returned DataFrame may lazily read the staged
+    files, so the dir cannot be removed inside the plan call.  The
+    atexit reaper bounds the leak at process lifetime instead of
+    leaving it solely to OS tmp reaping (r08 advice: a long sweep
+    invoking warehouse_time_travel repeatedly accumulated version
+    trees in /tmp for the machine lifetime)."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    _STAGING_DIRS.append(d)
+    return d
 
 #: Confs that are runtime-settable (spark.sql.*) and required for
 #: correctness on the driver's tables. Applied defensively by every

@@ -551,15 +551,17 @@ WITH s AS (
 ), tw AS (
   SELECT CAST(SUM(w_milli) AS BIGINT) AS tw FROM w
 ), shares AS (
-  SELECT w.lang, w.n_h,
-         ({_NEYMAN_BUDGET} * w.w_milli) // t.tw AS base,
-         ({_NEYMAN_BUDGET} * w.w_milli) % t.tw AS rem
+  SELECT w.lang, w.n_h, t.tw,
+         ({_NEYMAN_BUDGET} * w.w_milli) // GREATEST(t.tw, 1) AS base,
+         ({_NEYMAN_BUDGET} * w.w_milli) % GREATEST(t.tw, 1) AS rem
   FROM w CROSS JOIN tw t
 ), alloc AS (
   SELECT lang, n_h,
-         base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
-                     <= {_NEYMAN_BUDGET} - SUM(base) OVER ()
-                THEN 1 ELSE 0 END AS alloc
+         CASE WHEN tw = 0 THEN 0 ELSE
+           base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+                       <= {_NEYMAN_BUDGET} - SUM(base) OVER ()
+                  THEN 1 ELSE 0 END
+         END AS alloc
   FROM shares
 ), ranked AS (
   SELECT lang, doc_id,
@@ -605,11 +607,12 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NaN, whose BIGINT cast is engine-divergent (Spark: NULL, silently
     # dropping the stratum; DuckDB: a hard cast error).  A 1-doc
     # stratum has no measurable variance, so its Neyman weight is
-    # DEFINED as 0 on both sides (it can still win a largest-remainder
-    # unit only if every stratum is singleton — tw = 0 never divides
-    # because documents is non-empty implies some stratum has n_h >= 1
-    # and w_milli >= 0; an all-singleton corpus zeroes tw, which the
-    # fixtures exclude and the allocation would surface loudly).
+    # DEFINED as 0 on both sides.  The pathological all-singleton
+    # corpus zeroes tw; GREATEST(tw, 1) keeps the divide defined on
+    # both engines (Spark would NULL, DuckDB would error — the exact
+    # divergence class this guard targets) and the alloc CASE
+    # short-circuits tw = 0 to a zero allocation everywhere, so both
+    # engines degrade identically to an empty sample.
     w = s.select(
         "lang", "n_h",
         F.expr("CASE WHEN n_h < 2 THEN CAST(0 AS BIGINT) ELSE "
@@ -619,18 +622,20 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = w.agg(F.sum("w_milli").cast("long").alias("tw"))
     aw = w.crossJoin(F.broadcast(tot)).select(
         "lang", "n_h", "w_milli", "tw",
-        F.expr(f"({b} * w_milli) div tw").alias("base"),
-        F.expr(f"({b} * w_milli) % tw").alias("rem"))
+        F.expr(f"({b} * w_milli) div greatest(tw, 1)").alias("base"),
+        F.expr(f"({b} * w_milli) % greatest(tw, 1)").alias("rem"))
     wr = W.orderBy(F.desc("rem"), "lang")
     wt = W.partitionBy(F.lit(1))
     alloc = (aw.select(
-        "lang", "n_h", "base", "rem",
+        "lang", "n_h", "tw", "base", "rem",
         F.sum("base").over(wt).alias("base_total"),
         F.row_number().over(wr).alias("rr"))
         .select("lang", "n_h",
-                (F.col("base")
-                 + F.when(F.col("rr") <= b - F.col("base_total"), 1)
-                 .otherwise(0)).cast("long").alias("alloc")))
+                F.when(F.col("tw") == 0, F.lit(0))
+                .otherwise(F.col("base")
+                           + F.when(F.col("rr") <= b
+                                    - F.col("base_total"), 1)
+                           .otherwise(0)).cast("long").alias("alloc")))
     wp = (W.partitionBy("lang")
           .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
     ranked = docs.select(

@@ -81,3 +81,35 @@ def test_singleton_stratum_weight_is_zero(spark, short_doc_sf_dir):
     # a largest-remainder unit reached it — but the query must not
     # error and must keep 'en'/'de' quotas intact.
     assert {"en", "de"} <= langs
+
+
+@pytest.fixture(scope="module")
+def all_singleton_sf_dir(spark, tmp_path_factory):
+    # Every stratum has exactly one document: every Neyman weight is 0,
+    # so tw = 0 — the divisor the r08 advice flagged as
+    # engine-divergent (Spark NULL vs DuckDB divide-by-zero error).
+    d = tmp_path_factory.mktemp("singleton_docs")
+    rows = [(i, f"doc {i}", f"l{i}", "web", 10) for i in range(1, 6)]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    (df.coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(str(d), "documents.parquet")))
+    return str(d)
+
+
+def test_all_singleton_corpus_degrades_identically(
+        spark, all_singleton_sf_dir):
+    # tw = 0 must short-circuit to a zero allocation on BOTH engines
+    # (empty sample), not NULL-vs-error divergence.
+    spec = REGISTRY["sample_stratified_neyman"]
+    sdf = spec.spark(spark, all_singleton_sf_dir)
+    con = duckdb.connect()
+    path = os.path.join(all_singleton_sf_dir, "documents.parquet",
+                        "*.parquet")
+    con.sql(f"CREATE VIEW documents AS"
+            f" SELECT * FROM read_parquet('{path}')")
+    want = con.sql(spec.oracle).df()
+    assert len(want) == 0
+    compare(sdf, want, "sample_stratified_neyman[all-singleton]")

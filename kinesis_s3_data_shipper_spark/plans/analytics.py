@@ -500,8 +500,50 @@ def _graph_ckpt(df: DataFrame) -> DataFrame:
     reliable shuffle storage; the plan SHAPE is what carries to
     100 TB."""
     from pyspark.storagelevel import StorageLevel
-    return df.localCheckpoint(eager=True,
+    ckpt = df.localCheckpoint(eager=True,
                               storageLevel=StorageLevel.DISK_ONLY)
+    # Stats firewall (r09): Dataset.localCheckpoint copies the ORIGIN
+    # plan's statistics into the new LogicalRDD (rewriteStatsAndConstraints),
+    # and size-only join estimation MULTIPLIES children's sizeInBytes —
+    # so CHAINED checkpoints (the fixpoint loops: each level built from
+    # the previous level's checkpoints) compound the BigInt estimate
+    # exponentially.  By Louvain level 5 the driver spent ~70 s per
+    # level multiplying megabyte-long BigIntegers inside
+    # SizeInBytesOnlyStatsPlanVisitor (jstack-verified; 98 s -> 10 s
+    # for the 6-level loop after this fix).  Re-wrap the persisted RDD
+    # without origin stats to reset the chain.  Join strategies are
+    # unaffected: the inherited products were already far above every
+    # broadcast threshold, exactly like the default leaf estimate that
+    # replaces them — all explicit broadcast() hints still apply.
+    try:
+        spark = ckpt.sparkSession
+        jrdd = ckpt._jdf.queryExecution().analyzed().rdd()
+        jdf = spark._jsparkSession.internalCreateDataFrame(
+            jrdd, ckpt._jdf.schema(), False)
+        return DataFrame(jdf, spark)
+    except Exception:
+        # A Spark version that moves the internals keeps the plain
+        # checkpoint: correct, merely slower in deep fixpoint chains.
+        return ckpt
+
+
+def _graph_unpersist(df: DataFrame) -> None:
+    """Free a :func:`_graph_ckpt` frame's blocks once it is superseded.
+
+    Iterative plans (k-core / Louvain / PageRank fixpoints) checkpoint
+    every round; without explicit release the session accumulates one
+    edge-scale DISK_ONLY block set PER ROUND for its lifetime (r08
+    advice: ~17 sets after an 8-round peel) — real disk at the 100 TB
+    shape these plans target.  ``localCheckpoint`` offers no public
+    unpersist, so this reaches the checkpointed RDD through the
+    LogicalRDD plan node; best-effort by design (a Spark version that
+    moves the internals just skips the release — correctness is
+    unaffected because callers only release frames no live result
+    depends on)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str, *,
@@ -1564,6 +1606,7 @@ def graph_kcore_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("s").alias("u"), F.col("d").alias("v"))
         .unionAll(e.select(F.col("d").alias("u"),
                            F.col("s").alias("v"))))
+    _graph_unpersist(e)  # und is materialized; the directed list is dead
     n_edges = und.count()
     for _ in range(_KCORE_FIX_ROUNDS):
         # The degree table feeds BOTH semi-join sides of the peel; the
@@ -1571,10 +1614,302 @@ def graph_kcore_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg = _graph_ckpt(_kcore_degrees(und))
         survived = _graph_ckpt(_kcore_peel(und, deg))
         n_next = survived.count()
+        # Each round's eager materialization has fully consumed deg and
+        # (on progress) the previous survivor set — release superseded
+        # rounds so live blocks stay O(1) rounds, not O(rounds).
+        _graph_unpersist(deg)
         if n_next == n_edges:
+            _graph_unpersist(survived)  # fixpoint: und already holds it
             break
+        _graph_unpersist(und)
         und, n_edges = survived, n_next
-    else:
-        und = survived
     return (und.groupBy(F.col("u").alias("node"))
             .agg(F.count("*").cast("long").alias("core_deg")))
+
+
+#: Cap on PageRank power-iteration rounds for the FIXPOINT query (the
+#: oracle unrolls the same number; integer ranks make "converged" an
+#: exact per-node equality, so stopping early is the identity and the
+#: engines agree wherever convergence lands — the k-core lesson).
+_PAGERANK_FIX_ROUNDS = 8
+
+
+def _pagerank_fixpoint_sql(rounds: int) -> str:
+    """Unrolled scaled-integer PageRank over the URGENT co-purchase
+    graph: same MATERIALIZED-CTE shape as _kcore_fixpoint_sql (each
+    round reads ONLY the previous round's materialized rank table —
+    mirroring the Spark plan's per-round checkpoint)."""
+    parts = ["""
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l.l_orderkey AS okey, l.l_partkey AS part
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderpriority = '1-URGENT'
+), e AS MATERIALIZED (
+  SELECT DISTINCT a.part AS s, b.part AS d
+  FROM li a JOIN li b ON a.okey = b.okey AND a.part < b.part
+), und0 AS MATERIALIZED (
+  SELECT s AS u, d AS v FROM e UNION ALL SELECT d AS u, s AS v FROM e
+), outdeg AS MATERIALIZED (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM und0 GROUP BY u
+), r0 AS MATERIALIZED (
+  SELECT u AS node, CAST(1000000000000 AS BIGINT) AS pr FROM outdeg
+)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""", r{i} AS MATERIALIZED (
+  SELECT und0.v AS node,
+         CAST(150000000000 + (85 * SUM(r.pr // o.d)) // 100 AS BIGINT)
+           AS pr
+  FROM und0
+  JOIN r{i - 1} r ON und0.u = r.node
+  JOIN outdeg o ON und0.u = o.u
+  GROUP BY und0.v
+)""")
+    parts.append(f"""
+SELECT node, pr AS pagerank_scaled FROM r{rounds}""")
+    return "".join(parts)
+
+
+@register("graph_pagerank_fixpoint",
+    oracle=_pagerank_fixpoint_sql(_PAGERANK_FIX_ROUNDS),
+    doc="PageRank power iteration run to CONVERGENCE (cap 8 rounds, "
+        "damping 0.85) over the undirected URGENT co-purchase graph — "
+        "graph_pagerank_iter's single step composed into the full "
+        "loop, entirely in scaled-integer arithmetic: rank starts "
+        "uniform at 1e12, each round every node sends floor(rank/deg) "
+        "to each neighbor and re-ranks as 0.15e12 + 0.85*sum — no "
+        "float ever enters, so 'converged' is EXACT per-node rank "
+        "equality between rounds (checked by ONE driver-side long per "
+        "round, the changed-node count — bounded driver state), and "
+        "once ranks repeat, iterating is the identity: the oracle "
+        "unrolls the full 8 rounds and the engines agree wherever "
+        "Spark stops.  Contribution sums accumulate as DECIMAL(38,0) "
+        "(the oracle engine widens to int128 the same way) so a hub's "
+        "85x-damped in-rank can't overflow int64.  Scale shape: per "
+        "round one node-keyed join of the CHECKPOINTED rank table "
+        "against the ONCE-materialized edge+outdegree tables and one "
+        "map-side-combined sum — round N reads round N-1's blocks "
+        "only, never a lineage chain re-deriving all prior rounds; "
+        "superseded rounds' blocks are released as they are passed "
+        "(live blocks stay O(1) rounds).")
+def graph_pagerank_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _copurchase_edges(spark, sf_dir)
+    und = _graph_ckpt(
+        e.select(F.col("s").alias("u"), F.col("d").alias("v"))
+        .unionAll(e.select(F.col("d").alias("u"),
+                           F.col("s").alias("v"))))
+    _graph_unpersist(e)  # und is materialized; the directed list is dead
+    outdeg = _graph_ckpt(
+        und.groupBy("u").agg(F.count("*").cast("long").alias("d")))
+    rank = _graph_ckpt(
+        outdeg.select(F.col("u").alias("node"),
+                      F.lit(1_000_000_000_000).cast("long").alias("pr")))
+    for _ in range(_PAGERANK_FIX_ROUNDS):
+        nxt = _graph_ckpt(
+            und.join(rank.select(F.col("node").alias("u"), "pr"), "u")
+            .join(outdeg, "u")
+            .select(F.col("v").alias("node"),
+                    F.expr("pr div d").alias("c"))
+            .groupBy("node")
+            .agg(F.expr(
+                "CAST(150000000000 + "
+                "(85 * sum(CAST(c AS DECIMAL(38,0)))) div 100 "
+                "AS BIGINT)").alias("pr")))
+        n_changed = (nxt.alias("a").join(rank.alias("b"), "node")
+                     .filter(F.col("a.pr") != F.col("b.pr")).count())
+        if n_changed == 0:
+            _graph_unpersist(nxt)  # fixpoint: rank already holds it
+            break
+        _graph_unpersist(rank)
+        rank = nxt
+    return rank.select("node", F.col("pr").alias("pagerank_scaled"))
+
+
+#: Cap on Louvain merge->contract levels for the FIXPOINT query.  The
+#: loop stops as soon as a level's total positive modularity gain is 0
+#: (nobody moves -> contraction is the identity), so unrolling the cap
+#: in the oracle is safe wherever Spark's loop stops — the k-core /
+#: pagerank fixpoint argument with "identity" = a zero-gain merge pass.
+_LOUVAIN_FIX_LEVELS = 6
+
+
+def _louvain_fixpoint_sql(levels: int) -> str:
+    """Unrolled Louvain merge->contract levels, MATERIALIZED per level
+    (each level reads only the previous level's contracted graph), with
+    an assignment-composition chain a0..aL mapping original nodes to
+    their current community, final rollup against the ORIGINAL degree
+    table (k_C = sum of member degrees: invariant under contraction)."""
+    parts = ["""
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l.l_orderkey AS okey, l.l_partkey AS part
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderpriority = '1-URGENT'
+), e AS MATERIALIZED (
+  SELECT a.part AS s, b.part AS d, CAST(COUNT(*) AS BIGINT) AS w
+  FROM li a JOIN li b ON a.okey = b.okey AND a.part < b.part
+  GROUP BY a.part, b.part
+), und0 AS MATERIALIZED (
+  SELECT s AS u, d AS v, w FROM e UNION ALL SELECT d AS u, s AS v, w FROM e
+), deg0 AS MATERIALIZED (
+  SELECT u AS node, CAST(SUM(w) AS BIGINT) AS k FROM und0 GROUP BY u
+), m2 AS MATERIALIZED (
+  SELECT CAST(SUM(k) AS BIGINT) AS m2 FROM deg0
+), a0 AS MATERIALIZED (
+  SELECT node AS orig, node AS community FROM deg0
+)"""]
+    for i in range(1, levels + 1):
+        p = i - 1
+        parts.append(f""", best{i} AS MATERIALIZED (
+  SELECT node, neighbor, gain_num FROM (
+    SELECT node, neighbor, gain_num,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY gain_num DESC, neighbor) AS rn
+    FROM (SELECT und.u AS node, und.v AS neighbor,
+                 m2.m2 * und.w - du.k * dv.k AS gain_num
+          FROM und{p} und
+          JOIN deg{p} du ON und.u = du.node
+          JOIN deg{p} dv ON und.v = dv.node
+          CROSS JOIN m2) g) r
+  WHERE rn = 1
+), comm{i} AS MATERIALIZED (
+  SELECT d.node,
+         CASE WHEN b.gain_num > 0
+                   AND NOT (m.node IS NOT NULL AND b.node < b.neighbor)
+              THEN b.neighbor ELSE d.node END AS community
+  FROM deg{p} d
+  LEFT JOIN best{i} b ON d.node = b.node
+  LEFT JOIN best{i} m
+    ON b.neighbor = m.node AND m.neighbor = b.node
+   AND b.gain_num > 0 AND m.gain_num > 0
+), und{i} AS MATERIALIZED (
+  SELECT cu.community AS u, cv.community AS v,
+         CAST(SUM(und.w) AS BIGINT) AS w
+  FROM und{p} und
+  JOIN comm{i} cu ON und.u = cu.node
+  JOIN comm{i} cv ON und.v = cv.node
+  WHERE cu.community <> cv.community
+  GROUP BY cu.community, cv.community
+), deg{i} AS MATERIALIZED (
+  SELECT c.community AS node, CAST(SUM(d.k) AS BIGINT) AS k
+  FROM deg{p} d JOIN comm{i} c ON d.node = c.node
+  GROUP BY c.community
+), a{i} AS MATERIALIZED (
+  SELECT a.orig, c.community
+  FROM a{p} a JOIN comm{i} c ON a.community = c.node
+)""")
+    parts.append(f"""
+SELECT a.community AS node,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(d.k) AS BIGINT) AS k_total
+FROM a{levels} a JOIN deg0 d ON a.orig = d.node
+GROUP BY a.community""")
+    return "".join(parts)
+
+
+@register("graph_louvain_fixpoint",
+    oracle=_louvain_fixpoint_sql(_LOUVAIN_FIX_LEVELS),
+    doc="Louvain community detection run to CONVERGENCE (cap 6 "
+        "levels): graph_louvain_merge_step's exact-integer merge rule "
+        "and graph_louvain_contract_step's phase-2 contraction "
+        "composed into the full Blondel et al. 2008 loop — merge, "
+        "contract, repeat until a level moves NOBODY (total moved "
+        "gain 0: ONE driver-side long per level — bounded driver "
+        "state).  One composition-only addition: the registered step "
+        "decides all nodes SYNCHRONOUSLY, so two nodes selecting "
+        "each other would swap labels forever (the classic parallel-"
+        "Louvain 2-cycle); the fixpoint applies the standard "
+        "distributed-Louvain symmetry break — on a mutual selection "
+        "only the larger id moves — identically on both engines, so "
+        "the sweep genuinely converges (the two-triangles closed-"
+        "form test: communities = the triangles, level 2 moves "
+        "nobody).  A zero-move pass makes contraction the identity "
+        "and later levels repeat it: the oracle unrolls the full 6 "
+        "levels and the engines agree wherever Spark's loop stops "
+        "(the k-core fixpoint argument).  An "
+        "assignment table composes the per-level community mappings "
+        "so the output speaks about ORIGINAL nodes: one row per final "
+        "community with member count and total member degree (2m-"
+        "invariant under contraction — the closed-form pytest "
+        "property), all integer, all hash-checked.  Scale shape: per "
+        "level the merge decision's node-keyed degree joins + argmax "
+        "ride the DISK_ONLY-CHECKPOINTED contracted edge list (each "
+        "level's cund/cdeg/assign materialized once; level N reads "
+        "level N-1's blocks only, never a lineage chain), the "
+        "contraction agg is map-side combined on a strictly shrinking "
+        "graph, and superseded levels' blocks are released as they "
+        "are passed (live blocks stay O(1) levels).")
+def graph_louvain_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und, deg, m2 = _louvain_graph(spark, sf_dir)
+    deg0 = deg  # original degrees: final rollup input; never released
+    assign = _graph_ckpt(deg.select(F.col("node").alias("orig"),
+                                    F.col("node").alias("community")))
+    for _ in range(_LOUVAIN_FIX_LEVELS):
+        # The decision table feeds BOTH sides of the mutual-selection
+        # self-join below — checkpoint it once (the audit-gate rule).
+        dec = _graph_ckpt(_louvain_merge_decision(und, deg, m2)
+                          .select("node", "community", "gain_num"))
+        back = dec.select(F.col("node").alias("t_node"),
+                          F.col("community").alias("t_comm"),
+                          F.col("gain_num").alias("t_gain"))
+        # Synchronous sweeps 2-cycle when two nodes select EACH OTHER
+        # (both move, labels swap forever — the classic parallel-
+        # Louvain artifact).  Standard distributed-Louvain symmetry
+        # break: on a mutual selection only the LARGER id moves, so
+        # the pair collapses into the smaller's community and the
+        # sweep genuinely converges.  comm covers EVERY current node
+        # (deeper levels can hold isolated super-nodes absent from
+        # the edge list) — they stay put with gain 0, matching the
+        # oracle's deg LEFT JOIN.
+        moved = ((F.col("gain_num") > 0)
+                 & ~(F.col("t_node").isNotNull()
+                     & (F.col("node") < F.col("community"))))
+        comm = _graph_ckpt(
+            deg.select("node")
+            .join(dec, "node", "left")
+            .join(back, (F.col("community") == F.col("t_node"))
+                  & (F.col("t_comm") == F.col("node"))
+                  & (F.col("gain_num") > 0)
+                  & (F.col("t_gain") > 0), "left")
+            .select("node",
+                    F.when(moved, F.col("community"))
+                    .otherwise(F.col("node")).alias("community"),
+                    F.when(moved, F.col("gain_num"))
+                    .otherwise(F.lit(0)).cast("long").alias("gain")))
+        _graph_unpersist(dec)
+        # Convergence = nobody MOVED this level (any positive gain
+        # produces at least one mover: non-mutual winners move, and a
+        # mutual pair moves its larger id) — one driver-side long.
+        total_gain = comm.agg(F.sum("gain")).first()[0]
+        if not total_gain:
+            _graph_unpersist(comm)
+            break
+        cund = _graph_ckpt(
+            und.join(comm.select(F.col("node").alias("u"),
+                                 F.col("community").alias("cu")), "u")
+            .join(comm.select(F.col("node").alias("v"),
+                              F.col("community").alias("cv")), "v")
+            .filter(F.col("cu") != F.col("cv"))
+            .groupBy(F.col("cu").alias("u"), F.col("cv").alias("v"))
+            .agg(F.sum("w").cast("long").alias("w")))
+        cdeg = _graph_ckpt(
+            deg.join(comm.select("node", "community"), "node")
+            .groupBy(F.col("community").alias("node"))
+            .agg(F.sum("k").cast("long").alias("k")))
+        nassign = _graph_ckpt(
+            assign.join(comm.select(F.col("node").alias("community"),
+                                    F.col("community").alias("nc")),
+                        "community")
+            .select("orig", F.col("nc").alias("community")))
+        # Superseded level: release everything the next level and the
+        # final rollup no longer read (deg0 stays — the rollup needs
+        # the ORIGINAL degrees).
+        _graph_unpersist(und)
+        if deg is not deg0:
+            _graph_unpersist(deg)
+        _graph_unpersist(assign)
+        _graph_unpersist(comm)
+        und, deg, assign = cund, cdeg, nassign
+    return (assign.join(deg0.select(F.col("node").alias("orig"), "k"),
+                        "orig")
+            .groupBy(F.col("community").alias("node"))
+            .agg(F.count("*").cast("long").alias("n_members"),
+                 F.sum("k").cast("long").alias("k_total")))

@@ -158,3 +158,41 @@ def test_pagerank_closed_form(spark, tmp_path_factory):
                                     + 1_000_000_000_000) // 100,
         20: 150_000_000_000 + 85 * 500_000_000_000 // 100,
     }
+
+
+def test_louvain_fixpoint_converges_to_the_triangles(
+        spark, two_triangle_sf_dir):
+    """Full Louvain with the mutual-selection symmetry break: level 1
+    collapses each triangle into its smallest member's community (the
+    1-2 and 5-6 mutual pairs move only the larger id; 3 and 4 follow
+    their best neighbor), level 2 sees only the weak bridge (gain
+    14*1 - 7*7 < 0) and moves nobody — textbook two communities."""
+    rows = (REGISTRY["graph_louvain_fixpoint"]
+            .spark(spark, two_triangle_sf_dir).collect())
+    got = {r.node: (r.n_members, r.k_total) for r in rows}
+    assert got == {1: (3, 7), 5: (3, 7)}
+
+
+def test_pagerank_fixpoint_matches_integer_replay(spark,
+                                                  crafted_graph_sf_dir):
+    """The scaled-integer recursion replayed in plain Python over the
+    same crafted edges (exact int arithmetic, same convergence rule)
+    must reproduce every rank bit-for-bit."""
+    und = [(a, b) for a, b in _EDGES] + [(b, a) for a, b in _EDGES]
+    outdeg: dict[int, int] = {}
+    for u, _v in und:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    rank = {u: 1_000_000_000_000 for u in outdeg}
+    for _ in range(8):
+        nxt: dict[int, int] = {}
+        for u, v in und:
+            nxt[v] = nxt.get(v, 0) + rank[u] // outdeg[u]
+        nxt = {v: 150_000_000_000 + (85 * s) // 100
+               for v, s in nxt.items()}
+        if nxt == rank:
+            break
+        rank = nxt
+    got = {r.node: r.pagerank_scaled
+           for r in REGISTRY["graph_pagerank_fixpoint"]
+           .spark(spark, crafted_graph_sf_dir).collect()}
+    assert got == rank

@@ -52,3 +52,20 @@ def test_louvain_contraction_preserves_total_degree(spark):
     assert {r.community for r in m_rows} == {r.node for r in c_rows}
     # gains are clamped at 0 (stay-put), never negative
     assert all(r.gain_num >= 0 for r in c_rows)
+
+
+def test_fixpoint_releases_superseded_round_blocks(spark):
+    """r08 advice: the 8-round peel must not accumulate one DISK_ONLY
+    block set per round for the session lifetime.  After the result is
+    consumed, at most the final round's survivor set (plus the frames
+    a still-live result could read) may remain persistent."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = REGISTRY["graph_kcore_fixpoint"].spark(spark, SF)
+    rows = out.collect()
+    assert rows
+    after = jsc.getPersistentRDDs().size()
+    # und (the live fixpoint edge set feeding `out`) is allowed to
+    # stay; superseded rounds (deg + prior survivors, ~2 per round)
+    # must be gone.
+    assert after - before <= 2, (before, after)

@@ -1146,7 +1146,10 @@ def events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr(f"acc % {m}L").alias("level_final_units")))
 
 
-@register("events_changepoint_binary", oracle="""
+#: Shared by the batch plan below and its stateful-streaming twin
+#: (plans/streaming.py::streaming_changepoint) — the twins' contract:
+#: one oracle text, two engines' worth of execution strategies.
+CHANGEPOINT_ORACLE = """
 WITH hourly AS (
   SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
          CAST(COUNT(*) AS BIGINT) AS n
@@ -1185,7 +1188,11 @@ SELECT event_type, L AS n_hours,
        ROUND(CAST(S - b.sk AS DOUBLE) / (L - b.k), 6) AS right_mean,
        ROUND(b.g, 6) AS gain
 FROM best
-""", doc="Single change-point detection by binary segmentation over "
+"""
+
+
+@register("events_changepoint_binary", oracle=CHANGEPOINT_ORACLE,
+    doc="Single change-point detection by binary segmentation over "
          "each type's hourly-rate series — the first split of the "
          "classic binary-segmentation / CUSUM-localization family "
          "(find WHERE the level shifted, where events_cusum answers "

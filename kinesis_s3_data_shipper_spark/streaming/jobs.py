@@ -1015,3 +1015,112 @@ def streaming_holt_final(spark: SparkSession, events_dir: str, *,
                     F.round(F.col("bf"), 6).alias("trend_final"),
                     F.round(F.col("lf") + F.col("bf"), 6)
                     .alias("forecast_next")))
+
+
+def streaming_changepoint_final(spark: SparkSession, events_dir: str, *,
+                                checkpoint: str,
+                                query_name: str) -> DataFrame:
+    """Per-type ONLINE binary-segmentation change-point detection — the
+    streaming counterpart of the batch ``events_changepoint_binary``
+    plan (the last batch-only state machine without an online form):
+    each micro-batch folds its events into a per-type hourly-count
+    histogram kept as explicit group state, re-scores every candidate
+    split against the full series, and emits the current best split —
+    the "where did the level shift" answer refreshed as data arrives.
+
+    STATE BOUNDEDNESS — the honest version: unlike the O(1)-per-key
+    CUSUM/rate-limit/Holt twins, the state here is the (hour -> count)
+    histogram, O(elapsed stream HOURS) per type — time-bounded, not
+    row-bounded (one int64 pair per hour: ~140 KB per type-year).
+    That is inherent to the statistic: the split argmax needs every
+    prefix sum, so no fixed-size sufficient statistic exists.  A
+    production deployment bounds it with a sliding window of W hours
+    (detecting only in-window shifts); this twin keeps the full
+    horizon so the drained state can hash-match the batch oracle.
+    SCALE.md records the argument.
+
+    Arithmetic parity: hourly counts are exact integers and ADDITION
+    COMMUTES, so (unlike the order-sensitive twins) batch slicing
+    cannot change the histogram; the per-split gain is then computed
+    in Python floats through the IDENTICAL IEEE expression tree as the
+    batch plan's in-row HOF — (double(sk)*sk/k + double(S-sk)*(S-sk)/
+    (L-k) - double(S)*S/L), left-associated exactly as Spark parses
+    it — with the same strict-> earliest-k argmax, so the drained
+    best split is bit-identical and the final round(6) runs JVM-side
+    on the emitted doubles exactly as the batch plan's does.  The
+    prefix sums are O(L) per emission (the batch HOF's O(L^2) slice
+    sums produce the same exact integers).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = _events_stream(spark, events_dir, max_files=1)
+
+    def update(key, pdfs, state: GroupState):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if state.exists:
+            hrs0, ns0, seen = state.get
+            counts = dict(zip(hrs0, ns0))
+        else:
+            counts, seen = {}, 0
+        by_hr = (pdf["ts"] // NS_PER_HOUR).value_counts()
+        for hr, c in by_hr.items():
+            counts[int(hr)] = counts.get(int(hr), 0) + int(c)
+        seen += len(pdf)
+        hrs = sorted(counts)
+        ns = [counts[h] for h in hrs]
+        state.update((hrs, ns, seen))
+        L, S = len(hrs), sum(ns)
+        best_g, best_k, best_sk = -1e308, 0, 0
+        sk = 0
+        for k in range(1, L):
+            sk += ns[k - 1]
+            g = (float(sk) * sk / k
+                 + float(S - sk) * (S - sk) / (L - k)
+                 - float(S) * S / L)
+            if g > best_g:
+                best_g, best_k, best_sk = g, k, sk
+        yield pd.DataFrame({
+            "event_type": [key[0]], "seen": [seen],
+            "n_hours": [L], "s_total": [S],
+            "split_hr": [hrs[best_k - 1] if best_k else 0],
+            "left_len": [best_k], "sk": [best_sk],
+            "g": [best_g if best_k else 0.0]})
+
+    out = (events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_type STRING, seen LONG, n_hours LONG, s_total LONG,"
+            " split_hr LONG, left_len LONG, sk LONG, g DOUBLE"),
+        stateStructType="hrs ARRAY<LONG>, ns ARRAY<LONG>, seen LONG",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout))
+    query = (out.writeStream.outputMode("update")
+             .format("memory").queryName(query_name)
+             .option("checkpointLocation", checkpoint)
+             .trigger(availableNow=True).start())
+    query.awaitTermination()
+    emissions = spark.table(query_name)
+    # seen is monotone per type: max_by(seen) is the drained state.
+    # Means + rounding are JVM-side with the batch plan's expression
+    # trees; the L >= 2 floor applies on the drained state (a stream
+    # can't know the final hour count mid-flight).
+    final = (emissions.groupBy("event_type")
+             .agg(F.max_by(F.struct("n_hours", "s_total", "split_hr",
+                                    "left_len", "sk", "g"),
+                           "seen").alias("b"))
+             .select("event_type",
+                     F.col("b.n_hours").alias("n_hours"),
+                     F.col("b.s_total").alias("S"),
+                     F.col("b.split_hr").alias("split_hr"),
+                     F.col("b.left_len").alias("left_len"),
+                     F.col("b.sk").alias("sk"),
+                     F.col("b.g").alias("g"))
+             .filter(F.col("n_hours") >= 2))
+    return final.select(
+        "event_type", "n_hours", "split_hr", "left_len",
+        F.round(F.expr("CAST(sk AS DOUBLE) / left_len"), 6)
+        .alias("left_mean"),
+        F.round(F.expr("CAST(S - sk AS DOUBLE) / (n_hours - left_len)"),
+                6).alias("right_mean"),
+        F.round(F.col("g"), 6).alias("gain"))

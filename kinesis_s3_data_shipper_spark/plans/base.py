@@ -52,59 +52,61 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
 #: local sweep (correctness_local.py / tests/test_oracle_parity.py);
 #: this list ROTATES which ones land in the externally-verified window
 #: so the union across rounds converges on the whole registry.
-#: Round-8 window, in strict priority order (the r07 verdict's ask #2:
-#: drain the 37-query never-driver-checked backlog with a near-frozen
-#: registry — only 3 registrations this round):
-#: (1) the four graph queries whose plans changed this round (the
-#: lineage-checkpoint fix: edge/degree/oriented tables materialized
-#: once, DISK_ONLY) — triangle count and Jaccard re-prove their prior
-#: green rows post-change; kcore peel and the Louvain merge step were
-#: ALSO in the backlog, so their first external rows land post-change;
-#: (2) the remaining 34 never-externally-checked round-7 registrations
-#: (every one hash-green in both committed full local sweeps since
-#: r07, re-swept this round);
-#: (3) the three round-8 registrations: the k-core FIXPOINT (the peel
-#: step iterated to convergence), Louvain phase-2 contraction (the
-#: merge step re-run on the contracted graph), and the streaming Holt
-#: twin (float group state through the shared recursive-CTE oracle);
-#: (4) nine of the stale r03-green cohort (rows 5 data generations
-#: old): the ANN/clustering block + pagerank + json scalars + the two
-#: events series ops.  ingest_pipeline keeps its rows-only-by-contract
-#: driver row and takes no slot.  Still-deferred (r03 green, rotate
-#: next): the streaming_hourly/sessions/late_data/interval_join/
-#: outer_join/sliding block, events_retention_cohort,
-#: scd2_priority_history, window_distribution, join_full_outer,
-#: join_right_agg, join_interval_binned and the TPC-H q-series rows —
-#: all hash-green in both committed local sweeps
-#: (tests/test_correctness_local_cli.py pins the deferral rule).
+#: Round-9 window, in strict priority order (the r08 verdict's ask
+#: #2: FRESHNESS — post-change rows for audit-fixed plans, then the
+#: r03-stale cohort, then the oldest r04 rows; registration held to
+#: exactly 3 new):
+#: (1) the four plans whose executed plans changed in the r08
+#: registry-wide audit AFTER the r08 window was pinned (single-
+#: derivation checkpoint fixes) — their newest driver rows predate
+#: the change (r04-r06), so they take the first slots;
+#: (2) the three round-9 registrations: PageRank and Louvain run to
+#: CONVERGENCE (the iterate-the-registered-step compositions the r08
+#: verdict asked for) and the stateful-streaming change-point twin
+#: (the last batch-only state machine);
+#: (3) the ENTIRE 30-query cohort whose newest driver rows are r03 —
+#: five data generations old: the TPC-H q-series remainder, the
+#: streaming block, scd2, retention, window_distribution and the
+#: full-outer/right/interval-binned joins;
+#: (4) thirteen of the r04 cohort (next-stalest): the four TPC-H
+#: rows left there, the remaining streaming pair, and the seven-way
+#: join block.  ingest_pipeline keeps its rows-only-by-contract
+#: driver row and takes no slot.  Still-deferred (r04 green, rotate
+#: round 10): agg_distinct/quantiles/stats/ols_by_group,
+#: ann_ivf_multiprobe/ivfpq_adc/lsh_multiprobe/recall_eval,
+#: dedup_setsim_prefix/substring_spans, distinct_rows, the three
+#: events_* r04 rows, filter_project_scalar, grouped_winsorize,
+#: mine_hard_negatives, pack_sequences, pit_join_scd2,
+#: recursive_ewma_monthly, sample_stratified_exact_k, sort_limit,
+#: source_mixture_weights, text_classifier_score/dsir_importance/
+#: heavy_hitters/vocab_coverage — all hash-green in both committed
+#: local sweeps (tests/test_correctness_local_cli.py pins the
+#: deferral rule).
 _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
-    # (1) plan changed this round (graph lineage-checkpoint fix):
-    "graph_triangle_count", "graph_jaccard_neighbors",
-    "graph_kcore_peel", "graph_louvain_merge_step",
-    # (2) the never-externally-checked backlog, drained whole:
-    "dedup_minhash_est_quality", "retrieval_hybrid_rrf",
-    "embedding_pq_train_step", "embedding_cosine_histogram",
-    "embedding_dim_variance_prune", "events_match_recognize",
-    "events_seasonal_decompose_ma", "events_outage_gaps",
-    "events_markov_stationary_step", "events_ab_lift_funnel",
-    "events_gap_percentiles", "streaming_match_recognize",
-    "pack_sequences_bestfit", "text_ngram_novelty", "text_cdc_chunks",
-    "text_kneser_ney_counts", "sample_group_holdout",
-    "sample_stratified_neyman", "sample_kfold_assign",
-    "sample_poisson_bootstrap_mean", "profile_benford_digits",
-    "warehouse_schema_evolution", "warehouse_backfill_partition",
-    "warehouse_time_travel", "warehouse_constraint_check",
-    "warehouse_partition_stats_skew", "warehouse_gdpr_delete_audit",
-    "agg_chi2_independence", "agg_mannwhitney_u", "agg_ks_statistic",
-    "agg_incremental_view_merge", "agg_log2_histogram",
-    "agg_ols_two_factor", "parts_skyline_pareto",
-    # (3) registered this round:
-    "graph_kcore_fixpoint", "graph_louvain_contract_step",
-    "streaming_holt",
-    # (4) stalest r03-green cohort (9 slots):
-    "ann_lsh_probe", "ann_pq_adc", "semdedup_kmeans",
-    "kmeans_lloyd_iter", "graph_pagerank_iter", "scalar_json_map",
-    "scalar_variant_json", "events_gap_fill", "events_anomaly_zscore",
+    # (1) audit-fixed after the r08 window pin (post-change rows):
+    "basket_pair_lift", "profile_key_skew",
+    "agg_sketch_theta_setops", "text_collocations",
+    # (2) registered this round:
+    "graph_pagerank_fixpoint", "graph_louvain_fixpoint",
+    "streaming_changepoint",
+    # (3) the whole r03-stale cohort (30):
+    "q2_min_cost_supplier", "q4_exists_priority", "q6_forecast_revenue",
+    "q7_nation_volume", "q8_market_share", "q9_product_profit",
+    "q10_returned_revenue", "q11_important_stock",
+    "q12_priority_by_status", "q13_order_distribution",
+    "q14_promo_revenue_share", "q15_top_supplier", "q16_supplier_cnt",
+    "q17_small_qty_revenue", "q19_disjunctive_revenue",
+    "q20_excess_suppliers", "q21_sole_supplier", "q22_idle_customers",
+    "streaming_hourly", "streaming_sessions", "streaming_late_data",
+    "streaming_interval_join", "streaming_outer_join",
+    "streaming_sliding", "scd2_priority_history",
+    "events_retention_cohort", "window_distribution",
+    "join_full_outer", "join_right_agg", "join_interval_binned",
+    # (4) thirteen next-stalest r04 rows:
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    "q18_large_orders", "streaming_merge", "streaming_topk",
+    "join_anti", "join_inner_agg", "join_left_agg", "join_semi",
+    "join_range_pred", "join_theta_pairs", "join_salted_skew",
 )
 
 

@@ -1012,7 +1012,7 @@ GROUP BY e.query_id
               "truth on a SAMPLE, never the corpus); the probe side "
               "and the final per-query agg are the probe plan plus a "
               "|Q|*k-row join. Recall < 1 rows are the evidence the "
-              "multiprobe recall levers exist for.")
+              "multiprobe recall levers exist for. Audit note (accepted 4-scan flag): the exact-baseline arm and the ANN arm each scan the vector column — the table IS the vector column, so a checkpoint saves nothing over the pruned re-scans.")
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import dot, norm
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1297,7 +1297,7 @@ GROUP BY e.query_id
               "evidence for keeping all 64 dims instead. Scale shape: "
               "two |Q|xN broadcast nested loops with per-query "
               "windows partitioned by query_id; no corpus shuffle, "
-              "no pairs materialized beyond rank<=3.")
+              "no pairs materialized beyond rank<=3. Audit note (accepted 4-scan flag): each prefix-length eval arm scans the vector column independently; the vectors ARE the table, so re-scans beat a full-table checkpoint.")
 def embedding_matryoshka_recall(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     from ..functions.vectors import dot, norm
@@ -1460,7 +1460,7 @@ JOIN embeddings en ON en.vec_id = t.neighbor_id
          "sign code IS the 64-plane identity-hyperplane LSH bucket: "
          "at 100 TB the scan pre-filters by code-prefix bucket "
          "equi-join (ann_lsh_probe's dataflow) instead of scoring "
-         "every row, and Hamming ranks within buckets.")
+         "every row, and Hamming ranks within buckets. Audit note (accepted 4-scan flag): the sign-bit build and the exact re-rank arm each re-read the vector column; materializing it would persist the whole table.")
 def ann_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     codes = emb.select("vec_id",
@@ -1744,7 +1744,7 @@ GROUP BY p.bin
          "pre-gates on a hash threshold first, the exact-k "
          "convention); the pair join, scoring and the <=21-key "
          "rollup are CONSTANT work at any corpus size — that's the "
-         "point of a fixed-size diagnostic.")
+         "point of a fixed-size diagnostic. Audit note (accepted 4-scan flag): the md5-gated pair sample reads the vector column per pair side; pruned re-scans beat persisting the vector corpus.")
 def embedding_cosine_histogram(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

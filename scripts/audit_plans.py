@@ -11,50 +11,102 @@ and count, in the FINAL executed plan:
   - CartesianProduct / BatchEvalPython occurrences (always findings
     in core queries).
 
+EXECUTION COST: this is NOT a plan-only pass.  Eager localCheckpoints
+(the graph family, the funnel family, every audit-fixed plan) run
+their materialization jobs at DataFrame-BUILD time, and several plans
+stage parquet/stream state on disk — so auditing the full registry
+EXECUTES the heavy subplans of every checkpointed query.  Keep sf_dir
+small (sf0.001, the default: ~2-3 min for all 258) and never point it
+at sf0.1 expecting a static analysis.
+
 Prints one line per query over the scan threshold plus a JSON summary.
-Usage: python scripts/audit_plans.py [sf_dir] [threshold]
+Usage: python scripts/audit_plans.py [sf_dir] [threshold] [-v]
+  -v / --verbose: print the FULL traceback for every errored query
+  instead of a 200-char summary (a systematic breakage — e.g. a bad
+  import taking down a whole plan module — otherwise hides behind
+  truncated per-query 'straggler' lines).
+
+The accepted-flag set (plans where re-scanning beats materialization,
+triaged by hand) is pinned EXACTLY by tests/test_plan_audit_gate.py —
+a new multi-derivation plan, cartesian product, or Python eval fails
+pytest, not just this script.
 """
 from __future__ import annotations
 
 import json
 import re
 import sys
+import traceback
 
 sys.path.insert(0, "/root/repo")
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    threshold = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+def audit_query(df) -> dict:
+    """Scan/cartesian/python counts for one built DataFrame's final
+    executed plan."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    per_source: dict[str, int] = {}
+    for m in re.finditer(r"Location:.*?(\w+)\.parquet", plan):
+        t = m.group(1)
+        per_source[t] = per_source.get(t, 0) + 1
+    return {"per_source": per_source,
+            "cartesian": plan.count("CartesianProduct"),
+            "python": plan.count("BatchEvalPython")}
 
+
+def audit(spark, sf_dir: str, *, threshold: int = 4,
+          names=None, verbose: bool = False):
+    """Audit `names` (default: every registered query) at `sf_dir`.
+
+    Returns (flagged, errors): flagged maps query name -> counts dict
+    for queries at/over the scan threshold or with any cartesian /
+    Python eval; errors maps name -> message (full traceback when
+    verbose).  NOTE: builds every plan, which EXECUTES eager-checkpoint
+    subplans — see the module docstring for cost."""
     from kinesis_s3_data_shipper_spark.plans import REGISTRY, all_queries
-    from kinesis_s3_data_shipper_spark.session import get_session
 
     all_queries()
-    spark = get_session("ksds-plan-audit")
     flagged: dict[str, dict] = {}
     errors: dict[str, str] = {}
-    for name, spec in REGISTRY.items():
+    for name in (names if names is not None else list(REGISTRY)):
+        spec = REGISTRY[name]
         try:
-            df = spec.spark(spark, sf_dir)
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            counts = audit_query(spec.spark(spark, sf_dir))
         except Exception as exc:  # audit everything; report stragglers
-            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            if verbose:
+                errors[name] = traceback.format_exc()
+            else:
+                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
             continue
-        per_source: dict[str, int] = {}
-        for m in re.finditer(r"Location:.*?(\w+)\.parquet", plan):
-            t = m.group(1)
-            per_source[t] = per_source.get(t, 0) + 1
-        worst = max(per_source.values(), default=0)
-        cart = plan.count("CartesianProduct")
-        pyeval = plan.count("BatchEvalPython")
-        if worst >= threshold or cart or pyeval:
-            flagged[name] = {"per_source": per_source,
-                             "cartesian": cart, "python": pyeval}
-            print(f"FLAG {name}: {per_source}"
-                  f" cartesian={cart} python={pyeval}", flush=True)
-    print(json.dumps({"flagged": len(flagged), "errors": errors,
-                      "threshold": threshold}, sort_keys=True))
+        worst = max(counts["per_source"].values(), default=0)
+        if worst >= threshold or counts["cartesian"] or counts["python"]:
+            flagged[name] = counts
+    return flagged, errors
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if a not in ("-v", "--verbose")]
+    verbose = len(args) != len(sys.argv) - 1
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.001"
+    threshold = int(args[1]) if len(args) > 1 else 4
+
+    from kinesis_s3_data_shipper_spark.session import get_session
+
+    spark = get_session("ksds-plan-audit")
+    flagged, errors = audit(spark, sf_dir, threshold=threshold,
+                            verbose=verbose)
+    for name, counts in flagged.items():
+        print(f"FLAG {name}: {counts['per_source']}"
+              f" cartesian={counts['cartesian']}"
+              f" python={counts['python']}", flush=True)
+    if verbose:
+        for name, tb in errors.items():
+            print(f"ERROR {name}:\n{tb}", flush=True)
+    print(json.dumps(
+        {"flagged": len(flagged),
+         "errors": {n: e.splitlines()[-1] if verbose else e
+                    for n, e in errors.items()},
+         "threshold": threshold}, sort_keys=True))
 
 
 if __name__ == "__main__":

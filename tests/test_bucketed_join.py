@@ -40,6 +40,12 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
     li_t, ord_t = bucketed_tables
     # Disable broadcast so the join exercises the bucketed path even at
     # this tiny SF (at real scale neither side broadcasts anyway).
+    # Save/restore the PREVIOUS value: unset() resets to Spark's 10 MB
+    # default, not the session's configured 64 MB, and that leaked
+    # threshold changed executed plans for every later test in the
+    # suite (caught by the plan-audit gate flagging differently in the
+    # full run vs standalone).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         joined = (spark.table(li_t)
@@ -62,7 +68,7 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
         assert sorted(map(tuple, joined.collect())) == \
                sorted(map(tuple, plain.collect()))
     finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_bucketed_groupby_skips_shuffle(spark, bucketed_tables):

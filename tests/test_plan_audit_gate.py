@@ -1,0 +1,123 @@
+"""The executed-plan audit as a CI gate (r08 verdict ask #3).
+
+``scripts/audit_plans.py`` found the r07/r08 multi-derivation defects
+by hand-sweeping the registry.  This module pins its accepted-flag set
+EXACTLY, so any NEW multi-derivation plan (a consumer branch
+re-deriving corpus lineage instead of reading a checkpoint), cartesian
+product, or Python row eval fails pytest instead of waiting for the
+next hand sweep.
+
+Cost note: the audit BUILDS every registered plan, which executes the
+eager-checkpoint subplans (materialization jobs) — ~2.5 min for the
+full registry at sf0.001.  That is the price of gating the defect
+class; keep sf0.001 (never a larger sf) as the audit input.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kinesis_s3_data_shipper_spark.plans import REGISTRY, all_queries
+
+SF = "/root/testdata/sf0.001"
+THRESHOLD = 4
+
+#: The triaged, accepted scan flags — each documented in its plan's
+#: docstring (rule: a pruned re-SCAN of raw token/vector columns that
+#: a checkpoint would have to materialize wholesale is accepted; a
+#: re-derived corpus SHUFFLE is a defect).  Counts are pinned exactly:
+#: plan growth shows up as a diff here, with the docstring explaining
+#: the old number.
+ACCEPTED_SCANS: dict[str, dict[str, int]] = {
+    "dedup_minhash_lsh": {"documents": 4},
+    "dedup_minhash_est_quality": {"documents": 4},
+    "dedup_setsim_prefix": {"documents": 6},
+    "dedup_containment": {"documents": 4},
+    "ann_recall_eval": {"embeddings": 4},
+    "ann_binary_hamming": {"embeddings": 4},
+    "embedding_matryoshka_recall": {"embeddings": 4},
+    "embedding_cosine_histogram": {"embeddings": 4},
+    "text_fuzzy_match": {"documents": 4},
+    "text_bm25_topk": {"documents": 4},
+}
+
+#: The one registered Python eval: the UDTF demonstrator, by design.
+ACCEPTED_PYTHON: dict[str, int] = {"text_chunk_udtf": 1}
+
+
+#: Confs the audit's pinned counts assume (the get_session values).
+#: Pinned here because a PRIOR test leaking a changed conf (e.g. a
+#: broadcast threshold restored via unset -> Spark's 10 MB default)
+#: changes executed plans suite-wide and made this gate flag
+#: differently in the full run than standalone.
+_AUDIT_CONFS = {
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.adaptive.enabled": "true",
+}
+
+
+@pytest.fixture(scope="module")
+def audit_results(spark):
+    from scripts.audit_plans import audit
+    all_queries()
+    prev = {k: spark.conf.get(k) for k in _AUDIT_CONFS}
+    for k, v in _AUDIT_CONFS.items():
+        spark.conf.set(k, v)
+    # The audit measures COLD plans (what scripts/audit_plans.py's
+    # fresh session sees).  Earlier suite tests execute registered
+    # queries whose multi-consumer persists legitimately stay in the
+    # CacheManager; cache substitution then rewrites parts of a later
+    # build's plan and breaks TEXTUAL exchange-reuse detection, so
+    # scan counts drift (+2 on dedup_substring_spans/hybrid when
+    # test_oracle_parity ran first).  That is session hygiene, not a
+    # plan defect — clear it so the gate pins the canonical plans.
+    spark.catalog.clearCache()
+    try:
+        flagged, errors = audit(spark, SF, threshold=THRESHOLD,
+                                verbose=True)
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    assert not errors, {n: e.splitlines()[-1] for n, e in errors.items()}
+    return flagged
+
+
+def test_flagged_set_is_exactly_the_accepted_set(audit_results):
+    expected = set(ACCEPTED_SCANS) | set(ACCEPTED_PYTHON)
+    assert set(audit_results) == expected, (
+        sorted(set(audit_results) ^ expected))
+
+
+def test_no_cartesian_products_anywhere(audit_results):
+    assert not [n for n, c in audit_results.items() if c["cartesian"]]
+
+
+def test_python_evals_only_the_registered_udtf(audit_results):
+    got = {n: c["python"] for n, c in audit_results.items()
+           if c["python"]}
+    assert got == ACCEPTED_PYTHON
+
+
+def test_accepted_scan_counts_pinned_exactly(audit_results):
+    got = {n: c["per_source"] for n, c in audit_results.items()
+           if n in ACCEPTED_SCANS}
+    assert got == ACCEPTED_SCANS
+
+
+def test_detector_catches_an_injected_double_derivation(spark):
+    """Prove the gate WOULD fire: a hand-built plan whose consumer
+    branches re-derive the same scan lineage (the r07 graph defect in
+    miniature) must cross the audit threshold."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from scripts.audit_plans import audit_query
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    base = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    bad = base
+    for _ in range(THRESHOLD):  # union of N un-checkpointed branches
+        bad = bad.unionAll(base)
+    counts = audit_query(bad)
+    assert max(counts["per_source"].values()) >= THRESHOLD

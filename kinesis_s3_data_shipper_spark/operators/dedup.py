@@ -308,13 +308,20 @@ def connected_components(edges: DataFrame, *, src: str = "doc_a",
     """
     from pyspark.sql import Observation
 
+    from .checkpoint import release_checkpoint, truncated_checkpoint
+
     sym = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
            .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
            .distinct()
            .persist(StorageLevel.MEMORY_AND_DISK))
-    labels = (sym.select(F.col("s").alias("node")).distinct()
-              .select("node", F.col("node").alias("label"))
-              .localCheckpoint())
+    # truncated_checkpoint, not plain localCheckpoint: the rounds CHAIN
+    # checkpoints, the exact shape whose inherited join-product stats
+    # compound exponentially (operators/checkpoint.py) — invisible at
+    # the 2-4 rounds near-dup graphs need, a driver stall on the
+    # long-chain graphs the large-star fallback note contemplates.
+    labels = truncated_checkpoint(
+        sym.select(F.col("s").alias("node")).distinct()
+        .select("node", F.col("node").alias("label")))
     for i in range(max_iters):
         if i == 0:
             # Round 0: labels are still the identity (label == node),
@@ -330,14 +337,18 @@ def connected_components(edges: DataFrame, *, src: str = "doc_a",
         # new labels AND (via observe) counts label changes in the same
         # pass — no separate convergence-scan job.
         obs = Observation(f"cc_round_{i}")
-        new = (labels.join(nbr, "node", "left")
-               .select("node",
-                       F.least("label", F.coalesce("nbr_label", "label"))
-                       .alias("label"),
-                       (F.coalesce("nbr_label", "label") < F.col("label"))
-                       .cast("long").alias("_changed"))
-               .observe(obs, F.sum("_changed").alias("n_changed"))
-               .localCheckpoint())
+        new = truncated_checkpoint(
+            labels.join(nbr, "node", "left")
+            .select("node",
+                    F.least("label", F.coalesce("nbr_label", "label"))
+                    .alias("label"),
+                    (F.coalesce("nbr_label", "label") < F.col("label"))
+                    .cast("long").alias("_changed"))
+            .observe(obs, F.sum("_changed").alias("n_changed")))
+        # The eager materialization above fully consumed the previous
+        # round's labels — release them so live blocks stay O(1)
+        # rounds, not O(rounds).
+        release_checkpoint(labels)
         labels = new.drop("_changed")
         if not obs.get["n_changed"]:
             break

@@ -499,32 +499,16 @@ def _graph_ckpt(df: DataFrame) -> DataFrame:
     recomputing — a cluster deployment would back these blocks with
     reliable shuffle storage; the plan SHAPE is what carries to
     100 TB."""
+    # The eager checkpoint includes the STATS FIREWALL: without it,
+    # chained per-level checkpoints compound the inherited BigInt
+    # sizeInBytes estimate exponentially and the Louvain fixpoint
+    # spent ~70 s/level in driver-side BigInteger math by level 5
+    # (operators/checkpoint.py documents the mechanism; 98 s -> 10 s
+    # for the 6-level loop after the fix).
     from pyspark.storagelevel import StorageLevel
-    ckpt = df.localCheckpoint(eager=True,
-                              storageLevel=StorageLevel.DISK_ONLY)
-    # Stats firewall (r09): Dataset.localCheckpoint copies the ORIGIN
-    # plan's statistics into the new LogicalRDD (rewriteStatsAndConstraints),
-    # and size-only join estimation MULTIPLIES children's sizeInBytes —
-    # so CHAINED checkpoints (the fixpoint loops: each level built from
-    # the previous level's checkpoints) compound the BigInt estimate
-    # exponentially.  By Louvain level 5 the driver spent ~70 s per
-    # level multiplying megabyte-long BigIntegers inside
-    # SizeInBytesOnlyStatsPlanVisitor (jstack-verified; 98 s -> 10 s
-    # for the 6-level loop after this fix).  Re-wrap the persisted RDD
-    # without origin stats to reset the chain.  Join strategies are
-    # unaffected: the inherited products were already far above every
-    # broadcast threshold, exactly like the default leaf estimate that
-    # replaces them — all explicit broadcast() hints still apply.
-    try:
-        spark = ckpt.sparkSession
-        jrdd = ckpt._jdf.queryExecution().analyzed().rdd()
-        jdf = spark._jsparkSession.internalCreateDataFrame(
-            jrdd, ckpt._jdf.schema(), False)
-        return DataFrame(jdf, spark)
-    except Exception:
-        # A Spark version that moves the internals keeps the plain
-        # checkpoint: correct, merely slower in deep fixpoint chains.
-        return ckpt
+
+    from ..operators.checkpoint import truncated_checkpoint
+    return truncated_checkpoint(df, StorageLevel.DISK_ONLY)
 
 
 def _graph_unpersist(df: DataFrame) -> None:
@@ -540,10 +524,8 @@ def _graph_unpersist(df: DataFrame) -> None:
     moves the internals just skips the release — correctness is
     unaffected because callers only release frames no live result
     depends on)."""
-    try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
+    from ..operators.checkpoint import release_checkpoint
+    release_checkpoint(df)
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str, *,

@@ -1,0 +1,71 @@
+"""The iterative-checkpoint stats firewall (operators/checkpoint.py).
+
+``Dataset.localCheckpoint`` copies the origin plan's estimated
+statistics into the new LogicalRDD, and join estimation MULTIPLIES
+children's sizeInBytes — so a loop that checkpoints each round's
+output (built from the previous round's checkpoints) compounds the
+BigInt estimate exponentially in the round count, and the driver ends
+up burning seconds-per-round on BigInteger arithmetic inside the stats
+visitor (the round-9 Louvain finding: 98 s -> 10 s for 6 levels).
+These tests pin the firewall: a chained truncated_checkpoint keeps a
+BOUNDED size estimate where the plain localCheckpoint chain provably
+explodes, and the wrapped frame still reads the same persisted blocks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kinesis_s3_data_shipper_spark.operators.checkpoint import (
+    release_checkpoint, truncated_checkpoint)
+
+ROUNDS = 4
+
+
+def _one_round(cur):
+    # Two self-joins per round — the louvain/cund shape whose size
+    # estimate is the PRODUCT of three children.
+    a = cur.select(F.col("k"), F.col("v").alias("va"))
+    b = cur.select(F.col("k"), F.col("v").alias("vb"))
+    return (cur.join(a, "k").join(b, "k")
+            .select("k", (F.col("v") + F.col("va") + F.col("vb"))
+                    .alias("v")))
+
+
+def _size_bits(df) -> int:
+    # py4j converts the scala BigInt to a Python int directly.
+    return int(df._jdf.queryExecution().optimizedPlan().stats()
+               .sizeInBytes()).bit_length()
+
+
+def test_chained_truncated_checkpoints_keep_bounded_stats(spark):
+    base = spark.range(50).selectExpr("id as k", "id as v")
+    cur = truncated_checkpoint(base)
+    for _ in range(ROUNDS):
+        cur = truncated_checkpoint(_one_round(cur))
+    # Long.MaxValue-scale default estimate: well under 128 bits.  The
+    # unfirewalled chain triples-or-worse its bit-length per round
+    # (asserted below), so a lapsed firewall fails this loudly.
+    assert _size_bits(cur) < 128
+
+
+def test_plain_localcheckpoint_chain_explodes_without_firewall(spark):
+    """The hazard is real in THIS Spark version: the raw chain's
+    estimate grows superlinearly per round.  If a Spark upgrade fixes
+    stat inheritance, this test starts failing — then the firewall
+    (and this pair of tests) can be retired."""
+    base = spark.range(50).selectExpr("id as k", "id as v")
+    cur = base.localCheckpoint(eager=True)
+    bits = []
+    for _ in range(3):
+        cur = _one_round(cur).localCheckpoint(eager=True)
+        bits.append(_size_bits(cur))
+    assert bits[-1] > 2 * bits[0] and bits[-1] > 200, bits
+
+
+def test_wrapped_frame_reads_the_same_blocks(spark):
+    base = spark.range(100).selectExpr("id as k", "id as v")
+    w = truncated_checkpoint(base)
+    assert w.count() == 100
+    assert sorted(r.k for r in w.collect()) == list(range(100))
+    release_checkpoint(w)

@@ -1018,8 +1018,8 @@ def streaming_holt_final(spark: SparkSession, events_dir: str, *,
 
 
 def streaming_changepoint_final(spark: SparkSession, events_dir: str, *,
-                                checkpoint: str,
-                                query_name: str) -> DataFrame:
+                                checkpoint: str, query_name: str,
+                                output_dir: str | None = None) -> DataFrame:
     """Per-type ONLINE binary-segmentation change-point detection — the
     streaming counterpart of the batch ``events_changepoint_binary``
     plan (the last batch-only state machine without an online form):
@@ -1095,12 +1095,28 @@ def streaming_changepoint_final(spark: SparkSession, events_dir: str, *,
         stateStructType="hrs ARRAY<LONG>, ns ARRAY<LONG>, seen LONG",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout))
-    query = (out.writeStream.outputMode("update")
-             .format("memory").queryName(query_name)
-             .option("checkpointLocation", checkpoint)
-             .trigger(availableNow=True).start())
-    query.awaitTermination()
-    emissions = spark.table(query_name)
+    if output_dir is not None:
+        # Checkpoint-recoverable sink (the streaming_cusum contract):
+        # a stopped query restarted with the same checkpoint folds only
+        # the new files onto the restored histograms, and the parquet
+        # dir accumulates every emission across runs so the max_by
+        # read below stays current for all types.
+        def sink(batch_df: DataFrame, _epoch: int) -> None:
+            batch_df.write.mode("append").parquet(output_dir)
+
+        query = (out.writeStream.outputMode("update")
+                 .foreachBatch(sink)
+                 .option("checkpointLocation", checkpoint)
+                 .trigger(availableNow=True).start())
+        query.awaitTermination()
+        emissions = spark.read.parquet(output_dir)
+    else:
+        query = (out.writeStream.outputMode("update")
+                 .format("memory").queryName(query_name)
+                 .option("checkpointLocation", checkpoint)
+                 .trigger(availableNow=True).start())
+        query.awaitTermination()
+        emissions = spark.table(query_name)
     # seen is monotone per type: max_by(seen) is the drained state.
     # Means + rounding are JVM-side with the batch plan's expression
     # trees; the L >= 2 floor applies on the drained state (a stream

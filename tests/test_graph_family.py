@@ -5,6 +5,7 @@ preserves total weighted degree)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from kinesis_s3_data_shipper_spark.plans import REGISTRY, all_queries
@@ -69,3 +70,17 @@ def test_fixpoint_releases_superseded_round_blocks(spark):
     # stay; superseded rounds (deg + prior survivors, ~2 per round)
     # must be gone.
     assert after - before <= 2, (before, after)
+
+
+@pytest.mark.parametrize("name", ["graph_kcore_fixpoint",
+                                  "graph_pagerank_fixpoint",
+                                  "graph_louvain_fixpoint"])
+def test_fixpoint_result_reads_checkpoints_not_parquet(spark, name):
+    """The returned plan of every fixpoint must read the FINAL round's
+    materialized blocks (Scan ExistingRDD), never a lineage chain that
+    re-derives prior rounds from the parquet scans — the r07 defect
+    class (248 scans in k-core) pinned at the composition level."""
+    df = REGISTRY[name].spark(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" not in plan.lower(), plan[:2000]
+    assert "ExistingRDD" in plan

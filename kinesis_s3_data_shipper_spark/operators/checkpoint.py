@@ -30,11 +30,29 @@ Both reach through private APIs (``internalCreateDataFrame`` is
 gracefully: a Spark release that moves the internals falls back to
 the plain checkpoint / skips the release — correctness is never
 affected, only deep-loop driver time and disk residency.
+``tests/test_truncated_checkpoint.py`` carries a canary that fails
+the suite (instead of silently restoring the 98 s stall) if the wrap
+ever degrades to the fallback on the running Spark version.
+
+TRADEOFF the stats firewall accepts: ``internalCreateDataFrame``
+re-wraps with UNKNOWN outputPartitioning/outputOrdering, while
+``localCheckpoint``'s own LogicalRDD preserves both.  A loop whose
+per-round join could have REUSED the checkpoint's partitioning
+(checkpoint keyed on the join key, joined on it next round) will
+re-shuffle the wrapped frame where the plain checkpoint would not.
+Every current fixpoint loop re-keys between rounds anyway (the bench
+numbers are a net win), but a future shape that relies on checkpoint
+partitioning reuse should pass the frame through plain
+``localCheckpoint`` and cap its loop depth instead.
 """
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
+
+log = logging.getLogger(__name__)
 
 
 def truncated_checkpoint(df: DataFrame, storage_level=None) -> DataFrame:
@@ -53,11 +71,40 @@ def truncated_checkpoint(df: DataFrame, storage_level=None) -> DataFrame:
         return ckpt
 
 
-def release_checkpoint(df: DataFrame) -> None:
+def _logical_rdd_leaf(plan):
+    """Descend through UNARY nodes (Project/Filter/...) to the
+    LogicalRDD leaf, or None if the plan isn't a unary chain over one
+    (a multi-child plan derives from several frames; releasing any one
+    of them here would be a guess)."""
+    while plan.getClass().getSimpleName() != "LogicalRDD":
+        children = plan.children()
+        if children.size() != 1:
+            return None
+        plan = children.apply(0)
+    return plan
+
+
+def release_checkpoint(df: DataFrame) -> bool:
     """Free a :func:`truncated_checkpoint` frame's blocks (module doc).
     Only call on frames no live result depends on: the checkpoint has
-    no lineage, so its data is unrecoverable after release."""
+    no lineage, so its data is unrecoverable after release.
+
+    Accepts the checkpoint frame itself OR a unary derivation of it
+    (``ckpt.drop(col)`` is a Project over the LogicalRDD — the shape
+    every loop that tags a convergence column produces).  Returns True
+    iff blocks were actually released; a skipped release is WARN-logged
+    so an O(rounds) block leak is visible, never silent.
+    """
     try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
+        leaf = _logical_rdd_leaf(df._jdf.queryExecution().analyzed())
+        if leaf is None:
+            log.warning(
+                "release_checkpoint skipped: plan is not a unary chain "
+                "over a LogicalRDD — blocks were NOT released")
+            return False
+        leaf.rdd().unpersist(False)
+        return True
+    except Exception as exc:  # private-API drift: skip, but say so
+        log.warning("release_checkpoint skipped (%s) — blocks were "
+                    "NOT released", exc)
+        return False

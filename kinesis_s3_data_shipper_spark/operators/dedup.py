@@ -347,7 +347,10 @@ def connected_components(edges: DataFrame, *, src: str = "doc_a",
             .observe(obs, F.sum("_changed").alias("n_changed")))
         # The eager materialization above fully consumed the previous
         # round's labels — release them so live blocks stay O(1)
-        # rounds, not O(rounds).
+        # rounds, not O(rounds).  After round 0 `labels` is a Project
+        # (.drop) over the checkpoint's LogicalRDD; release_checkpoint
+        # unwraps unary nodes to the leaf, so this frees the previous
+        # round's blocks, not a silent no-op (r09 advice).
         release_checkpoint(labels)
         labels = new.drop("_changed")
         if not obs.get["n_changed"]:

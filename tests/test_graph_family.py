@@ -84,3 +84,23 @@ def test_fixpoint_result_reads_checkpoints_not_parquet(spark, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "parquet" not in plan.lower(), plan[:2000]
     assert "ExistingRDD" in plan
+
+
+def test_connected_components_releases_superseded_round_blocks(spark):
+    """r09 advice: the min-label CC loop releases each superseded
+    round via release_checkpoint(ckpt.drop('_changed')) — a Project
+    over the LogicalRDD that the old release silently no-op'd on,
+    leaking one block set per round.  With the unary-unwrap fix the
+    loop must leave at most the FINAL labels checkpoint (plus the
+    persisted sym edge set it already unpersists) live after the
+    result is consumed."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = REGISTRY["dedup_clusters_cc"].spark(spark, SF)
+    rows = out.collect()
+    assert rows
+    after = jsc.getPersistentRDDs().size()
+    # The live result may keep the final round's labels checkpoint
+    # (and round 0's initial checkpoint if the graph converged in one
+    # pass); every superseded middle round must be gone.
+    assert after - before <= 2, (before, after)

@@ -69,3 +69,58 @@ def test_wrapped_frame_reads_the_same_blocks(spark):
     assert w.count() == 100
     assert sorted(r.k for r in w.collect()) == list(range(100))
     release_checkpoint(w)
+
+
+def test_firewall_canary_wrap_is_live_not_fallback(spark):
+    """r09 verdict ask #2: truncated_checkpoint rides the private
+    ``internalCreateDataFrame``; if a Spark upgrade moves it, the
+    except-fallback silently returns the PLAIN checkpoint (correct but
+    re-exposing the 98 s deep-loop driver stall).  This canary fails
+    the suite the moment that happens: a single wrap of a join-product
+    frame must report the default leaf estimate, strictly below the
+    inherited product the plain checkpoint carries."""
+    base = spark.range(50).selectExpr("id as k", "id as v")
+    joined = _one_round(base)
+    plain_bits = _size_bits(joined.localCheckpoint(eager=True))
+    wrapped = truncated_checkpoint(joined)
+    wrapped_bits = _size_bits(wrapped)
+    # A LIVE wrap reports the default leaf estimate (Long.MaxValue,
+    # 63 bits) because internalCreateDataFrame attaches no stats; the
+    # FALLBACK (plain localCheckpoint) inherits the origin's computed
+    # estimate instead.  plain_bits < 63 proves inheritance really
+    # happens on this Spark version, so the equality isn't vacuous.
+    assert plain_bits < 63, plain_bits
+    assert wrapped_bits == 63, (wrapped_bits, plain_bits)
+    # and the wrap really is a bare LogicalRDD leaf
+    assert (wrapped._jdf.queryExecution().analyzed().getClass()
+            .getSimpleName()) == "LogicalRDD"
+    release_checkpoint(wrapped)
+
+
+def test_release_unwraps_unary_derivations(spark):
+    """r09 advice (medium): every checkpoint-per-round loop tags a
+    convergence column and releases ``ckpt.drop(tag)`` — a Project
+    over the LogicalRDD.  The release must unwrap to the leaf and
+    actually free the blocks (returns True), not silently no-op."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    ckpt = truncated_checkpoint(
+        spark.range(40).selectExpr("id as k", "id as v",
+                                   "id % 2 as _changed"))
+    derived = ckpt.drop("_changed").select("k", "v")
+    assert release_checkpoint(derived) is True
+    assert jsc.getPersistentRDDs().size() == before
+
+
+def test_release_refuses_multi_child_plans(spark):
+    """A join of two checkpoints is not a unary chain over ONE leaf;
+    releasing either would be a guess.  Must return False (and warn),
+    never raise, never release."""
+    jsc = spark.sparkContext._jsc.sc()
+    a = truncated_checkpoint(spark.range(10).selectExpr("id as k"))
+    b = truncated_checkpoint(spark.range(10).selectExpr("id as k"))
+    live = jsc.getPersistentRDDs().size()
+    assert release_checkpoint(a.join(b, "k")) is False
+    assert jsc.getPersistentRDDs().size() == live
+    release_checkpoint(a)
+    release_checkpoint(b)

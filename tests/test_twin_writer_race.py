@@ -48,7 +48,6 @@ def test_concurrent_importers_do_not_race():
     rounds = 3
     for _ in range(rounds):
         barrier = ctx.Barrier(n)
-        results = ctx.Array("c", 4096)  # unused placeholder len check
         manager = ctx.Manager()
         out = manager.dict()
         procs = [

@@ -15,9 +15,23 @@ official artifact was lost because the single JSON line grew past that
 with the per-query dispersion map. So: the FINAL stdout line is now
 the COMPACT record only ({metric, value, unit, queries, sf} with
 2-decimal timings and no whitespace — `tests/test_bench_output.py`
-pins it under the capture budget), and the full record (3-decimal
+pins it under the capture budget), and the detail record (3-decimal
 timings + dispersion + errors) is written to $SPARK_GRAFT_BENCH_FULL
-(default ./BENCH_FULL_LOCAL.json) instead of stdout.
+(default ./BENCH_HEADLINE_LOCAL.json — renamed from BENCH_FULL_LOCAL
+in r10: it holds the 63-query HEADLINE set, not the full registry;
+registry-wide per-query timings live in CORRECTNESS_LOCAL*.json's
+spark_sec fields) instead of stdout.
+
+SESSION DISPERSION PROTOCOL (r09 verdict ask #5): this VM shows
+whole-session steal-time episodes — two same-code clean sessions
+measured 44.7 s and 57.8 s totals, min and med rising TOGETHER for
+every query, so even min-of-4 within one session cannot separate a
+real regression from a slow session.  The committed round artifact
+(BENCH_LOCAL_r{N}.json) is therefore the PER-QUERY MIN ACROSS >=3
+separate sessions: run `python scripts/bench_sessions.py 3`, which
+invokes this script N times in fresh processes and merges.  A single
+`python bench.py` run (what the external driver does) stays valid for
+correctness but its total sits anywhere in the session band.
 """
 
 from __future__ import annotations
@@ -165,6 +179,7 @@ def main() -> None:
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     full = {
         "metric": "headline_queries_total_runtime",
+        "scope": f"headline_{len(HEADLINE)}_of_{len(queries)}_registered",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
@@ -184,7 +199,8 @@ def main() -> None:
         full["errors"] = errors
         full["incomplete"] = True
         compact["incomplete"] = True
-    full_path = os.environ.get("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL_LOCAL.json")
+    full_path = os.environ.get("SPARK_GRAFT_BENCH_FULL",
+                               "BENCH_HEADLINE_LOCAL.json")
     with open(full_path, "w") as fh:
         json.dump(full, fh, indent=0)
         fh.write("\n")

@@ -78,13 +78,24 @@ def main() -> int:
                      "hash_match": None, "spark_rows": None,
                      "oracle_rows": None, "err": None}
         try:
+            # spark_sec: build + count of the Spark side alone — the
+            # registry-WIDE timing record (r09 verdict ask #3: the
+            # 63-query headline bench can't see a regression in the
+            # other ~200 queries; this sweep runs them all anyway, so
+            # record per-query wall for round-over-round comparison).
+            # Single-shot, warm session — noisier than bench.py's
+            # min-of-4, so compare trends, not single deltas.
             if spec.oracle is None:
+                ts = time.perf_counter()
                 rec["spark_rows"] = spec.spark(spark, args.sf_dir).count()
+                rec["spark_sec"] = round(time.perf_counter() - ts, 3)
                 rec["rows_only"] = True
             else:
                 run_pair(spark, args.sf_dir, name, spec.spark, spec.oracle)
+                ts = time.perf_counter()
                 sdf = spec.spark(spark, args.sf_dir)
                 rec["spark_rows"] = sdf.count()
+                rec["spark_sec"] = round(time.perf_counter() - ts, 3)
                 con = duckdb_connection(args.sf_dir)
                 rec["oracle_rows"] = len(con.sql(spec.oracle).df())
                 rec.update(rows_match=True, schema_match=True,

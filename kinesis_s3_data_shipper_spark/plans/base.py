@@ -52,61 +52,50 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
 #: local sweep (correctness_local.py / tests/test_oracle_parity.py);
 #: this list ROTATES which ones land in the externally-verified window
 #: so the union across rounds converges on the whole registry.
-#: Round-9 window, in strict priority order (the r08 verdict's ask
-#: #2: FRESHNESS — post-change rows for audit-fixed plans, then the
-#: r03-stale cohort, then the oldest r04 rows; registration held to
-#: exactly 3 new):
-#: (1) the four plans whose executed plans changed in the r08
-#: registry-wide audit AFTER the r08 window was pinned (single-
-#: derivation checkpoint fixes) — their newest driver rows predate
-#: the change (r04-r06), so they take the first slots;
-#: (2) the three round-9 registrations: PageRank and Louvain run to
-#: CONVERGENCE (the iterate-the-registered-step compositions the r08
-#: verdict asked for) and the stateful-streaming change-point twin
-#: (the last batch-only state machine);
-#: (3) the ENTIRE 30-query cohort whose newest driver rows are r03 —
-#: five data generations old: the TPC-H q-series remainder, the
-#: streaming block, scd2, retention, window_distribution and the
-#: full-outer/right/interval-binned joins;
-#: (4) thirteen of the r04 cohort (next-stalest): the four TPC-H
-#: rows left there, the remaining streaming pair, and the seven-way
-#: join block.  ingest_pipeline keeps its rows-only-by-contract
-#: driver row and takes no slot.  Still-deferred (r04 green, rotate
-#: round 10): agg_distinct/quantiles/stats/ols_by_group,
-#: ann_ivf_multiprobe/ivfpq_adc/lsh_multiprobe/recall_eval,
-#: dedup_setsim_prefix/substring_spans, distinct_rows, the three
-#: events_* r04 rows, filter_project_scalar, grouped_winsorize,
-#: mine_hard_negatives, pack_sequences, pit_join_scd2,
-#: recursive_ewma_monthly, sample_stratified_exact_k, sort_limit,
-#: source_mixture_weights, text_classifier_score/dsir_importance/
-#: heavy_hitters/vocab_coverage — all hash-green in both committed
-#: local sweeps (tests/test_correctness_local_cli.py pins the
-#: deferral rule).
+#: Round-10 window, in strict priority order (the r09 verdict's ask
+#: #1: FINISH FRESHNESS — post-change rows for every plan the r09
+#: stats-firewall/block-release change touched, then the whole
+#: r04-stale cohort, then the oldest r05 rows; registration held to
+#: exactly 1 new — the windowed change-point twin ask #4 requested):
+#: (1) the EIGHT plans whose executed loops changed with the r09
+#: stats firewall + per-round block release AFTER the r09 window was
+#: pinned — their newest driver rows (r05/r08) predate the change;
+#: (2) the one round-10 registration (streaming_changepoint_windowed,
+#: the production-capped state twin) plus dedup_cluster_canonicalize,
+#: whose CC loop's round releases became real this round (the
+#: release_checkpoint unary-unwrap fix — r09 advice, medium);
+#: (3) the ENTIRE 28-query cohort whose newest driver rows are r04
+#: (last round's documented deferral list, verbatim — including
+#: ingest_pipeline's rows-only-by-contract row);
+#: (4) the twelve alphabetically-first r05 rows (next-stalest;
+#: dedup_clusters_cc already sits in tier 1).  Still-deferred to
+#: round 11: the remaining 31 r05 rows (the 44-query r05 cohort
+#: minus tier 4's twelve minus dedup_clusters_cc) — all hash-green
+#: in both committed local sweeps.
 _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
-    # (1) audit-fixed after the r08 window pin (post-change rows):
-    "basket_pair_lift", "profile_key_skew",
-    "agg_sketch_theta_setops", "text_collocations",
-    # (2) registered this round:
-    "graph_pagerank_fixpoint", "graph_louvain_fixpoint",
-    "streaming_changepoint",
-    # (3) the whole r03-stale cohort (30):
-    "q2_min_cost_supplier", "q4_exists_priority", "q6_forecast_revenue",
-    "q7_nation_volume", "q8_market_share", "q9_product_profit",
-    "q10_returned_revenue", "q11_important_stock",
-    "q12_priority_by_status", "q13_order_distribution",
-    "q14_promo_revenue_share", "q15_top_supplier", "q16_supplier_cnt",
-    "q17_small_qty_revenue", "q19_disjunctive_revenue",
-    "q20_excess_suppliers", "q21_sole_supplier", "q22_idle_customers",
-    "streaming_hourly", "streaming_sessions", "streaming_late_data",
-    "streaming_interval_join", "streaming_outer_join",
-    "streaming_sliding", "scd2_priority_history",
-    "events_retention_cohort", "window_distribution",
-    "join_full_outer", "join_right_agg", "join_interval_binned",
-    # (4) thirteen next-stalest r04 rows:
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    "q18_large_orders", "streaming_merge", "streaming_topk",
-    "join_anti", "join_inner_agg", "join_left_agg", "join_semi",
-    "join_range_pred", "join_theta_pairs", "join_salted_skew",
+    # (1) r09 firewall/block-release plans with pre-change rows:
+    "graph_triangle_count", "graph_jaccard_neighbors",
+    "graph_kcore_peel", "graph_kcore_fixpoint",
+    "graph_louvain_merge_step", "graph_louvain_contract_step",
+    "graph_pagerank_iter", "dedup_clusters_cc",
+    # (2) registered this round + CC-release-fix consumer:
+    "streaming_changepoint_windowed", "dedup_cluster_canonicalize",
+    # (3) the whole r04-stale cohort (28):
+    "agg_distinct", "agg_ols_by_group", "agg_quantiles", "agg_stats",
+    "ann_ivf_multiprobe", "ann_ivfpq_adc", "ann_lsh_multiprobe",
+    "ann_recall_eval", "dedup_setsim_prefix", "dedup_substring_spans",
+    "distinct_rows", "events_path_transitions", "events_pattern_scan",
+    "events_session_attribution", "filter_project_scalar",
+    "grouped_winsorize", "ingest_pipeline", "mine_hard_negatives",
+    "pack_sequences", "pit_join_scd2", "recursive_ewma_monthly",
+    "sample_stratified_exact_k", "sort_limit", "source_mixture_weights",
+    "text_classifier_score", "text_dsir_importance",
+    "text_heavy_hitters", "text_vocab_coverage",
+    # (4) twelve next-stalest r05 rows (alphabetical):
+    "agg_approx_distinct", "agg_argminmax", "agg_cube",
+    "agg_grouping_sets", "agg_pandas_median", "agg_rollup",
+    "ann_ivf_probe", "asof_join", "dedup_bloom_membership",
+    "dedup_embedding_cosine", "dedup_exact", "dedup_exact_hash",
 )
 
 

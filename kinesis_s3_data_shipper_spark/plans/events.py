@@ -1191,6 +1191,23 @@ FROM best
 """
 
 
+#: The production state cap (streaming_changepoint_windowed): detect
+#: only within the trailing W hours PER TYPE.  Derived from
+#: CHANGEPOINT_ORACLE by renaming its hourly CTE and inserting one
+#: window-filter CTE, so the scoring tail (slice sums, IEEE gain tree,
+#: earliest-k argmax) stays IDENTICAL by construction — the twins'
+#: one-oracle-text contract, kept under derivation.
+CHANGEPOINT_WINDOW_HOURS = 168
+
+CHANGEPOINT_WINDOWED_ORACLE = CHANGEPOINT_ORACLE.replace(
+    "WITH hourly AS (", "WITH hourly_all AS (", 1).replace(
+    "), s AS (", f"""), hourly AS (
+  SELECT event_type, hr, n FROM hourly_all
+  QUALIFY hr > MAX(hr) OVER (PARTITION BY event_type)
+               - {CHANGEPOINT_WINDOW_HOURS}
+), s AS (""", 1)
+
+
 @register("events_changepoint_binary", oracle=CHANGEPOINT_ORACLE,
     doc="Single change-point detection by binary segmentation over "
          "each type's hourly-rate series — the first split of the "

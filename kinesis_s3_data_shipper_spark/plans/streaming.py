@@ -23,8 +23,10 @@ from ..streaming.jobs import (streaming_dedup_counts, streaming_hourly_counts,
                               streaming_session_windows)
 from ..session import staging_dir
 from .base import register
-from .events import (CHANGEPOINT_ORACLE, CUSUM_ORACLE, HOLT_ORACLE,
-                     MATCH_RECOGNIZE_ORACLE, RATE_LIMIT_ORACLE)
+from .events import (CHANGEPOINT_ORACLE, CHANGEPOINT_WINDOW_HOURS,
+                     CHANGEPOINT_WINDOWED_ORACLE, CUSUM_ORACLE,
+                     HOLT_ORACLE, MATCH_RECOGNIZE_ORACLE,
+                     RATE_LIMIT_ORACLE)
 
 NS_PER_HOUR = 3_600_000_000_000
 
@@ -526,3 +528,30 @@ def streaming_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_changepoint_final(spark, landing,
                                        checkpoint=checkpoint,
                                        query_name=name)
+
+
+@register("streaming_changepoint_windowed",
+          oracle=CHANGEPOINT_WINDOWED_ORACLE,
+          doc="The PRODUCTION-CAPPED change-point twin (r09 verdict "
+              "ask #4): identical online binary-segmentation state "
+              "machine as streaming_changepoint, but the per-type "
+              "(hour -> count) histogram state is a SLIDING window — "
+              "after each fold, hours <= (per-type max hour - "
+              f"{CHANGEPOINT_WINDOW_HOURS}) are dropped, bounding "
+              "state at W int64 pairs per type instead of O(stream "
+              "hours).  The trim is exact under any arrival order "
+              "(per-type max is monotone, so trimmed hours are "
+              "outside the FINAL window too — streaming/jobs.py "
+              "proves it), so the drained state hash-matches the "
+              "batch oracle filtered to the trailing W hours per "
+              "type: the SCALE.md boundedness argument turned into a "
+              "checked query.  Detection scope narrows to in-window "
+              "shifts — the documented production tradeoff.")
+def streaming_changepoint_windowed(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import streaming_changepoint_final
+    landing, checkpoint = _stage_time_slices(sf_dir=sf_dir, spark=spark)
+    name = f"chgptw_{uuid.uuid4().hex[:8]}"
+    return streaming_changepoint_final(
+        spark, landing, checkpoint=checkpoint, query_name=name,
+        window_hours=CHANGEPOINT_WINDOW_HOURS)

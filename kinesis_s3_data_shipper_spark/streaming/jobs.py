@@ -1019,7 +1019,9 @@ def streaming_holt_final(spark: SparkSession, events_dir: str, *,
 
 def streaming_changepoint_final(spark: SparkSession, events_dir: str, *,
                                 checkpoint: str, query_name: str,
-                                output_dir: str | None = None) -> DataFrame:
+                                output_dir: str | None = None,
+                                window_hours: int | None = None
+                                ) -> DataFrame:
     """Per-type ONLINE binary-segmentation change-point detection — the
     streaming counterpart of the batch ``events_changepoint_binary``
     plan (the last batch-only state machine without an online form):
@@ -1035,9 +1037,20 @@ def streaming_changepoint_final(spark: SparkSession, events_dir: str, *,
     That is inherent to the statistic: the split argmax needs every
     prefix sum, so no fixed-size sufficient statistic exists.  A
     production deployment bounds it with a sliding window of W hours
-    (detecting only in-window shifts); this twin keeps the full
-    horizon so the drained state can hash-match the batch oracle.
+    (detecting only in-window shifts); the full-horizon twin keeps
+    everything so the drained state can hash-match the batch oracle.
     SCALE.md records the argument.
+
+    ``window_hours=W`` is that production cap made checkable
+    (``streaming_changepoint_windowed``): after each fold the state
+    drops hours <= (per-type max hour - W), so the histogram is at
+    most W entries per type.  The trim is EXACT under any arrival
+    order, not just the staged one: the per-type max is monotone
+    across batches, so any hour ever trimmed satisfies
+    hr <= max_seen - W <= final_max - W — outside the final window
+    too — and hours inside the final window can never be trimmed.
+    The drained state therefore equals the batch histogram filtered
+    to hr > final_max - W, which is exactly the windowed oracle.
 
     Arithmetic parity: hourly counts are exact integers and ADDITION
     COMMUTES, so (unlike the order-sensitive twins) batch slicing
@@ -1067,6 +1080,9 @@ def streaming_changepoint_final(spark: SparkSession, events_dir: str, *,
         for hr, c in by_hr.items():
             counts[int(hr)] = counts.get(int(hr), 0) + int(c)
         seen += len(pdf)
+        if window_hours is not None and counts:
+            cutoff = max(counts) - window_hours
+            counts = {h: c for h, c in counts.items() if h > cutoff}
         hrs = sorted(counts)
         ns = [counts[h] for h in hrs]
         state.update((hrs, ns, seen))

@@ -71,6 +71,15 @@ def audit(spark, sf_dir: str, *, threshold: int = 4,
     for name in (names if names is not None else list(REGISTRY)):
         spec = REGISTRY[name]
         try:
+            # COLD cache per query: an earlier query's persisted
+            # intermediate (e.g. minhash band signatures) otherwise
+            # substitutes InMemoryRelation into a LATER query's plan,
+            # breaking textual exchange-reuse detection — scan counts
+            # would then depend on REGISTRY ORDER (the r10 window
+            # reorder flipped dedup_minhash_lsh 4 -> 8 exactly this
+            # way).  Catalog cache only; localCheckpoint blocks are
+            # untouched.
+            spark.catalog.clearCache()
             counts = audit_query(spec.spark(spark, sf_dir))
         except Exception as exc:  # audit everything; report stragglers
             if verbose:

@@ -121,3 +121,47 @@ def test_detector_catches_an_injected_double_derivation(spark):
         bad = bad.unionAll(base)
     counts = audit_query(bad)
     assert max(counts["per_source"].values()) >= THRESHOLD
+
+
+import glob as _glob
+import os as _os
+import tempfile as _tempfile
+
+#: ksds* temp dirs that exist at MODULE IMPORT (before any test in
+#: this file — in particular before the audit fixture builds every
+#: plan).  Other processes (a concurrent sweep, the driver) may own
+#: these; only dirs created after import are ours to account for.
+#: Module-level, not a fixture: the module-scoped audit_results is
+#: instantiated by the FIRST test that requests it, which runs before
+#: any later fixture could snapshot.
+_STAGING_BASELINE = set(
+    _glob.glob(_os.path.join(_tempfile.gettempdir(), "ksds*")))
+
+
+def test_registry_build_leaves_no_orphan_staging(audit_results):
+    """r09 verdict ask #6 (the time-travel /tmp leak class,
+    generalized): after a FULL registry build, every ksds* staging
+    tree this process created must be registered with the atexit
+    reaper — zero orphans that would outlive the process."""
+    import glob
+    import os
+    import tempfile
+
+    from kinesis_s3_data_shipper_spark.session import _STAGING_DIRS
+    now = set(glob.glob(os.path.join(tempfile.gettempdir(), "ksds*")))
+    orphans = (now - _STAGING_BASELINE) - set(_STAGING_DIRS)
+    assert not orphans, sorted(orphans)
+
+
+def test_staging_reaper_removes_registered_dirs():
+    """The reaper itself works: a registered dir is gone after
+    _reap_staging(), and re-reaping is a no-op."""
+    import os
+
+    from kinesis_s3_data_shipper_spark.session import (_reap_staging,
+                                                       staging_dir)
+    d = staging_dir("ksds_reaptest_")
+    assert os.path.isdir(d)
+    _reap_staging()
+    assert not os.path.exists(d)
+    _reap_staging()  # idempotent

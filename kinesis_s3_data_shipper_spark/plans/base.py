@@ -67,8 +67,12 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
 #: (3) the ENTIRE 28-query cohort whose newest driver rows are r04
 #: (last round's documented deferral list, verbatim — including
 #: ingest_pipeline's rows-only-by-contract row);
-#: (4) the twelve alphabetically-first r05 rows (next-stalest;
-#: dedup_clusters_cc already sits in tier 1).  Still-deferred to
+#: (4) twelve r05 rows: the alphabetically-first eleven plus
+#: dedup_ngram_jaccard, whose PLAN CHANGED this round (the PPJoin
+#: prefix-filter rewrite that fixed its quadratic within-block
+#: verify, 128 s -> 13 s at sf0.1) and therefore outranks the
+#: alphabetical twelfth (dedup_exact_hash, unchanged since r05).
+#: dedup_clusters_cc already sits in tier 1.  Still-deferred to
 #: round 11: the remaining 31 r05 rows (the 44-query r05 cohort
 #: minus tier 4's twelve minus dedup_clusters_cc) — all hash-green
 #: in both committed local sweeps.
@@ -95,7 +99,7 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     "agg_approx_distinct", "agg_argminmax", "agg_cube",
     "agg_grouping_sets", "agg_pandas_median", "agg_rollup",
     "ann_ivf_probe", "asof_join", "dedup_bloom_membership",
-    "dedup_embedding_cosine", "dedup_exact", "dedup_exact_hash",
+    "dedup_embedding_cosine", "dedup_exact", "dedup_ngram_jaccard",
 )
 
 

@@ -334,7 +334,18 @@ FROM g a JOIN g b
 WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
         / len(list_distinct(a.grams || b.grams)) >= 0.6
 """, doc="Exact char-5-gram Jaccard restricted to (lang, length-bucket) "
-         "blocks — the blocking keeps pair counts near-linear at scale.")
+         "blocks, candidate-pruned by PPJoin prefix filtering inside "
+         "each block (r10: the registry-wide timing record caught the "
+         "previous all-pairs-within-block join at 128 s for sf0.1 — "
+         "block sizes grow with the corpus, so within-block pairs are "
+         "quadratic; prefix filtering makes every stage linear in gram "
+         "volume except the candidate-only verify, 128 s -> 13 s). "
+         "The oracle stays brute-force all-pairs, keeping the no-miss "
+         "guarantee under test. Audit note (accepted 6-scan flag, the "
+         "dedup_setsim_prefix shape): the prefix-candidate build and "
+         "the exact verify read gram arrays per join side; re-scans "
+         "are column-pruned while a checkpoint would persist every "
+         "doc's gram set — corpus-sized, the anti-goal at 100 TB.")
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (load_table(spark, sf_dir, "documents")
             .withColumn("len_bucket", F.expr("n_chars div 100")))

@@ -100,3 +100,27 @@ def test_every_query_externally_verified_or_windowed():
                  if n not in green and n not in window
                  and n not in deferred_ok]
     assert not uncovered, uncovered
+
+
+def test_compare_sweeps_flags_and_gates():
+    """compare_sweeps (the registry-wide regression lens over the
+    sweeps' spark_sec records): flags only ratio-AND-floor movers,
+    tolerates missing timings (pre-r10 records), and reports clean
+    when nothing moved."""
+    from scripts.compare_sweeps import movers
+
+    old = {"_meta": {}, "a": {"spark_sec": 0.3}, "b": {"spark_sec": 1.0},
+           "c": {"spark_sec": 0.05}, "d": {"hash_match": True}}
+    new = {"a": {"spark_sec": 6.0},    # 20x over the floor -> flagged
+           "b": {"spark_sec": 1.1},    # 1.1x -> quiet
+           "c": {"spark_sec": 0.2},    # 4x but under the floor -> quiet
+           "d": {"spark_sec": 0.4},    # old has no timing -> skipped
+           "e": {"spark_sec": 9.9}}    # absent from old -> skipped
+    got = movers(old, new, ratio=3.0, floor=0.75)
+    assert [m["query"] for m in got] == ["a"]
+    # improvement direction flags too (a 5x speedup >= floor is worth
+    # a look: it usually means the query stopped doing its work)
+    got2 = movers({"x": {"spark_sec": 5.0}}, {"x": {"spark_sec": 1.0}},
+                  ratio=3.0, floor=0.75)
+    assert [m["query"] for m in got2] == ["x"]
+    assert movers(old, {"a": {"spark_sec": 0.31}}, 3.0, 0.75) == []

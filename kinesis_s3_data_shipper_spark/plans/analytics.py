@@ -383,13 +383,29 @@ SELECT CAST(month AS STRING) AS month, rev, s AS ewma_rev FROM ewma
               "the identical monthly pre-aggregate. Scale: the "
               "recursion runs on the tiny month-level aggregate "
               "(group count rows), never the fact table — pre-"
-              "aggregate first, recurse on the rollup.")
+              "aggregate first, recurse on the rollup. The rollup is "
+              "MATERIALIZED before the recursion (r10): Spark's "
+              "recursive-CTE executor re-evaluates the joined "
+              "relation m EVERY step, so inlining the monthly "
+              "aggregate re-ran the full orders scan+agg once per "
+              "month — 80 months made it the sweep's slowest "
+              "relational query (48 s at sf0.1; 80 corpus scans at "
+              "100 TB). One eager checkpoint of the |months|-row "
+              "rollup drops it to the recursion's fixed per-step "
+              "scheduling cost (~10 s), with the float chain and the "
+              "oracle text unchanged.")
 def recursive_ewma_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
+
+    from ..operators.checkpoint import truncated_checkpoint
     view = f"orders_ewma_{uuid.uuid4().hex[:8]}"
     load_table(spark, sf_dir, "orders").createOrReplaceTempView(view)
     monthly = _EWMA_MONTHLY.replace("FROM orders", f"FROM {view}")
-    return spark.sql(_ewma_sql(monthly))
+    mview = f"monthly_ewma_{uuid.uuid4().hex[:8]}"
+    # The checkpoint frame stays alive as long as the returned result
+    # reads it (caller-owned, like every live _graph_ckpt leaf).
+    truncated_checkpoint(spark.sql(monthly)).createOrReplaceTempView(mview)
+    return spark.sql(_ewma_sql(f"SELECT idx, month, rev FROM {mview}"))
 
 
 #: Column inventory the profiler walks, with the per-type VARCHAR

@@ -429,11 +429,13 @@ def blocked_ngram_jaccard_pairs(docs: DataFrame, *, id_col: str,
     ranked = (toks.join(dfreq, [*block_cols, "_g"])
               .withColumn("_pos", F.row_number().over(
                   W.partitionBy("_id").orderBy("_df", "_g"))))
-    # The 1e-9 nudge keeps ceil() on the safe side of IEEE: a
-    # threshold whose binary form rounds UP (e.g. 0.7) can push
-    # t*s infinitesimally past the exact integer, ceil then
-    # overshoots by one and the prefix comes out one gram SHORT —
-    # breaking the no-miss guarantee.  Erring long is always safe.
+    # The 1e-9 nudge keeps ceil() on the safe side of IEEE: if float
+    # rounding ever pushes t*s infinitesimally past the intended
+    # integer, ceil overshoots by one and the prefix comes out one
+    # gram SHORT — breaking the no-miss guarantee.  Short-decimal
+    # constants provably never diverge (scanned to s=100k); this is
+    # insurance for arbitrary thresholds (2/3, computed values).
+    # Erring long is always safe — extra candidates, never misses.
     ranked = ranked.withColumn(
         "_p", F.col("_s")
         - F.ceil(F.lit(threshold) * F.col("_s") - F.lit(1e-9)) + 1)

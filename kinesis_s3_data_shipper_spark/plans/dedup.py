@@ -489,8 +489,18 @@ def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
               .withColumn("pos", F.row_number().over(
                   W.partitionBy("doc_id").orderBy("df", "word")))
               .withColumn("s", F.count("*").over(W.partitionBy("doc_id"))))
+    # The 1e-9 nudge keeps ceil() on the safe side of IEEE (the
+    # blocked_ngram_jaccard_pairs note): if float rounding ever pushes
+    # t*s infinitesimally past the intended integer, ceil overshoots
+    # and cuts the prefix one token short — a silent no-miss
+    # violation.  Exhaustive scan: short-decimal constants (0.6-0.95)
+    # never diverge up to s=100k, so this is insurance for thresholds
+    # that aren't short decimals (2/3, computed values).  Erring long
+    # never misses, only adds candidates — and the scan shows the
+    # nudge never actually lengthens the prefix for decimal t.
     prefix = ranked.filter(
-        F.col("pos") <= F.col("s") - F.ceil(F.lit(_PP_T) * F.col("s")) + 1)
+        F.col("pos") <= F.col("s")
+        - F.ceil(F.lit(_PP_T) * F.col("s") - F.lit(1e-9)) + 1)
     pa = prefix.select(F.col("doc_id").alias("doc_a"), "word",
                        F.col("s").alias("sa"))
     pb = prefix.select(F.col("doc_id").alias("doc_b"), "word",

@@ -674,3 +674,45 @@ def test_streaming_changepoint_windowed_state_is_bounded(spark, tmp_path,
                 checkpoint=str(tmp_path / "ckpt_full"),
                 query_name="chgptw_full").collect()}
     assert all(n > W for n in full.values()), full
+
+
+def test_streaming_changepoint_windowed_survives_restart(spark, tmp_path,
+                                                         sf_oracle):
+    """The WINDOWED twin's trimmed histogram must also survive a stop
+    + checkpoint-resume: drain two slices, stop, land the third,
+    resume with the same checkpoint and the same W.  The resumed fold
+    trims onto the RESTORED (already-trimmed) state; because trimming
+    is monotone-safe (hours outside the final window can never
+    re-enter), the drained result must equal the one-shot windowed
+    run over all three slices."""
+    import os
+
+    from kinesis_s3_data_shipper_spark.plans.streaming import (
+        _stage_time_slices)
+    from kinesis_s3_data_shipper_spark.streaming.jobs import (
+        streaming_changepoint_final)
+
+    W = 24
+    landing, checkpoint = _stage_time_slices(spark, sf_oracle, n_slices=3)
+    third = os.path.join(landing, "slice_2.parquet")
+    hidden = os.path.join(os.path.dirname(landing), "slice_2.hold")
+    os.rename(third, hidden)
+
+    out_dir = str(tmp_path / "chgptw_emissions")
+    partial = streaming_changepoint_final(
+        spark, landing, checkpoint=checkpoint, query_name="chgptw_a",
+        output_dir=out_dir, window_hours=W).collect()
+    assert partial and max(r.n_hours for r in partial) <= W
+
+    os.rename(hidden, third)
+    resumed = streaming_changepoint_final(
+        spark, landing, checkpoint=checkpoint, query_name="chgptw_b",
+        output_dir=out_dir, window_hours=W)
+    got = sorted(map(tuple, resumed.collect()))
+
+    # one-shot reference over the same staged slices, fresh checkpoint
+    oneshot = streaming_changepoint_final(
+        spark, landing, checkpoint=str(tmp_path / "ckpt_oneshot"),
+        query_name="chgptw_c", window_hours=W)
+    want = sorted(map(tuple, oneshot.collect()))
+    assert got == want

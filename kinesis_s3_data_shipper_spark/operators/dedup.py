@@ -413,6 +413,32 @@ def blocked_ngram_jaccard_pairs(docs: DataFrame, *, id_col: str,
     verify, which touches only candidate pairs.  The registered
     oracle stays the brute-force all-pairs Jaccard, so the prefix
     filter's no-miss guarantee is itself under test.
+
+    r10b adds PPJoin's other two filters to the candidate join — the
+    bare prefix join still passed 502k candidates for 77 true pairs
+    at sf0.1 (natural-language grams co-occur heavily even in the
+    rare 40% of each doc), so the verify dominated:
+
+    - LENGTH: J(A,B) >= t forces t*sa <= sb <= sa/t.  (Qualifying
+      pairs satisfy it: O >= t/(1+t)*(sa+sb) and O <= sb give
+      sb >= t*sa.)
+    - POSITIONAL (Xiao et al. 2008): a shared prefix gram at
+      1-indexed order positions (pa, pb) bounds the true overlap by
+      O <= 1 + min(sa-pa, sb-pb), because every other common gram
+      sorts AFTER it on both sides.  Qualifying pairs need
+      O >= alpha = ceil(t/(1+t)*(sa+sb)), so a candidate row may be
+      dropped when 1 + min(sa-pa, sb-pb) < alpha.  No-miss: for a
+      qualifying pair, its FIRST common gram in the block order lies
+      within both prefixes (alpha >= ceil(t*s) on both sides given
+      the length bound, and the prefix lemma puts the first common
+      gram within the first s - alpha + 1 <= p positions), and THAT
+      row passes the bound since 1 + min(...) >= O >= alpha.  Later
+      shared rows may fail individually — a pair survives if ANY
+      generating row survives, so pruning them is safe.
+
+    Per-block df is attached with a count window over
+    (block, gram) — the same shuffle the old groupBy produced, minus
+    the extra 1-row-per-token join shuffle that followed it.
     """
     from pyspark.sql import Window as W
     prepared = docs.select(
@@ -423,10 +449,11 @@ def blocked_ngram_jaccard_pairs(docs: DataFrame, *, id_col: str,
         F.explode("_grams").alias("_g"))
     # Per-block df: pairs only form within a block, so any order
     # that is CONSISTENT WITHIN the block is valid — block-local
-    # rarity is strictly more selective than global rarity.  The df
-    # table is gram-cardinality-sized: shuffle join, never broadcast.
-    dfreq = toks.groupBy(*block_cols, "_g").agg(F.count("*").alias("_df"))
-    ranked = (toks.join(dfreq, [*block_cols, "_g"])
+    # rarity is strictly more selective than global rarity.  A count
+    # window (not groupBy + join) attaches it in the ONE shuffle.
+    ranked = (toks
+              .withColumn("_df", F.count("*").over(
+                  W.partitionBy(*block_cols, "_g")))
               .withColumn("_pos", F.row_number().over(
                   W.partitionBy("_id").orderBy("_df", "_g"))))
     # The 1e-9 nudge keeps ceil() on the safe side of IEEE: if float
@@ -440,10 +467,26 @@ def blocked_ngram_jaccard_pairs(docs: DataFrame, *, id_col: str,
         "_p", F.col("_s")
         - F.ceil(F.lit(threshold) * F.col("_s") - F.lit(1e-9)) + 1)
     prefix = ranked.filter(F.col("_pos") <= F.col("_p"))
-    pa = prefix.select(*block_cols, "_g", F.col("_id").alias("_ida"))
-    pb = prefix.select(*block_cols, "_g", F.col("_id").alias("_idb"))
+    pa = prefix.select(*block_cols, "_g", F.col("_id").alias("_ida"),
+                       F.col("_s").alias("_sa"), F.col("_pos").alias("_pa"))
+    pb = prefix.select(*block_cols, "_g", F.col("_id").alias("_idb"),
+                       F.col("_s").alias("_sb"), F.col("_pos").alias("_pb"))
+    # alpha = the minimum overlap a qualifying pair must have; both
+    # ceils carry the same 1e-9 safety nudge as the prefix length
+    # (erring LOW on alpha only admits extra candidates, never
+    # misses).
+    alpha = F.ceil(F.lit(threshold / (1.0 + threshold))
+                   * (F.col("_sa") + F.col("_sb")) - F.lit(1e-9))
     cands = (pa.join(pb, [*block_cols, "_g"])
-             .filter(F.col("_ida") < F.col("_idb"))
+             .filter((F.col("_ida") < F.col("_idb"))
+                     # length filter
+                     & (F.col("_sb")
+                        >= F.lit(threshold) * F.col("_sa") - F.lit(1e-9))
+                     & (F.col("_sa")
+                        >= F.lit(threshold) * F.col("_sb") - F.lit(1e-9))
+                     # positional filter
+                     & (1 + F.least(F.col("_sa") - F.col("_pa"),
+                                    F.col("_sb") - F.col("_pb")) >= alpha))
              .select("_ida", "_idb").distinct())
     ga = prepared.select(F.col("_id").alias("_ida"),
                          F.col("_grams").alias("_ga"))

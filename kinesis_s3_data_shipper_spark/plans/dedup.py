@@ -502,11 +502,29 @@ def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos") <= F.col("s")
         - F.ceil(F.lit(_PP_T) * F.col("s") - F.lit(1e-9)) + 1)
     pa = prefix.select(F.col("doc_id").alias("doc_a"), "word",
-                       F.col("s").alias("sa"))
+                       F.col("s").alias("sa"), F.col("pos").alias("pa"))
     pb = prefix.select(F.col("doc_id").alias("doc_b"), "word",
-                       F.col("s").alias("sb"))
+                       F.col("s").alias("sb"), F.col("pos").alias("pb"))
+    # PPJoin's length + positional filters (r10b, same derivation as
+    # operators.dedup.blocked_ngram_jaccard_pairs): a qualifying pair
+    # has t*sa <= sb <= sa/t and overlap >= alpha =
+    # ceil(t/(1+t)*(sa+sb)); a shared prefix token at positions
+    # (pa, pb) bounds the overlap by 1 + min(sa-pa, sb-pb).  The
+    # pair's FIRST common token always passes, so per-row pruning
+    # never misses; both ceils carry the 1e-9 nudge erring toward
+    # extra candidates.  Unlike the char-ngram operator's
+    # length-bucketed blocks, nothing pre-constrains sizes here, so
+    # the length filter does real work.
+    alpha = F.ceil(F.lit(_PP_T / (1.0 + _PP_T))
+                   * (F.col("sa") + F.col("sb")) - F.lit(1e-9))
     cands = (pa.join(pb, "word")
-             .filter(F.col("doc_a") < F.col("doc_b"))
+             .filter((F.col("doc_a") < F.col("doc_b"))
+                     & (F.col("sb")
+                        >= F.lit(_PP_T) * F.col("sa") - F.lit(1e-9))
+                     & (F.col("sa")
+                        >= F.lit(_PP_T) * F.col("sb") - F.lit(1e-9))
+                     & (1 + F.least(F.col("sa") - F.col("pa"),
+                                    F.col("sb") - F.col("pb")) >= alpha))
              .select("doc_a", "doc_b", "sa", "sb").distinct())
     ta = toks.select(F.col("doc_id").alias("doc_a"),
                      F.col("word").alias("wa"))

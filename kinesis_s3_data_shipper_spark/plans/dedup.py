@@ -341,11 +341,15 @@ WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
          "quadratic; prefix filtering makes every stage linear in gram "
          "volume except the candidate-only verify, 128 s -> 13 s). "
          "The oracle stays brute-force all-pairs, keeping the no-miss "
-         "guarantee under test. Audit note (accepted 6-scan flag, the "
-         "dedup_setsim_prefix shape): the prefix-candidate build and "
-         "the exact verify read gram arrays per join side; re-scans "
-         "are column-pruned while a checkpoint would persist every "
-         "doc's gram set — corpus-sized, the anti-goal at 100 TB.")
+         "guarantee under test. r10b adds PPJoin's length+positional "
+         "filters to the candidate join and attaches per-block df via "
+         "a count window instead of groupBy+join (one less full-token "
+         "shuffle; documents scans 6 -> 4). Audit note (accepted "
+         "4-scan flag, the dedup_setsim_prefix shape): the "
+         "prefix-candidate build and the exact verify read gram "
+         "arrays per join side; re-scans are column-pruned while a "
+         "checkpoint would persist every doc's gram set — "
+         "corpus-sized, the anti-goal at 100 TB.")
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (load_table(spark, sf_dir, "documents")
             .withColumn("len_bucket", F.expr("n_chars div 100")))

@@ -32,7 +32,7 @@ ACCEPTED_SCANS: dict[str, dict[str, int]] = {
     "dedup_minhash_lsh": {"documents": 4},
     "dedup_minhash_est_quality": {"documents": 4},
     "dedup_setsim_prefix": {"documents": 6},
-    "dedup_ngram_jaccard": {"documents": 6},
+    "dedup_ngram_jaccard": {"documents": 4},
     "dedup_containment": {"documents": 4},
     "ann_recall_eval": {"embeddings": 4},
     "ann_binary_hamming": {"embeddings": 4},

@@ -84,6 +84,32 @@ def test_no_miss_on_seeded_random_corpus(spark):
         assert abs(got[k] - want[k]) < 1e-12
 
 
+def test_no_miss_across_thresholds_where_filters_bite(spark):
+    """r10b added PPJoin's length + positional filters to the
+    candidate join.  Their pruning power grows with t (prefixes
+    shrink, alpha approaches s), so a wrong alpha or an off-by-one in
+    the positional bound drops true pairs FIRST at high thresholds —
+    sweep t over the range where the filters go from lazy to
+    aggressive, against the in-process brute force."""
+    rng = random.Random(7)
+    alphabet = "abcdefghijklmnop"
+    rows = []
+    for i in range(50):
+        k = rng.randint(3, 12)
+        rows.append((i, "x", "".join(sorted(rng.sample(alphabet, k)))))
+    # planted gradations: J = 1, 11/12, 6/7, 3/4, 2/3
+    rows += [(200, "x", "abcdefghijkl"), (201, "x", "abcdefghijkl"),
+             (202, "x", "abcdefghijk"),   # vs 200: J = 11/12
+             (203, "x", "abcdefghijmn"),  # vs 200: J = 10/14 = 5/7
+             (204, "x", "abcdefgh"),      # vs 200: J = 8/12 = 2/3
+             ]
+    for t in (0.6, 0.7, 0.75, 0.8, 0.9, 0.95, 1.0):
+        got = _pairs(spark, rows, threshold=t)
+        want = _brute(rows, threshold=t)
+        assert set(got) == set(want), (
+            t, set(want) - set(got), set(got) - set(want))
+
+
 def test_no_miss_at_unlucky_thresholds(spark):
     """Thresholds that are NOT short decimals (2/3: the computed-
     threshold class the ceil nudge insures) on sets sized to sit at

@@ -70,8 +70,11 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
 #: (4) twelve r05 rows: the alphabetically-first eleven plus
 #: dedup_ngram_jaccard, whose PLAN CHANGED this round (the PPJoin
 #: prefix-filter rewrite that fixed its quadratic within-block
-#: verify, 128 s -> 13 s at sf0.1) and therefore outranks the
-#: alphabetical twelfth (dedup_exact_hash, unchanged since r05).
+#: verify, 128 s -> 13 s at sf0.1; r10b then added the length +
+#: positional filters and the count-window df to the same plan —
+#: and to dedup_setsim_prefix's, already in tier 3) and therefore
+#: outranks the alphabetical twelfth (dedup_exact_hash, unchanged
+#: since r05).
 #: dedup_clusters_cc already sits in tier 1.  Still-deferred to
 #: round 11: the remaining 31 r05 rows (the 44-query r05 cohort
 #: minus tier 4's twelve minus dedup_clusters_cc) — all hash-green

@@ -439,11 +439,52 @@ def blocked_ngram_jaccard_pairs(docs: DataFrame, *, id_col: str,
     Per-block df is attached with a count window over
     (block, gram) — the same shuffle the old groupBy produced, minus
     the extra 1-row-per-token join shuffle that followed it.
+
+    r10c collapses EXACT duplicates before the near-dup machinery —
+    the C4/RefinedWeb pipeline order (exact dedup, then near-dup),
+    done inside the operator so callers keep one call: docs are
+    grouped by (block, md5(text)) — row-local digest, so nothing
+    corpus-text-sized shuffles — and only each group's min-id
+    REPRESENTATIVE enters the prefix/verify pipeline.  Identical
+    text means identical gram sets, and Jaccard is a set function,
+    so every member of a group has the SAME similarity to everything
+    as its rep: within-group pairs are emitted directly with
+    jaccard = 1.0, and each qualifying rep pair expands to all
+    cross-group member pairs carrying the rep pair's score.  On a
+    duplication-heavy corpus this is the difference between
+    candidate volume growing with (replication factor)^2 and not
+    growing at all: the 10x-replicated sf0.1 step (50k docs, 10
+    verbatim copies each) ran the un-collapsed plan at 39.4M
+    candidates / ~290 s; collapsed, the pipeline sees the same
+    4,999 distinct texts as sf0.1 (~0.4M candidates) and the rest
+    is output materialization (232,700 pairs, the floor).  The
+    member map (_id, _rep) persists at two int64s per row — the
+    lightest corpus-rows table, NOT the gram sets the module doc
+    calls the anti-goal.  The verify sides read the full gram
+    projection (not the rep-filtered frame): candidate ids are
+    already reps, the equality join picks the right rows, and the
+    simple scan-projection keeps the verify broadcast-estimable —
+    routing it through the rep semi-join flipped it to a sort-merge
+    join and re-derived the join per side (+16 s at sf0.1).
+    Null-text docs are excluded up front: their gram array is
+    [null], which can never equi-join a candidate in the
+    un-collapsed plan either.
     """
     from pyspark.sql import Window as W
-    prepared = docs.select(
+    nn = docs.filter(F.col(text_col).isNotNull())
+    base = nn.select(
         F.col(id_col).alias("_id"), *block_cols,
         char_ngrams(text_col, ngram_n).alias("_grams"))
+    members = (nn
+               .select(F.col(id_col).alias("_id"), *block_cols,
+                       F.md5(text_col).alias("_dg"))
+               .withColumn("_rep", F.min("_id").over(
+                   W.partitionBy(*block_cols, "_dg")))
+               .select("_id", "_rep")
+               .persist(StorageLevel.MEMORY_AND_DISK))
+    repids = members.filter(F.col("_id") == F.col("_rep")) \
+                    .select(F.col("_id").alias("_rid"))
+    prepared = base.join(repids, base._id == repids._rid).drop("_rid")
     toks = prepared.select(
         "_id", *block_cols, F.size("_grams").alias("_s"),
         F.explode("_grams").alias("_g"))
@@ -488,16 +529,37 @@ def blocked_ngram_jaccard_pairs(docs: DataFrame, *, id_col: str,
                      & (1 + F.least(F.col("_sa") - F.col("_pa"),
                                     F.col("_sb") - F.col("_pb")) >= alpha))
              .select("_ida", "_idb").distinct())
-    ga = prepared.select(F.col("_id").alias("_ida"),
-                         F.col("_grams").alias("_ga"))
-    gb = prepared.select(F.col("_id").alias("_idb"),
-                         F.col("_grams").alias("_gb"))
-    return (cands.join(ga, "_ida").join(gb, "_idb")
-            .select(
-                F.col("_ida").alias("doc_a"), F.col("_idb").alias("doc_b"),
-                (F.size(F.array_intersect("_ga", "_gb")).cast("double")
-                 / F.size(F.array_union("_ga", "_gb"))).alias("jaccard"))
-            .filter(F.col("jaccard") >= threshold))
+    ga = base.select(F.col("_id").alias("_ida"),
+                     F.col("_grams").alias("_ga"))
+    gb = base.select(F.col("_id").alias("_idb"),
+                     F.col("_grams").alias("_gb"))
+    rep_pairs = (cands.join(ga, "_ida").join(gb, "_idb")
+                 .select(
+                     F.col("_ida").alias("_ra"), F.col("_idb").alias("_rb"),
+                     (F.size(F.array_intersect("_ga", "_gb")).cast("double")
+                      / F.size(F.array_union("_ga", "_gb")))
+                     .alias("jaccard"))
+                 .filter(F.col("jaccard") >= threshold))
+    # Expansion: a rep pair scores every cross-group member pair
+    # (identical gram sets => identical Jaccard); groups score their
+    # own member pairs at exactly 1.0 (array_intersect == array_union
+    # on equal sets — the value the un-collapsed plan computed).
+    ma = members.select(F.col("_rep").alias("_ra"),
+                        F.col("_id").alias("_ida"))
+    mb = members.select(F.col("_rep").alias("_rb"),
+                        F.col("_id").alias("_idb"))
+    cross = (rep_pairs.join(ma, "_ra").join(mb, "_rb")
+             .select(F.least("_ida", "_idb").alias("doc_a"),
+                     F.greatest("_ida", "_idb").alias("doc_b"),
+                     "jaccard"))
+    within = (members.alias("x").join(members.alias("y"),
+                                      (F.col("x._rep") == F.col("y._rep"))
+                                      & (F.col("x._id") < F.col("y._id")))
+              .select(F.col("x._id").alias("doc_a"),
+                      F.col("y._id").alias("doc_b"),
+                      F.lit(1.0).alias("jaccard"))
+              .filter(F.lit(1.0) >= F.lit(threshold)))
+    return cross.unionByName(within)
 
 
 def minhash_lsh_candidates(docs: DataFrame, *, id_col: str, text_col: str,

@@ -32,7 +32,12 @@ ACCEPTED_SCANS: dict[str, dict[str, int]] = {
     "dedup_minhash_lsh": {"documents": 4},
     "dedup_minhash_est_quality": {"documents": 4},
     "dedup_setsim_prefix": {"documents": 6},
-    "dedup_ngram_jaccard": {"documents": 4},
+    # 10 TEXTUAL scans, 5 physical: the r10c exact-dup collapse
+    # persists its member map, and the cached plan's one documents
+    # scan reprints under every InMemoryTableScan occurrence (repids
+    # on both prefix sides + the four expansion reads); the live
+    # scans are members (once, then cached) + pa/pb toks + ga/gb.
+    "dedup_ngram_jaccard": {"documents": 10},
     "dedup_containment": {"documents": 4},
     "ann_recall_eval": {"embeddings": 4},
     "ann_binary_hamming": {"embeddings": 4},

@@ -469,6 +469,20 @@ def blocked_ngram_jaccard_pairs(docs: DataFrame, *, id_col: str,
     Null-text docs are excluded up front: their gram array is
     [null], which can never equi-join a candidate in the
     un-collapsed plan either.
+
+    Two honest bounds on the collapse: (1) the member-map persist is
+    MEMORY_AND_DISK and re-derivable, so it is evictable cache, not
+    pinned blocks — the same lifetime contract as
+    minhash_lsh_candidates' banded persist, and materially unlike
+    the unrecoverable truncated-checkpoint blocks that need explicit
+    release; (2) within-group expansion is quadratic in GROUP size
+    because the operator's contract is to emit every qualifying pair
+    — that is the output floor, not a join inefficiency (the
+    un-collapsed plan verified AND emitted those same pairs).  A
+    production corpus with million-copy boilerplate groups should
+    consume the (doc, rep) GROUP form instead — dedup_exact /
+    dedup_cluster_canonicalize in the registry — and skip pair
+    materialization entirely.
     """
     from pyspark.sql import Window as W
     nn = docs.filter(F.col(text_col).isNotNull())

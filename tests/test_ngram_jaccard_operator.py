@@ -110,6 +110,39 @@ def test_no_miss_across_thresholds_where_filters_bite(spark):
             t, set(want) - set(got), set(got) - set(want))
 
 
+def test_duplication_heavy_corpus_matches_brute_force(spark):
+    """The r10c exact-dup collapse routes verbatim copies around the
+    PPJoin pipeline (group by (block, md5(text)), rep-only join,
+    within/cross expansion).  Pin its output equality on the regime
+    it exists for: every distinct text present in FIVE verbatim
+    copies, so the result is dominated by within-group (J = 1) pairs
+    and by cross-group pairs that must inherit their reps' scores —
+    including across interleaved doc-id ranges (copies get ids far
+    from their originals, exercising the least/greatest ordering)."""
+    rng = random.Random(11)
+    alphabet = "abcdefghijklmnop"
+    texts = []
+    for i in range(12):
+        k = rng.randint(3, 10)
+        texts.append("".join(sorted(rng.sample(alphabet, k))))
+    texts += ["abcdefgh", "abcdefg"]  # a planted J=7/8 cross pair
+    rows = []
+    for copy in range(5):
+        for j, txt in enumerate(texts):
+            # interleave: copy c of text j gets id c + 5*j + 1000*c
+            rows.append((copy * 1000 + j, "x", txt))
+    got = _pairs(spark, rows)
+    want = _brute(rows)
+    assert set(got) == set(want), (
+        len(got), len(want),
+        set(want) - set(got), set(got) - set(want))
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
+    # sanity: the dup groups actually produced within-group pairs
+    n_exact = sum(1 for v in want.values() if v == 1.0)
+    assert n_exact >= len(texts) * 10  # C(5,2) per distinct text
+
+
 def test_no_miss_at_unlucky_thresholds(spark):
     """Thresholds that are NOT short decimals (2/3: the computed-
     threshold class the ceil nudge insures) on sets sized to sit at

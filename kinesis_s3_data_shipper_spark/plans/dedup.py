@@ -486,13 +486,45 @@ WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
          "quadratic in the corpus. The ORACLE is deliberately "
          "INDEPENDENT of all of that: a brute-force all-pairs "
          "Jaccard over the same subset — so the prefix filter's "
-         "no-miss guarantee is itself under test, not replicated. Audit note (accepted 6-scan flag): PPJoin's prefix-candidate build and the exact verify read token arrays per join side; the re-scans are column-pruned while a checkpoint would persist every tokenized document.")
+         "no-miss guarantee is itself under test, not replicated. "
+         "r10c collapses exact duplicates first (group by md5(text), "
+         "PPJoin on min-id reps, expand pairs after — see "
+         "blocked_ngram_jaccard_pairs): 433 s -> 6.9 s on the "
+         "10x-replicated step with identical 28.3M output rows. "
+         "Audit note (accepted flag, 18 textual scans): PPJoin's "
+         "prefix-candidate build and the exact verify read token "
+         "arrays per join side — column-pruned re-scans, while a "
+         "checkpoint would persist every tokenized document; the "
+         "persisted member map's one cached scan reprints under "
+         "each InMemoryTableScan in the plan text.")
 def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
+
+    from pyspark.storagelevel import StorageLevel
     docs = load_table(spark, sf_dir, "documents").filter(F.expr(_PP_PRED))
-    toks = (docs.select("doc_id",
-                        F.explode(F.array_distinct(F.split("text", " ")))
-                        .alias("word")))
+    # r10c: exact-duplicate collapse before the similarity join (the
+    # blocked_ngram_jaccard_pairs pattern — identical text means an
+    # identical token SET, and Jaccard is a set function, so only
+    # each (md5(text))-group's min-id representative needs to run
+    # the PPJoin; within-group pairs emit at jaccard 1.0 / n_common
+    # = s, cross-group member pairs inherit their reps' scores.  On
+    # the 10x-replicated step this is the difference between the
+    # verify's pair-token groupBy processing ~10^9 rows (433 s
+    # measured) and the rep pipeline re-running at base-corpus cost
+    # plus pure output materialization (28.3M pairs, the floor).
+    nn = docs.filter(F.col("text").isNotNull())
+    members = (nn.select(F.col("doc_id").alias("_id"),
+                         F.md5("text").alias("_dg"))
+               .withColumn("_rep", F.min("_id").over(
+                   W.partitionBy("_dg")))
+               .select("_id", "_rep")
+               .persist(StorageLevel.MEMORY_AND_DISK))
+    repids = members.filter(F.col("_id") == F.col("_rep")) \
+                    .select(F.col("_id").alias("_rid"))
+    toks = (nn.join(repids, nn.doc_id == repids._rid).drop("_rid")
+            .select("doc_id",
+                    F.explode(F.array_distinct(F.split("text", " ")))
+                    .alias("word")))
     df = toks.groupBy("word").agg(F.count("*").alias("df"))
     ranked = (toks.join(F.broadcast(df), "word")
               .withColumn("pos", F.row_number().over(
@@ -545,9 +577,36 @@ def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count("*").alias("n_common")))
     jac = (F.col("n_common").cast("double")
            / (F.col("sa") + F.col("sb") - F.col("n_common")))
-    return (inter.filter(jac >= _PP_T)
-            .select("doc_a", "doc_b", "n_common",
-                    F.round(jac, 6).alias("jaccard")))
+    rep_out = (inter.filter(jac >= _PP_T)
+               .select(F.col("doc_a").alias("_ra"),
+                       F.col("doc_b").alias("_rb"), "n_common",
+                       F.round(jac, 6).alias("jaccard")))
+    # Expansion (see blocked_ngram_jaccard_pairs): rep scores ARE
+    # member scores; within-group pairs are exact duplicates with
+    # n_common = s (the group text's distinct-token count) and
+    # jaccard exactly 1.0 — the values the un-collapsed verify
+    # computes for identical token sets.
+    ma = members.select(F.col("_rep").alias("_ra"),
+                        F.col("_id").alias("_ma"))
+    mb = members.select(F.col("_rep").alias("_rb"),
+                        F.col("_id").alias("_mb"))
+    cross = (rep_out.join(ma, "_ra").join(mb, "_rb")
+             .select(F.least("_ma", "_mb").alias("doc_a"),
+                     F.greatest("_ma", "_mb").alias("doc_b"),
+                     "n_common", "jaccard"))
+    sizes = toks.groupBy(F.col("doc_id").alias("_srep")) \
+                .agg(F.count("*").alias("_s_rep"))
+    within = (members.alias("x")
+              .join(members.alias("y"),
+                    (F.col("x._rep") == F.col("y._rep"))
+                    & (F.col("x._id") < F.col("y._id")))
+              .join(sizes, F.col("x._rep") == F.col("_srep"))
+              .select(F.col("x._id").alias("doc_a"),
+                      F.col("y._id").alias("doc_b"),
+                      F.col("_s_rep").alias("n_common"),
+                      F.lit(1.0).alias("jaccard"))
+              .filter(F.lit(1.0) >= F.lit(_PP_T)))
+    return cross.unionByName(within)
 
 
 @register("dedup_paragraphs", oracle="""

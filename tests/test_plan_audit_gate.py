@@ -31,7 +31,11 @@ THRESHOLD = 4
 ACCEPTED_SCANS: dict[str, dict[str, int]] = {
     "dedup_minhash_lsh": {"documents": 4},
     "dedup_minhash_est_quality": {"documents": 4},
-    "dedup_setsim_prefix": {"documents": 6},
+    # 18 textual after the r10c collapse (6 before): the cached
+    # member-map scan reprints under each InMemoryTableScan — live
+    # scans are members (once, then cached) + the toks re-derivations
+    # (prefix pa/pb, verify ta/tb, sizes), each column-pruned.
+    "dedup_setsim_prefix": {"documents": 18},
     # 10 TEXTUAL scans, 5 physical: the r10c exact-dup collapse
     # persists its member map, and the cached plan's one documents
     # scan reprints under every InMemoryTableScan occurrence (repids

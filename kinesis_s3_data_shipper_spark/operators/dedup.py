@@ -391,7 +391,8 @@ def char_ngrams(text_col: str, n: int = 5) -> Column:
 def blocked_ngram_jaccard_pairs(docs: DataFrame, *, id_col: str,
                                 text_col: str, block_cols: list[str],
                                 ngram_n: int = 5,
-                                threshold: float = 0.6) -> DataFrame:
+                                threshold: float = 0.6,
+                                eager_release: bool = False) -> DataFrame:
     """Exact char-n-gram Jaccard over pairs inside blocking keys,
     candidate-pruned by PPJoin prefix filtering (Xiao et al. 2008).
 
@@ -468,14 +469,34 @@ def blocked_ngram_jaccard_pairs(docs: DataFrame, *, id_col: str,
     join and re-derived the join per side (+16 s at sf0.1).
     Null-text docs are excluded up front: their gram array is
     [null], which can never equi-join a candidate in the
-    un-collapsed plan either.
+    un-collapsed plan either.  Docs with a NULL in ANY block column
+    are excluded for the same reason (r11, advice fix): the
+    un-collapsed plan's candidate join is null-UNSAFE equality on
+    the block columns, so such docs can never pair with anything —
+    but a window PARTITION BY groups NULLs into a real partition,
+    so routing them through the collapse would have let identical-
+    text NULL-block docs emit jaccard=1.0 'within' pairs the
+    un-collapsed plan (and the brute-force oracle) never produced.
+    Filtering them out of BOTH the member map and the rep pipeline
+    restores exact expansion parity (gated by
+    tests/test_ngram_jaccard_operator.py::test_null_block_docs_never_pair).
 
     Two honest bounds on the collapse: (1) the member-map persist is
     MEMORY_AND_DISK and re-derivable, so it is evictable cache, not
     pinned blocks — the same lifetime contract as
     minhash_lsh_candidates' banded persist, and materially unlike
     the unrecoverable truncated-checkpoint blocks that need explicit
-    release; (2) within-group expansion is quadratic in GROUP size
+    release.  It is, however, never dropped by the lazy plan itself:
+    a long-lived session invoking the operator repeatedly
+    accumulates one evictable member map per call until memory
+    pressure or ``spark.catalog.clearCache()``.  Per-epoch callers
+    should pass ``eager_release=True`` — the pair output is
+    materialized here (localCheckpoint) and the member map is
+    unpersisted before returning, the
+    :func:`minhash_lsh_pairs_incremental` lifecycle; the default
+    stays lazy because registered-query plans must compose (and be
+    audited) unexecuted.  (2) within-group expansion is quadratic in
+    GROUP size
     because the operator's contract is to emit every qualifying pair
     — that is the output floor, not a join inefficiency (the
     un-collapsed plan verified AND emitted those same pairs).  A
@@ -484,8 +505,50 @@ def blocked_ngram_jaccard_pairs(docs: DataFrame, *, id_col: str,
     dedup_cluster_canonicalize in the registry — and skip pair
     materialization entirely.
     """
+    members, rep_pairs = _ngram_members_and_rep_pairs(
+        docs, id_col=id_col, text_col=text_col, block_cols=block_cols,
+        ngram_n=ngram_n, threshold=threshold)
+    # Expansion: a rep pair scores every cross-group member pair
+    # (identical gram sets => identical Jaccard); groups score their
+    # own member pairs at exactly 1.0 (array_intersect == array_union
+    # on equal sets — the value the un-collapsed plan computed).
+    ma = members.select(F.col("_rep").alias("_ra"),
+                        F.col("_id").alias("_ida"))
+    mb = members.select(F.col("_rep").alias("_rb"),
+                        F.col("_id").alias("_idb"))
+    cross = (rep_pairs.join(ma, "_ra").join(mb, "_rb")
+             .select(F.least("_ida", "_idb").alias("doc_a"),
+                     F.greatest("_ida", "_idb").alias("doc_b"),
+                     "jaccard"))
+    within = (members.alias("x").join(members.alias("y"),
+                                      (F.col("x._rep") == F.col("y._rep"))
+                                      & (F.col("x._id") < F.col("y._id")))
+              .select(F.col("x._id").alias("doc_a"),
+                      F.col("y._id").alias("doc_b"),
+                      F.lit(1.0).alias("jaccard"))
+              .filter(F.lit(1.0) >= F.lit(threshold)))
+    out = cross.unionByName(within)
+    if eager_release:
+        out = out.localCheckpoint()
+        members.unpersist()
+    return out
+
+
+def _ngram_members_and_rep_pairs(
+        docs: DataFrame, *, id_col: str, text_col: str,
+        block_cols: list[str], ngram_n: int,
+        threshold: float) -> tuple[DataFrame, DataFrame]:
+    """Shared core of the pairs and groups forms: the exact-duplicate
+    collapse plus the PPJoin rep pipeline.  Returns (members,
+    rep_pairs): the persisted (_id, _rep) member map over docs with
+    non-null text AND non-null block columns, and the qualifying
+    (_ra < _rb, jaccard) pairs over group REPRESENTATIVES.  All
+    filter derivations and safety notes live in
+    :func:`blocked_ngram_jaccard_pairs`'s docstring."""
     from pyspark.sql import Window as W
     nn = docs.filter(F.col(text_col).isNotNull())
+    for bc in block_cols:
+        nn = nn.filter(F.col(bc).isNotNull())
     base = nn.select(
         F.col(id_col).alias("_id"), *block_cols,
         char_ngrams(text_col, ngram_n).alias("_grams"))
@@ -554,26 +617,77 @@ def blocked_ngram_jaccard_pairs(docs: DataFrame, *, id_col: str,
                       / F.size(F.array_union("_ga", "_gb")))
                      .alias("jaccard"))
                  .filter(F.col("jaccard") >= threshold))
-    # Expansion: a rep pair scores every cross-group member pair
-    # (identical gram sets => identical Jaccard); groups score their
-    # own member pairs at exactly 1.0 (array_intersect == array_union
-    # on equal sets — the value the un-collapsed plan computed).
-    ma = members.select(F.col("_rep").alias("_ra"),
-                        F.col("_id").alias("_ida"))
-    mb = members.select(F.col("_rep").alias("_rb"),
-                        F.col("_id").alias("_idb"))
-    cross = (rep_pairs.join(ma, "_ra").join(mb, "_rb")
-             .select(F.least("_ida", "_idb").alias("doc_a"),
-                     F.greatest("_ida", "_idb").alias("doc_b"),
-                     "jaccard"))
-    within = (members.alias("x").join(members.alias("y"),
-                                      (F.col("x._rep") == F.col("y._rep"))
-                                      & (F.col("x._id") < F.col("y._id")))
-              .select(F.col("x._id").alias("doc_a"),
-                      F.col("y._id").alias("doc_b"),
-                      F.lit(1.0).alias("jaccard"))
-              .filter(F.lit(1.0) >= F.lit(threshold)))
-    return cross.unionByName(within)
+    return members, rep_pairs
+
+
+def blocked_ngram_jaccard_groups(docs: DataFrame, *, id_col: str,
+                                 text_col: str, block_cols: list[str],
+                                 ngram_n: int = 5,
+                                 threshold: float = 0.6,
+                                 eager_release: bool = False) -> DataFrame:
+    """GROUP form of :func:`blocked_ngram_jaccard_pairs` — one row per
+    document: (doc_id, rep, jaccard_to_rep), where ``rep`` is the
+    smallest doc id in {doc} ∪ {neighbors with Jaccard >= t in the
+    same block} and ``jaccard_to_rep`` is the similarity to it (1.0
+    when rep is the doc itself or an exact duplicate).
+
+    This is the documented escape hatch of the pairs form's second
+    honest bound: pair output is quadratic in exact-duplicate GROUP
+    size by contract, so a corpus with million-copy boilerplate pays
+    an O(copies^2) output floor that no join strategy can remove.
+    The group form's output is O(docs) — the shape a production
+    dedup pipeline actually consumes (keep rep, drop the rest, or
+    weight by group size) — while the expensive part of the
+    computation (the PPJoin over collapsed representatives) is
+    IDENTICAL, so runtime is near-flat in the replication factor
+    (gated by tests/test_ngram_jaccard_operator.py).
+
+    Semantics (and why one min-label step suffices, no transitive
+    closure): every member of an exact-dup group has the group's
+    min-id REP as a J=1.0 neighbor, and its cross-group neighbors
+    are exactly the members of groups whose rep qualifies against
+    its own rep (identical gram sets => identical Jaccard).  Each
+    partner group's minimum member IS its rep, so
+    min({doc} ∪ neighbors) = min(own rep, min qualifying partner
+    rep) — computable from the member map plus the rep-pair output
+    with one symmetric min/min_by aggregation, never materializing
+    member-level pairs.  Docs with NULL text or a NULL block column
+    have no neighbors (null-unsafe equi-join semantics) and emit
+    (doc, doc, 1.0).  For full transitive clusters use
+    dedup_clusters_cc / dedup_cluster_canonicalize, which run
+    connected components over pair output.
+    """
+    members, rep_pairs = _ngram_members_and_rep_pairs(
+        docs, id_col=id_col, text_col=text_col, block_cols=block_cols,
+        ngram_n=ngram_n, threshold=threshold)
+    sym = rep_pairs.select(
+        F.col("_ra").alias("_r"), F.col("_rb").alias("_partner"),
+        "jaccard").unionByName(rep_pairs.select(
+            F.col("_rb").alias("_r"), F.col("_ra").alias("_partner"),
+            "jaccard"))
+    best = sym.groupBy("_r").agg(
+        F.min("_partner").alias("_pmin"),
+        F.min_by("jaccard", "_partner").alias("_pjac"))
+    scored = (members.join(best, members._rep == best._r, "left")
+              .select(
+                  F.col("_id").alias("doc_id"),
+                  F.when(F.col("_pmin") < F.col("_rep"), F.col("_pmin"))
+                   .otherwise(F.col("_rep")).alias("rep"),
+                  F.when(F.col("_pmin") < F.col("_rep"), F.col("_pjac"))
+                   .otherwise(F.lit(1.0)).alias("jaccard_to_rep")))
+    # docs excluded from the pipeline (NULL text / NULL block) are
+    # their own reps at similarity 1.0 — the brute-force answer for
+    # a doc with no qualifying neighbors
+    out = (docs.select(F.col(id_col).alias("doc_id"))
+           .join(scored, "doc_id", "left")
+           .select("doc_id",
+                   F.coalesce("rep", F.col("doc_id")).alias("rep"),
+                   F.coalesce("jaccard_to_rep", F.lit(1.0))
+                   .alias("jaccard_to_rep")))
+    if eager_release:
+        out = out.localCheckpoint()
+        members.unpersist()
+    return out
 
 
 def minhash_lsh_candidates(docs: DataFrame, *, id_col: str, text_col: str,

@@ -16,7 +16,7 @@ import itertools
 import random
 
 from kinesis_s3_data_shipper_spark.operators.dedup import (
-    blocked_ngram_jaccard_pairs)
+    blocked_ngram_jaccard_groups, blocked_ngram_jaccard_pairs)
 
 T = 0.6
 
@@ -129,7 +129,9 @@ def test_duplication_heavy_corpus_matches_brute_force(spark):
     rows = []
     for copy in range(5):
         for j, txt in enumerate(texts):
-            # interleave: copy c of text j gets id c + 5*j + 1000*c
+            # interleave: copies of text j get ids j, 1000+j,
+            # 2000+j, ... (copy*1000 + j), so a group's members span
+            # the whole id range instead of sitting adjacent
             rows.append((copy * 1000 + j, "x", txt))
     got = _pairs(spark, rows)
     want = _brute(rows)
@@ -154,3 +156,133 @@ def test_no_miss_at_unlucky_thresholds(spark):
     want = _brute(rows, threshold=2 / 3)
     assert set(got) == set(want)
     assert (2, 3) in got  # the exact-2/3 pair survived the prefix
+
+
+def test_null_block_docs_never_pair(spark):
+    """r11 advice fix: a NULL block column means a doc can never pair
+    under the un-collapsed plan's null-UNSAFE candidate equi-join —
+    but before the fix, Window.partitionBy grouped NULL blocks into a
+    real partition, so identical-text NULL-block docs leaked
+    jaccard=1.0 'within' pairs the brute force (and the DuckDB
+    oracle) never produced.  Mixed corpus: duplicate text under a
+    NULL block (must emit NOTHING), the same duplicate text under a
+    real block (must emit its J=1 pair), and NULL text alongside."""
+    rows = [(1, None, "abcdefgh"), (2, None, "abcdefgh"),  # NULL block
+            (3, "x", "abcdefgh"), (4, "x", "abcdefgh"),    # real block
+            (5, None, None), (6, "x", "qrstuv")]
+    got = _pairs(spark, rows)
+    assert got == {(3, 4): 1.0}, got
+    # and the brute force agrees (None != None under equi-join)
+    want = {k: v for k, v in _brute(
+        [r for r in rows if r[1] is not None and r[2] is not None]).items()}
+    assert got == want
+
+
+def test_eager_release_drops_member_map_and_keeps_output(spark):
+    """eager_release=True must return the same pairs while leaving no
+    cached member map behind (the per-epoch caller lifecycle: output
+    is localCheckpointed, the persist is dropped before returning) —
+    contrasted with the default lazy form, whose member-map cache
+    lives until eviction or clearCache (the documented caller-owned
+    lifetime)."""
+    jsc = spark.sparkContext._jsc.sc()
+    spark.catalog.clearCache()
+    rows = [(1, "x", "abcdefgh"), (2, "x", "abcdefgh"),
+            (3, "x", "abcdefg"), (4, "y", "abcdefgh")]
+    df = spark.createDataFrame(rows, "doc_id long, blk string, text string")
+    before = jsc.getPersistentRDDs().size()
+    out = blocked_ngram_jaccard_pairs(
+        df, id_col="doc_id", text_col="text", block_cols=["blk"],
+        ngram_n=1, threshold=T, eager_release=True)
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in out.collect()}
+    assert got == _brute(rows)
+    # only the localCheckpointed OUTPUT may remain live; the member
+    # map's MEMORY_AND_DISK entry was unpersisted before returning
+    assert jsc.getPersistentRDDs().size() - before <= 1
+    eager_live = jsc.getPersistentRDDs().size()
+    # the default lazy form leaves its member-map cache behind after
+    # execution — one more live entry, released only by clearCache
+    lazy = blocked_ngram_jaccard_pairs(
+        df, id_col="doc_id", text_col="text", block_cols=["blk"],
+        ngram_n=1, threshold=T)
+    assert {(r.doc_a, r.doc_b): r.jaccard
+            for r in lazy.collect()} == _brute(rows)
+    assert jsc.getPersistentRDDs().size() == eager_live + 1
+    spark.catalog.clearCache()
+
+
+def _brute_groups(rows, threshold=T):
+    """Reference group form: per doc, the min id over {doc} ∪ {same-
+    block neighbors with J >= t} plus the similarity to it."""
+    out = {}
+    for (i, b, t) in rows:
+        nbrs = {}
+        if b is not None and t is not None:
+            for (j, bb, tt) in rows:
+                if j == i or bb != b or bb is None or tt is None:
+                    continue
+                ga, gb = set(t), set(tt)
+                jac = len(ga & gb) / len(ga | gb)
+                if jac >= threshold:
+                    nbrs[j] = jac
+        mn = min(nbrs) if nbrs else i
+        out[i] = (mn, nbrs[mn]) if mn < i else (i, 1.0)
+    return out
+
+
+def _groups(spark, rows, threshold=T):
+    df = spark.createDataFrame(rows, "doc_id long, blk string, text string")
+    out = blocked_ngram_jaccard_groups(
+        df, id_col="doc_id", text_col="text", block_cols=["blk"],
+        ngram_n=1, threshold=threshold)
+    return {r.doc_id: (r.rep, r.jaccard_to_rep) for r in out.collect()}
+
+
+def test_groups_match_brute_force_on_mixed_corpus(spark):
+    """The O(docs) group form vs an in-process brute force on a
+    corpus mixing exact-dup groups (interleaved ids), near-dup
+    chains, NULL blocks, NULL text, and isolated docs — every doc
+    must appear exactly once with the right (rep, similarity)."""
+    rng = random.Random(23)
+    alphabet = "abcdefghijklmnop"
+    rows = []
+    for i in range(40):
+        k = rng.randint(3, 10)
+        rows.append((i, rng.choice("xy"),
+                     "".join(sorted(rng.sample(alphabet, k)))))
+    rows += [
+        (100, "x", "abcdefgh"), (50, "x", "abcdefgh"),   # dup group,
+        (300, "x", "abcdefgh"),                          # min id 50
+        (101, "x", "abcdefg"),     # J=7/8 to the group -> rep 50
+        (102, None, "abcdefgh"),   # NULL block: rep=self despite dups
+        (103, "x", None),          # NULL text: rep=self
+    ]
+    got = _groups(spark, rows)
+    want = _brute_groups(rows)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], (k, got[k], want[k])
+        assert abs(got[k][1] - want[k][1]) < 1e-12, (k, got[k], want[k])
+    # the planted shapes resolved as designed
+    assert got[100] == (50, 1.0) and got[300] == (50, 1.0)
+    assert got[101][0] == 50 and abs(got[101][1] - 7 / 8) < 1e-12
+    assert got[102] == (102, 1.0) and got[103] == (103, 1.0)
+
+
+def test_groups_output_is_linear_in_replication(spark):
+    """The group form's whole point: with every text replicated R
+    ways, pair output grows O(R^2) per group but group output stays
+    exactly n_docs rows — and the rep pipeline cost is identical
+    (same collapsed reps).  Pin output CARDINALITY = corpus size at
+    two replication factors and rep consistency (all copies of one
+    text agree on the group-min rep)."""
+    texts = ["abcdefgh", "abcdefg", "klmnop", "qrstuv"]
+    for reps in (3, 10):
+        rows = [(copy * 1000 + j, "x", txt)
+                for copy in range(reps) for j, txt in enumerate(texts)]
+        got = _groups(spark, rows)
+        assert len(got) == len(rows)          # O(docs), not O(pairs)
+        want = _brute_groups(rows)
+        assert got == {k: (v[0], v[1]) for k, v in want.items()} or all(
+            got[k][0] == want[k][0]
+            and abs(got[k][1] - want[k][1]) < 1e-12 for k in want)

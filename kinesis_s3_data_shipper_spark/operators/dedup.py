@@ -461,12 +461,19 @@ def blocked_ngram_jaccard_pairs(docs: DataFrame, *, id_col: str,
     is output materialization (232,700 pairs, the floor).  The
     member map (_id, _rep) persists at two int64s per row — the
     lightest corpus-rows table, NOT the gram sets the module doc
-    calls the anti-goal.  The verify sides read the full gram
-    projection (not the rep-filtered frame): candidate ids are
-    already reps, the equality join picks the right rows, and the
-    simple scan-projection keeps the verify broadcast-estimable —
-    routing it through the rep semi-join flipped it to a sort-merge
-    join and re-derived the join per side (+16 s at sf0.1).
+    calls the anti-goal.
+
+    r11 makes the collapse's COMPUTE match its candidate bound:
+    every gram evaluation now happens AFTER the rep-id join
+    (text-first, gram-second — inline comments at the join sites).
+    r10c had left char_ngrams below the rep join in the prefix
+    path and fed the verify from corpus-wide scan-projections, so
+    gram CPU (and, at 10x, a driver broadcast of the whole corpus's
+    gram arrays) still grew with the replication factor: the x10
+    step ran rep_pairs at 53 s for the identical 76-pair rep set
+    that sf0.1 answers in 26 s.  Text-first takes the x10 core to
+    ~sf0.1 cost (near-flat, the collapse's actual contract) and
+    caps the verify's broadcast candidates at rep-sized.
     Null-text docs are excluded up front: their gram array is
     [null], which can never equi-join a candidate in the
     un-collapsed plan either.  Docs with a NULL in ANY block column
@@ -549,9 +556,6 @@ def _ngram_members_and_rep_pairs(
     nn = docs.filter(F.col(text_col).isNotNull())
     for bc in block_cols:
         nn = nn.filter(F.col(bc).isNotNull())
-    base = nn.select(
-        F.col(id_col).alias("_id"), *block_cols,
-        char_ngrams(text_col, ngram_n).alias("_grams"))
     members = (nn
                .select(F.col(id_col).alias("_id"), *block_cols,
                        F.md5(text_col).alias("_dg"))
@@ -561,7 +565,21 @@ def _ngram_members_and_rep_pairs(
                .persist(StorageLevel.MEMORY_AND_DISK))
     repids = members.filter(F.col("_id") == F.col("_rep")) \
                     .select(F.col("_id").alias("_rid"))
-    prepared = base.join(repids, base._id == repids._rid).drop("_rid")
+    # r11: join TEXT to the rep ids, then gram — not gram-then-join.
+    # The projection below a join runs for every scanned row, so
+    # gram-then-join computed char n-grams for the whole corpus and
+    # discarded non-reps; on a replication-heavy corpus that made
+    # the "collapsed" pipeline's CPU grow with the replication
+    # factor (x10 step: rep_pairs 26 s -> 53 s for an IDENTICAL rep
+    # set).  Text-first keeps every gram evaluation O(reps) — the
+    # shape dedup_setsim_prefix always had (it joins repids before
+    # the token explode), which is why its replicated step was flat
+    # while this operator's was not.
+    txt = nn.select(F.col(id_col).alias("_id"), *block_cols,
+                    F.col(text_col).alias("_txt"))
+    rep_txt = txt.join(repids, txt._id == repids._rid).drop("_rid")
+    prepared = rep_txt.select(
+        "_id", *block_cols, char_ngrams("_txt", ngram_n).alias("_grams"))
     toks = prepared.select(
         "_id", *block_cols, F.size("_grams").alias("_s"),
         F.explode("_grams").alias("_g"))
@@ -606,10 +624,20 @@ def _ngram_members_and_rep_pairs(
                      & (1 + F.least(F.col("_sa") - F.col("_pa"),
                                     F.col("_sb") - F.col("_pb")) >= alpha))
              .select("_ida", "_idb").distinct())
-    ga = base.select(F.col("_id").alias("_ida"),
-                     F.col("_grams").alias("_ga"))
-    gb = base.select(F.col("_id").alias("_idb"),
-                     F.col("_grams").alias("_gb"))
+    # Verify sides read the REP-filtered text-first gram projection:
+    # candidate ids are always reps, so corpus-wide gram arrays were
+    # pure waste — and at 10x replication the old scan-projection was
+    # broadcast-ESTIMATED from parquet stats and shipped the entire
+    # corpus's gram arrays through the driver.  Each side re-derives
+    # the (broadcast-repids) join — two rep-sized recomputes, the
+    # same column-pruned-re-scan trade the module doc accepts over a
+    # corpus-sized gram checkpoint; AQE picks the cands join strategy
+    # from the candidates' RUNTIME size (broadcast when small,
+    # shuffle of rep-sized gram arrays when not).
+    ga = rep_txt.select(F.col("_id").alias("_ida"),
+                        char_ngrams("_txt", ngram_n).alias("_ga"))
+    gb = rep_txt.select(F.col("_id").alias("_idb"),
+                        char_ngrams("_txt", ngram_n).alias("_gb"))
     rep_pairs = (cands.join(ga, "_ida").join(gb, "_idb")
                  .select(
                      F.col("_ida").alias("_ra"), F.col("_idb").alias("_rb"),

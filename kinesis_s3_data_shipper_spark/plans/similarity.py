@@ -1739,19 +1739,24 @@ GROUP BY p.bin
          "with the engine's exact cosine, rounded at 6dp THEN "
          "binned at 0.1 (floor of r*10 — binning after the rounding "
          "convention keeps boundaries engine-identical), with "
-         "integer per-mille shares.  Scale shape: the sample rank "
-         "window is the one corpus-sized term (and at 100 TB it "
-         "pre-gates on a hash threshold first, the exact-k "
-         "convention); the pair join, scoring and the <=21-key "
-         "rollup are CONSTANT work at any corpus size — that's the "
-         "point of a fixed-size diagnostic. Audit note (accepted 4-scan flag): the md5-gated pair sample reads the vector column per pair side; pruned re-scans beat persisting the vector corpus.")
+         "integer per-mille shares.  Scale shape (r11): the sample "
+         "is drawn with orderBy+limit — TakeOrderedAndProject, a "
+         "per-partition top-64 merged on the driver — after the r11 "
+         "unpartitioned-window audit caught the previous "
+         "row_number-over-everything draw funnelling the whole "
+         "vector corpus through ONE window task (the exact defect "
+         "class the gate was built to catch; same 64 rows, the "
+         "(md5, vec_id) order is total).  The pair join, scoring "
+         "and the <=21-key rollup are CONSTANT work at any corpus "
+         "size — that's the point of a fixed-size diagnostic. Audit "
+         "note (accepted 4-scan flag): the md5-gated pair sample "
+         "reads the vector column per pair side; pruned re-scans "
+         "beat persisting the vector corpus.")
 def embedding_cosine_histogram(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    w = W.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-    s = (emb.select("vec_id", "embedding",
-                    F.row_number().over(w).alias("rk"))
-         .filter(F.col("rk") <= _COSHIST_K)
+    s = (emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+         .limit(_COSHIST_K)
          .select("vec_id", "embedding"))
     b = s.select(F.col("vec_id").alias("vid2"),
                  F.col("embedding").alias("emb2"))

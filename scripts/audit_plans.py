@@ -41,15 +41,111 @@ import traceback
 sys.path.insert(0, "/root/repo")
 
 
+def _tree_depth(line: str) -> int:
+    """Indent depth of one treeString line (the tree-drawing prefix is
+    spaces, ':', '+', '-'; node text starts at the first other char —
+    codegen markers like '*(3)' start with '*')."""
+    i = 0
+    while i < len(line) and line[i] in " :+-":
+        i += 1
+    return i
+
+
+def _window_is_unpartitioned(body: str) -> bool:
+    """Given the text after a ``Window `` node name, decide whether the
+    partition spec is empty.  treeString prints
+    ``Window [exprs], [partitionSpec], [orderSpec]`` with empty specs
+    OMITTED, so: one bracket group = no partition and no order; three
+    = partitioned; two is ambiguous (partition-no-order vs
+    order-no-partition) and is resolved by the last group carrying
+    sort directions (' ASC'/' DESC') only when it is an ORDER spec."""
+    groups, depth, cur = [], 0, ""
+    for ch in body:
+        cur += ch
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(cur.strip(" ,"))
+                cur = ""
+    if len(groups) <= 1:
+        return True
+    if len(groups) >= 3:
+        return False
+    last = groups[-1]
+    return (" ASC" in last) or (" DESC" in last)
+
+
 def audit_query(df) -> dict:
-    """Scan/cartesian/python counts for one built DataFrame's final
-    executed plan."""
+    """Scan/cartesian/python/window counts for one built DataFrame's
+    final executed plan.
+
+    Two scan counts per source table (r11, advice fix — the textual
+    number alone mixed reprint artifacts with real re-derivations):
+
+    - TEXTUAL: every ``Location: ...<table>.parquet`` occurrence in
+      the plan string.  A persisted subplan's one scan reprints under
+      each InMemoryTableScan consumer, so this number grows with the
+      CONSUMER count of a cache, not with work.
+    - PHYSICAL: the same count after cache substitution — each
+      distinct InMemoryRelation's build subtree is counted ONCE (its
+      scan really runs once, at materialization) and its reprints
+      under further InMemoryTableScans are skipped (those consumers
+      read cached blocks, not parquet).
+
+    Also counts Window nodes with an EMPTY partition spec OUTSIDE
+    cache reprints (r10 verdict ask #3): an unpartitioned window is a
+    single-task corpus sort unless the frame is provably tiny, so the
+    accepted set (|sources|-row, |months|-row aggregate frames) is
+    pinned by tests/test_plan_audit_gate.py exactly like scans."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     per_source: dict[str, int] = {}
     for m in re.finditer(r"Location:.*?(\w+)\.parquet", plan):
         t = m.group(1)
         per_source[t] = per_source.get(t, 0) + 1
+
+    per_source_physical: dict[str, int] = {}
+    unpartitioned_windows = 0
+    seen_caches: set[str] = set()
+    skip_deeper_than: int | None = None
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        d = _tree_depth(line)
+        if skip_deeper_than is not None:
+            if d > skip_deeper_than:
+                continue
+            skip_deeper_than = None
+        body = line[d:]
+        if "InMemoryRelation" in body:
+            # treeString reprints the cached BUILD plan under every
+            # consumer's InMemoryTableScan, and DeduplicateRelations
+            # re-aliases the InMemoryRelation HEADER per consumer —
+            # but the build subtree below it is the one shared plan
+            # object, printed with its original expr ids.  Key the
+            # relation by its id-normalized subtree text: count the
+            # build once, skip reprints (cached blocks, not parquet).
+            sub = [body]
+            for nxt in lines[i + 1:]:
+                nd = _tree_depth(nxt)
+                if nd <= d:
+                    break
+                sub.append(nxt[nd:])
+            key = re.sub(r"#\d+", "#", "\n".join(sub))
+            if key in seen_caches:
+                skip_deeper_than = d
+                continue
+            seen_caches.add(key)
+        m = re.search(r"Location:.*?(\w+)\.parquet", line)
+        if m:
+            t = m.group(1)
+            per_source_physical[t] = per_source_physical.get(t, 0) + 1
+        if body.startswith("Window ") and _window_is_unpartitioned(
+                body[len("Window "):]):
+            unpartitioned_windows += 1
     return {"per_source": per_source,
+            "per_source_physical": per_source_physical,
+            "unpartitioned_windows": unpartitioned_windows,
             "cartesian": plan.count("CartesianProduct"),
             "python": plan.count("BatchEvalPython")}
 
@@ -88,7 +184,8 @@ def audit(spark, sf_dir: str, *, threshold: int = 4,
                 errors[name] = f"{type(exc).__name__}: {exc}"[:200]
             continue
         worst = max(counts["per_source"].values(), default=0)
-        if worst >= threshold or counts["cartesian"] or counts["python"]:
+        if (worst >= threshold or counts["cartesian"] or counts["python"]
+                or counts["unpartitioned_windows"]):
             flagged[name] = counts
     return flagged, errors
 
@@ -106,6 +203,8 @@ def main() -> None:
                             verbose=verbose)
     for name, counts in flagged.items():
         print(f"FLAG {name}: {counts['per_source']}"
+              f" physical={counts['per_source_physical']}"
+              f" unpartitioned_windows={counts['unpartitioned_windows']}"
               f" cartesian={counts['cartesian']}"
               f" python={counts['python']}", flush=True)
     if verbose:

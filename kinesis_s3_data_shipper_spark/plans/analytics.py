@@ -1719,6 +1719,11 @@ def graph_pagerank_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         _graph_unpersist(rank)
         rank = nxt
+    # Only the final rank checkpoint feeds the result; the edge set
+    # and out-degrees are superseded once iteration stops (r10 verdict
+    # ask #6's block-count gate caught both surviving the session).
+    _graph_unpersist(und)
+    _graph_unpersist(outdeg)
     return rank.select("node", F.col("pr").alias("pagerank_scaled"))
 
 
@@ -1906,6 +1911,13 @@ def graph_louvain_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         _graph_unpersist(assign)
         _graph_unpersist(comm)
         und, deg, assign = cund, cdeg, nassign
+    # The returned rollup reads only assign + deg0: the FINAL level's
+    # contracted graph (und, deg) is superseded the moment the loop
+    # exits — release it like every earlier level's (r10 verdict ask
+    # #6's block-count gate caught these two surviving the session).
+    _graph_unpersist(und)
+    if deg is not deg0:
+        _graph_unpersist(deg)
     return (assign.join(deg0.select(F.col("node").alias("orig"), "k"),
                         "orig")
             .groupBy(F.col("community").alias("node"))

@@ -104,3 +104,20 @@ def test_connected_components_releases_superseded_round_blocks(spark):
     # (and round 0's initial checkpoint if the graph converged in one
     # pass); every superseded middle round must be gone.
     assert after - before <= 2, (before, after)
+
+
+@pytest.mark.parametrize("name", ["graph_louvain_fixpoint",
+                                  "graph_pagerank_fixpoint"])
+def test_other_fixpoints_release_superseded_round_blocks(spark, name):
+    """r10 verdict ask #6: the k-core and CC loops carry block-count
+    gates; Louvain and PageRank release per round through the SAME
+    release_checkpoint primitive, so the same bound must hold — after
+    the result is consumed, at most the final round's checkpoint plus
+    one live input frame may remain, never one block set per round."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = REGISTRY[name].spark(spark, SF)
+    rows = out.collect()
+    assert rows
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 2, (name, before, after)

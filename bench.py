@@ -132,8 +132,28 @@ def main() -> None:
     spark = get_session("ksds-bench")
     queries = all_queries()
 
-    # Warmup: spin up executors/codegen on a trivial action.
+    # Warmup (r11, verdict ask #2): the session-dispersion record
+    # showed FIRST-query inflation (q1 min 0.84 / med 1.48 / max
+    # 7.13 s across same-code sessions) — session ramp (JVM/codegen
+    # compile, shuffle machinery, parquet footer reads, executor
+    # thread pool) was being charged to the first timed queries, so a
+    # single-session run (the external driver's protocol) sat far
+    # above the committed min-of-sessions total.  Ramp everything
+    # BEFORE timing starts: a trivial action, every table's footer +
+    # row-group metadata, then two representative REAL queries
+    # (scan->shuffle->agg and a join) run untimed.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            spark.read.parquet(p).count()
+    for warm_q in ("q1_pricing_summary", "join_left_agg"):
+        try:
+            queries[warm_q](spark, sf_dir).count()
+        except Exception:  # noqa: BLE001 — warmup must never sink bench
+            pass
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     dispersion: dict[str, dict[str, float]] = {}
@@ -180,6 +200,13 @@ def main() -> None:
     full = {
         "metric": "headline_queries_total_runtime",
         "scope": f"headline_{len(HEADLINE)}_of_{len(queries)}_registered",
+        # r10 verdict ask #7: both bench artifacts self-describe their
+        # protocol so a single-session number is never mistaken for
+        # the committed cross-session min (BENCH_LOCAL_r{N}.json =
+        # per-query min across >=3 sessions of scripts/
+        # bench_sessions.py, each itself min-of-4).
+        "protocol": ("single session, min of 4 runs per query, cache "
+                     "cleared per run, full ramp warmup before timing"),
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,

@@ -71,6 +71,9 @@ def main() -> int:
     t0 = time.time()
     out: dict[str, dict] = {}
     n_pass = n_fail = 0
+    # One read-only connection for the whole sweep: re-registering 10
+    # views per query is waste, and the oracles are plain SELECTs.
+    shared_con = duckdb_connection(args.sf_dir)
     for name, spec in REGISTRY.items():
         if only and name not in only:
             continue
@@ -78,26 +81,33 @@ def main() -> int:
                      "hash_match": None, "spark_rows": None,
                      "oracle_rows": None, "err": None}
         try:
-            # spark_sec: build + count of the Spark side alone — the
-            # registry-WIDE timing record (r09 verdict ask #3: the
+            # spark_sec: build + full result fetch of the Spark side —
+            # the registry-WIDE timing record (r09 verdict ask #3: the
             # 63-query headline bench can't see a regression in the
             # other ~200 queries; this sweep runs them all anyway, so
             # record per-query wall for round-over-round comparison).
             # Single-shot, warm session — noisier than bench.py's
             # min-of-4, so compare trends, not single deltas.
+            # r11: counts/timings come FROM run_pair's one execution —
+            # the sweep previously re-executed every Spark plan and
+            # every oracle a second time just for these fields, which
+            # doubled the sf0.1 sweep wall (and ran each streaming
+            # twin's drain twice).  spark_sec therefore now measures
+            # build+toPandas instead of build+count: a one-time
+            # protocol discontinuity vs r10 records, noted here so
+            # cross-round trend readers don't mistake it for a change.
             if spec.oracle is None:
                 ts = time.perf_counter()
                 rec["spark_rows"] = spec.spark(spark, args.sf_dir).count()
                 rec["spark_sec"] = round(time.perf_counter() - ts, 3)
                 rec["rows_only"] = True
             else:
-                run_pair(spark, args.sf_dir, name, spec.spark, spec.oracle)
-                ts = time.perf_counter()
-                sdf = spec.spark(spark, args.sf_dir)
-                rec["spark_rows"] = sdf.count()
-                rec["spark_sec"] = round(time.perf_counter() - ts, 3)
-                con = duckdb_connection(args.sf_dir)
-                rec["oracle_rows"] = len(con.sql(spec.oracle).df())
+                stats = run_pair(spark, args.sf_dir, name, spec.spark,
+                                 spec.oracle, con=shared_con)
+                rec["spark_rows"] = stats["spark_rows"]
+                rec["spark_sec"] = round(stats["spark_sec"], 3)
+                rec["oracle_rows"] = stats["oracle_rows"]
+                rec["oracle_sec"] = round(stats["oracle_sec"], 3)
                 rec.update(rows_match=True, schema_match=True,
                            hash_match=True)
             n_pass += 1

@@ -42,7 +42,12 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def compare(spark_df, oracle_pdf: pd.DataFrame, name: str = "") -> None:
-    got = _normalize(spark_df.toPandas())
+    compare_pdfs(spark_df.toPandas(), oracle_pdf, name)
+
+
+def compare_pdfs(got_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame,
+                 name: str = "") -> None:
+    got = _normalize(got_pdf)
     want = _normalize(oracle_pdf)
     assert list(got.columns) == list(want.columns), (
         f"{name}: columns {list(got.columns)} != {list(want.columns)}")
@@ -60,8 +65,25 @@ def compare(spark_df, oracle_pdf: pd.DataFrame, name: str = "") -> None:
                 obj=f"{name}.{c}")
 
 
-def run_pair(spark, sf_dir: str, name: str, spark_fn, oracle: str) -> None:
+def run_pair(spark, sf_dir: str, name: str, spark_fn, oracle: str,
+             con: duckdb.DuckDBPyConnection | None = None) -> dict:
+    """Run one (Spark, oracle) pair and compare.  Returns execution
+    stats so sweep callers don't re-execute either side just to record
+    counts/timings (r11: the sf0.1 sweep ran every Spark plan AND
+    every oracle TWICE — once here, once for the stats — which is why
+    its wall sat at 2x the actual work).  ``spark_sec`` covers plan
+    build + full result fetch (toPandas); ``con`` may be a shared
+    per-sf connection (the views are read-only)."""
+    import time
+    t0 = time.perf_counter()
     sdf = spark_fn(spark, sf_dir)
-    con = duckdb_connection(sf_dir)
+    got = sdf.toPandas()
+    spark_sec = time.perf_counter() - t0
+    if con is None:
+        con = duckdb_connection(sf_dir)
+    t1 = time.perf_counter()
     want = con.sql(oracle).df()
-    compare(sdf, want, name)
+    oracle_sec = time.perf_counter() - t1
+    compare_pdfs(got, want, name)
+    return {"spark_rows": len(got), "oracle_rows": len(want),
+            "spark_sec": spark_sec, "oracle_sec": oracle_sec}

@@ -52,57 +52,52 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
 #: local sweep (correctness_local.py / tests/test_oracle_parity.py);
 #: this list ROTATES which ones land in the externally-verified window
 #: so the union across rounds converges on the whole registry.
-#: Round-10 window, in strict priority order (the r09 verdict's ask
-#: #1: FINISH FRESHNESS — post-change rows for every plan the r09
-#: stats-firewall/block-release change touched, then the whole
-#: r04-stale cohort, then the oldest r05 rows; registration held to
-#: exactly 1 new — the windowed change-point twin ask #4 requested):
-#: (1) the EIGHT plans whose executed loops changed with the r09
-#: stats firewall + per-round block release AFTER the r09 window was
-#: pinned — their newest driver rows (r05/r08) predate the change;
-#: (2) the one round-10 registration (streaming_changepoint_windowed,
-#: the production-capped state twin) plus dedup_cluster_canonicalize,
-#: whose CC loop's round releases became real this round (the
-#: release_checkpoint unary-unwrap fix — r09 advice, medium);
-#: (3) the ENTIRE 28-query cohort whose newest driver rows are r04
-#: (last round's documented deferral list, verbatim — including
-#: ingest_pipeline's rows-only-by-contract row);
-#: (4) twelve r05 rows: the alphabetically-first eleven plus
-#: dedup_ngram_jaccard, whose PLAN CHANGED this round (the PPJoin
-#: prefix-filter rewrite that fixed its quadratic within-block
-#: verify, 128 s -> 13 s at sf0.1; r10b then added the length +
-#: positional filters and the count-window df to the same plan —
-#: and to dedup_setsim_prefix's, already in tier 3) and therefore
-#: outranks the alphabetical twelfth (dedup_exact_hash, unchanged
-#: since r05).
-#: dedup_clusters_cc already sits in tier 1.  Still-deferred to
-#: round 11: the remaining 31 r05 rows (the 44-query r05 cohort
-#: minus tier 4's twelve minus dedup_clusters_cc) — all hash-green
-#: in both committed local sweeps.
+#: Round-11 window, in strict priority order (the r10 verdict's ask
+#: #1: rotate the FINAL 31 r05-stale rows, top the remaining slots up
+#: with the oldest r06 rows; registration frozen except the one
+#: sanctioned addition, the ask-#4 group form):
+#: (1) the five plans whose executed plans/loops CHANGED this round —
+#: post-change rows outrank staleness everywhere in this file's
+#: history: dedup_ngram_jaccard (r11 advice fix: NULL block columns
+#: excluded from the exact-dup collapse; r11 text-first reorder: gram
+#: evaluation O(reps), corpus-gram broadcast removed),
+#: dedup_ngram_jaccard_groups (NEW r11 — the O(docs) group-form
+#: escape hatch the r10 verdict asked to register),
+#: embedding_cosine_histogram (the new unpartitioned-window audit
+#: caught its 64-row sample drawn via row_number over the whole
+#: vector corpus; now orderBy+limit), and graph_louvain_fixpoint /
+#: graph_pagerank_fixpoint (post-loop checkpoint release — the ask-#6
+#: block-count gates caught their final rounds' frames surviving);
+#: (2) the ENTIRE remaining 31-query r05 cohort (last round's
+#: documented deferral list, verbatim) — after this round no driver
+#: row anywhere predates r06;
+#: (3) fourteen oldest r06 rows (alphabetical prefix of the 40-query
+#: r06 cohort).  Still-deferred to round 12: the remaining 26 r06
+#: rows — all hash-green in both committed local sweeps.
 _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
-    # (1) r09 firewall/block-release plans with pre-change rows:
-    "graph_triangle_count", "graph_jaccard_neighbors",
-    "graph_kcore_peel", "graph_kcore_fixpoint",
-    "graph_louvain_merge_step", "graph_louvain_contract_step",
-    "graph_pagerank_iter", "dedup_clusters_cc",
-    # (2) registered this round + CC-release-fix consumer:
-    "streaming_changepoint_windowed", "dedup_cluster_canonicalize",
-    # (3) the whole r04-stale cohort (28):
-    "agg_distinct", "agg_ols_by_group", "agg_quantiles", "agg_stats",
-    "ann_ivf_multiprobe", "ann_ivfpq_adc", "ann_lsh_multiprobe",
-    "ann_recall_eval", "dedup_setsim_prefix", "dedup_substring_spans",
-    "distinct_rows", "events_path_transitions", "events_pattern_scan",
-    "events_session_attribution", "filter_project_scalar",
-    "grouped_winsorize", "ingest_pipeline", "mine_hard_negatives",
-    "pack_sequences", "pit_join_scd2", "recursive_ewma_monthly",
-    "sample_stratified_exact_k", "sort_limit", "source_mixture_weights",
-    "text_classifier_score", "text_dsir_importance",
-    "text_heavy_hitters", "text_vocab_coverage",
-    # (4) twelve next-stalest r05 rows (alphabetical):
-    "agg_approx_distinct", "agg_argminmax", "agg_cube",
-    "agg_grouping_sets", "agg_pandas_median", "agg_rollup",
-    "ann_ivf_probe", "asof_join", "dedup_bloom_membership",
-    "dedup_embedding_cosine", "dedup_exact", "dedup_ngram_jaccard",
+    # (1) plans changed in r11 (one NEW registration, four changed):
+    "dedup_ngram_jaccard", "dedup_ngram_jaccard_groups",
+    "embedding_cosine_histogram", "graph_louvain_fixpoint",
+    "graph_pagerank_fixpoint",
+    # (2) the final r05-stale cohort (31):
+    "dedup_exact_hash", "dedup_paragraphs", "dedup_simhash",
+    "events_cusum", "events_hourly", "events_mad_outliers",
+    "grouped_minmax_scale", "json_extract_agg", "multimodal_dedup_phash",
+    "pivot_event_counts", "sample_deterministic_upsample",
+    "sample_quality_weighted", "scalar_array_funcs", "scalar_datetime",
+    "scalar_math_funcs", "scalar_null_funcs", "sessionize",
+    "set_except", "set_except_all", "set_intersect",
+    "set_intersect_all", "set_union_all", "subquery_above_nation_avg",
+    "unpivot_measures", "window_lag_lead", "window_range_frame",
+    "window_rank", "window_rank_stats", "window_running_sum",
+    "window_topk_per_group", "window_value_funcs",
+    # (3) fourteen oldest r06 rows (alphabetical):
+    "agg_approx_quantiles", "agg_collect_sorted", "agg_corr_covar",
+    "agg_histogram", "agg_mode_per_user", "agg_sketch_merge_hll",
+    "agg_sketch_merge_kll", "ann_bruteforce_topk", "ann_lsh_buckets",
+    "dedup_minhash_lsh_incremental", "diff_snapshots",
+    "doc_fingerprint", "embedding_cosine_pairs",
+    "embedding_int8_quantize",
 )
 
 

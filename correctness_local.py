@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 import traceback
@@ -52,8 +53,19 @@ def main() -> int:
     args = ap.parse_args()
     args.out = resolve_out_path(args.out, bool(args.only))
 
+    # Confs stay PLAIN (no repo tuning — the driver-contract mirror;
+    # ensure_runtime_confs must cope) except driver memory: local-mode
+    # default is 1g shared by 32 concurrent tasks (~30 MB each), and
+    # at sf0.1 the wide-row sort buffers of the heavier verify joins
+    # OOM outright at that budget (r11: dedup_ngram_jaccard's
+    # rep-text SMJ killed the JVM and failed the whole sweep) — a
+    # budget no real deployment runs.  The DRIVER's gate executes at
+    # sf0.01, where the stock 1g heap still passes all 263 (the r11
+    # sf0.01 sweep ran before this line existed).
     spark = (SparkSession.builder.master(f"local[{args.cpus}]")
              .config("spark.sql.shuffle.partitions", args.cpus)
+             .config("spark.driver.memory",
+                     os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
              .config("spark.ui.enabled", "false")
              .appName("correctness-local").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")

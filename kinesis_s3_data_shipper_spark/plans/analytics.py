@@ -1407,6 +1407,10 @@ def _louvain_graph(spark: SparkSession,
         ew.select(F.col("s").alias("u"), F.col("d").alias("v"), "w")
         .unionAll(ew.select(F.col("d").alias("u"),
                             F.col("s").alias("v"), "w")))
+    # und is materialized; the oriented s<d list is dead (the
+    # pagerank fixpoint's convention — left live it survived every
+    # Louvain call, caught by the r11 block-count gate).
+    _graph_unpersist(ew)
     deg = _graph_ckpt(und.groupBy(F.col("u").alias("node"))
                       .agg(F.sum("w").cast("long").alias("k")))
     m2 = deg.agg(F.sum("k").cast("long").alias("m2"))

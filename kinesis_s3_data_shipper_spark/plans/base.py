@@ -71,9 +71,13 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
 #: (2) the ENTIRE remaining 31-query r05 cohort (last round's
 #: documented deferral list, verbatim) — after this round no driver
 #: row anywhere predates r06;
-#: (3) fourteen oldest r06 rows (alphabetical prefix of the 40-query
-#: r06 cohort).  Still-deferred to round 12: the remaining 26 r06
-#: rows — all hash-green in both committed local sweeps.
+#: (3) twelve oldest r06 rows (alphabetical prefix of the 40-query
+#: r06 cohort); the final two tier-3 slots instead carry the two
+#: Louvain steps whose ORACLES changed in r11 (MATERIALIZED CTEs for
+#: the DuckDB-inlined multi-reference chain, 71 s -> 1.4 s at sf0.1,
+#: A/B row-equal — post-change freshness outranks r06 staleness).
+#: Still-deferred to round 12: the remaining 28 r06 rows — all
+#: hash-green in both committed local sweeps.
 _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     # (1) plans changed in r11 (one NEW registration, four changed):
     "dedup_ngram_jaccard", "dedup_ngram_jaccard_groups",
@@ -91,13 +95,14 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     "unpivot_measures", "window_lag_lead", "window_range_frame",
     "window_rank", "window_rank_stats", "window_running_sum",
     "window_topk_per_group", "window_value_funcs",
-    # (3) fourteen oldest r06 rows (alphabetical):
+    # (3) twelve oldest r06 rows (alphabetical) + the two
+    # oracle-changed Louvain steps:
     "agg_approx_quantiles", "agg_collect_sorted", "agg_corr_covar",
     "agg_histogram", "agg_mode_per_user", "agg_sketch_merge_hll",
     "agg_sketch_merge_kll", "ann_bruteforce_topk", "ann_lsh_buckets",
     "dedup_minhash_lsh_incremental", "diff_snapshots",
-    "doc_fingerprint", "embedding_cosine_pairs",
-    "embedding_int8_quantize",
+    "doc_fingerprint", "graph_louvain_merge_step",
+    "graph_louvain_contract_step",
 )
 
 

@@ -86,6 +86,44 @@ def _events_stream(spark: SparkSession, events_dir: str,
     return reader.parquet(events_dir)
 
 
+#: State-store partition count pinned while a drain runs (r11 verdict
+#: ask #4).  Spark sizes a stateful operator's state-store count from
+#: ``spark.sql.shuffle.partitions`` AT THE FIRST BATCH and records it
+#: in the checkpoint; inheriting the session's CPU-count default (32
+#: locally) gave every micro-batch 32 state-store tasks each paying a
+#: per-task store open/commit/snapshot floor — measured 8.2 s -> 2.6 s
+#: on the dedup twin's identical 200k-row drain going 32 -> 4.  State
+#: partitioning is a STATE-VOLUME knob, not a CPU knob: these bounded
+#: fixtures hold <= ~100k state rows, so 8 partitions keep every task
+#: meaningfully sized; a 100 TB deployment sizes this to keys-on-disk
+#: (RocksDB store count), which is exactly why it must not silently
+#: track CPU count.  CORRECTNESS is untouched: every stateful op here
+#: groups by key, a key's rows land in one partition per batch at ANY
+#: partition count, and the per-key fold order is enforced by the
+#: explicit (ts, event_id) sort inside each update function — so the
+#: partition count can change parallelism and store-file counts, never
+#: values (the oracle gate re-attests this per round).
+STATE_PARTITIONS = int(os.environ.get(
+    "SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8"))
+
+
+def _drain(spark: SparkSession, writer):
+    """Start a fully-configured DataStreamWriter and drain it to
+    completion with ``spark.sql.shuffle.partitions`` pinned to
+    :data:`STATE_PARTITIONS` (micro-batch planning happens inside
+    ``awaitTermination``, so the pin must cover the whole drain, not
+    just ``start()``).  Restores the session conf even on failure.
+    Returns the finished StreamingQuery."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
+    try:
+        query = writer.start()
+        query.awaitTermination()
+        return query
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def streaming_hourly_counts(spark: SparkSession, events_dir: str, *,
                             checkpoint: str, query_name: str,
                             watermark: str = "1 hour") -> DataFrame:
@@ -107,11 +145,10 @@ def streaming_hourly_counts(spark: SparkSession, events_dir: str, *,
     out = agg.select(
         F.unix_millis(F.col("window.start")).alias("hour_ms"),
         "event_type", "n", "sum_value")
-    query = (out.writeStream.outputMode("complete")
+    query = _drain(spark, out.writeStream.outputMode("complete")
              .format("memory").queryName(query_name)
              .option("checkpointLocation", checkpoint)
-             .trigger(availableNow=True).start())
-    query.awaitTermination()
+             .trigger(availableNow=True))
     return spark.table(query_name)
 
 
@@ -139,11 +176,10 @@ def streaming_sliding_counts(spark: SparkSession, events_dir: str, *,
     out = agg.select(
         F.unix_millis(F.col("window.start")).alias("win_ms"),
         "event_type", "n", "sum_value")
-    query = (out.writeStream.outputMode("complete")
+    query = _drain(spark, out.writeStream.outputMode("complete")
              .format("memory").queryName(query_name)
              .option("checkpointLocation", checkpoint)
-             .trigger(availableNow=True).start())
-    query.awaitTermination()
+             .trigger(availableNow=True))
     return spark.table(query_name)
 
 
@@ -160,11 +196,10 @@ def streaming_dedup_counts(spark: SparkSession, events_dir: str, *,
         .withWatermark("event_time", watermark)
         .dropDuplicatesWithinWatermark(["event_id"])
         .groupBy("event_type").agg(F.count("*").alias("n")))
-    query = (deduped.writeStream.outputMode("complete")
+    query = _drain(spark, deduped.writeStream.outputMode("complete")
              .format("memory").queryName(query_name)
              .option("checkpointLocation", checkpoint)
-             .trigger(availableNow=True).start())
-    query.awaitTermination()
+             .trigger(availableNow=True))
     return spark.table(query_name)
 
 
@@ -200,11 +235,10 @@ def streaming_session_windows(spark: SparkSession, events_dir: str, *,
         .agg(F.count("*").alias("n_events"))
         .select("user_id", "n_events",
                 F.unix_millis(F.col("session_window.start")).alias("start_ms")))
-    query = (sessions.writeStream.outputMode("append")
+    query = _drain(spark, sessions.writeStream.outputMode("append")
              .format("memory").queryName(query_name)
              .option("checkpointLocation", checkpoint)
-             .trigger(availableNow=True).start())
-    query.awaitTermination()
+             .trigger(availableNow=True))
     return spark.table(query_name).filter(F.col("user_id") != SENTINEL_USER)
 
 
@@ -277,18 +311,16 @@ def streaming_cusum_final(spark: SparkSession, events_dir: str, *,
         def sink(batch_df: DataFrame, _epoch: int) -> None:
             batch_df.write.mode("append").parquet(output_dir)
 
-        query = (out.writeStream.outputMode("update")
+        query = _drain(spark, out.writeStream.outputMode("update")
                  .foreachBatch(sink)
                  .option("checkpointLocation", checkpoint)
-                 .trigger(availableNow=True).start())
-        query.awaitTermination()
+                 .trigger(availableNow=True))
         emissions = spark.read.parquet(output_dir)
     else:
-        query = (out.writeStream.outputMode("update")
+        query = _drain(spark, out.writeStream.outputMode("update")
                  .format("memory").queryName(query_name)
                  .option("checkpointLocation", checkpoint)
-                 .trigger(availableNow=True).start())
-        query.awaitTermination()
+                 .trigger(availableNow=True))
         emissions = spark.table(query_name)
     return (emissions
             .groupBy("user_id")
@@ -330,11 +362,10 @@ def streaming_running_user_counts(spark: SparkSession, events_dir: str, *,
         stateStructType="total LONG",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout))
-    query = (counted.writeStream.outputMode("update")
+    query = _drain(spark, counted.writeStream.outputMode("update")
              .format("memory").queryName(query_name)
              .option("checkpointLocation", checkpoint)
-             .trigger(availableNow=True).start())
-    query.awaitTermination()
+             .trigger(availableNow=True))
     # Update-mode memory sink keeps every emission; the running maximum
     # per user IS the final total (totals are monotone).
     return (spark.table(query_name)
@@ -364,11 +395,10 @@ def streaming_late_data_counts(spark: SparkSession, events_dir: str, *,
     out = agg.select(
         F.unix_millis(F.col("window.start")).alias("hour_ms"),
         "event_type", "n")
-    query = (out.writeStream.outputMode("append")
+    query = _drain(spark, out.writeStream.outputMode("append")
              .format("memory").queryName(query_name)
              .option("checkpointLocation", checkpoint)
-             .trigger(availableNow=True).start())
-    query.awaitTermination()
+             .trigger(availableNow=True))
     return spark.table(query_name)
 
 
@@ -417,11 +447,10 @@ def streaming_left_outer_join(spark: SparkSession, events_dir: str, *,
         "user_id", "click_id", "purchase_id",
         (F.unix_millis("purchase_time") - F.unix_millis("click_time"))
         .alias("lag_ms"))
-    query = (out.writeStream.outputMode("append")
+    query = _drain(spark, out.writeStream.outputMode("append")
              .format("memory").queryName(query_name)
              .option("checkpointLocation", checkpoint)
-             .trigger(availableNow=True).start())
-    query.awaitTermination()
+             .trigger(availableNow=True))
     return spark.table(query_name).filter(F.col("user_id") != SENTINEL_USER)
 
 
@@ -457,10 +486,9 @@ def streaming_ingest(spark: SparkSession, landing_dir: str, *,
          .option("partitionOverwriteMode", "dynamic")
          .parquet(out_dir))
 
-    query = (raw.writeStream.foreachBatch(process)
+    query = _drain(spark, raw.writeStream.foreachBatch(process)
              .option("checkpointLocation", checkpoint)
-             .trigger(availableNow=True).start())
-    query.awaitTermination()
+             .trigger(availableNow=True))
 
 
 def streaming_enriched_counts(spark: SparkSession, events_dir: str,
@@ -481,11 +509,10 @@ def streaming_enriched_counts(spark: SparkSession, events_dir: str,
         .agg(F.count("*").alias("n"),
              F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
               .alias("sum_value")))
-    query = (enriched.writeStream.outputMode("complete")
+    query = _drain(spark, enriched.writeStream.outputMode("complete")
              .format("memory").queryName(query_name)
              .option("checkpointLocation", checkpoint)
-             .trigger(availableNow=True).start())
-    query.awaitTermination()
+             .trigger(availableNow=True))
     return spark.table(query_name)
 
 
@@ -522,11 +549,10 @@ def streaming_interval_join(spark: SparkSession, events_dir: str, *,
         "user_id", "click_id", "purchase_id",
         (F.unix_millis("purchase_time") - F.unix_millis("click_time"))
         .alias("lag_ms"))
-    query = (out.writeStream.outputMode("append")
+    query = _drain(spark, out.writeStream.outputMode("append")
              .format("memory").queryName(query_name)
              .option("checkpointLocation", checkpoint)
-             .trigger(availableNow=True).start())
-    query.awaitTermination()
+             .trigger(availableNow=True))
     return spark.table(query_name)
 
 
@@ -604,11 +630,10 @@ def streaming_user_stats_tws(spark: SparkSession, events_dir: str, *,
         outputStructType="user_id LONG, n LONG, sum_micros LONG",
         outputMode="Update",
         timeMode="None")
-    query = (out.writeStream.outputMode("update")
+    query = _drain(spark, out.writeStream.outputMode("update")
              .format("memory").queryName(query_name)
              .option("checkpointLocation", checkpoint)
-             .trigger(availableNow=True).start())
-    query.awaitTermination()
+             .trigger(availableNow=True))
     # Update-mode memory sink keeps every emission; n is strictly
     # monotone per user, so max(struct(n, sum)) is the final state.
     final = (spark.table(query_name)
@@ -764,11 +789,10 @@ def streaming_incremental_merge(spark: SparkSession, events_dir: str, *,
             from ..operators.maintenance import vacuum_versions
             vacuum_versions(table_dir, keep=vacuum_keep)
 
-    query = (events.writeStream.foreachBatch(merge_batch)
+    query = _drain(spark, events.writeStream.foreachBatch(merge_batch)
              .queryName(query_name)
              .option("checkpointLocation", checkpoint)
-             .trigger(availableNow=True).start())
-    query.awaitTermination()
+             .trigger(availableNow=True))
     return read_bucketed_table(spark, table_dir)
 
 
@@ -843,18 +867,16 @@ def streaming_rate_limit_final(spark: SparkSession, events_dir: str, *,
         def sink(batch_df: DataFrame, _epoch: int) -> None:
             batch_df.write.mode("append").parquet(output_dir)
 
-        query = (out.writeStream.outputMode("update")
+        query = _drain(spark, out.writeStream.outputMode("update")
                  .foreachBatch(sink)
                  .option("checkpointLocation", checkpoint)
-                 .trigger(availableNow=True).start())
-        query.awaitTermination()
+                 .trigger(availableNow=True))
         emissions = spark.read.parquet(output_dir)
     else:
-        query = (out.writeStream.outputMode("update")
+        query = _drain(spark, out.writeStream.outputMode("update")
                  .format("memory").queryName(query_name)
                  .option("checkpointLocation", checkpoint)
-                 .trigger(availableNow=True).start())
-        query.awaitTermination()
+                 .trigger(availableNow=True))
         emissions = spark.table(query_name)
     return (emissions
             .groupBy("user_id")
@@ -925,11 +947,10 @@ def streaming_match_recognize_final(spark: SparkSession,
         stateStructType="matches LONG, fsm LONG, seen LONG",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout))
-    query = (out.writeStream.outputMode("update")
+    query = _drain(spark, out.writeStream.outputMode("update")
              .format("memory").queryName(query_name)
              .option("checkpointLocation", checkpoint)
-             .trigger(availableNow=True).start())
-    query.awaitTermination()
+             .trigger(availableNow=True))
     emissions = spark.table(query_name)
     return (emissions.groupBy("user_id")
             .agg(F.max("n_seen").alias("n_events"),
@@ -999,11 +1020,10 @@ def streaming_holt_final(spark: SparkSession, events_dir: str, *,
         stateStructType="x1 DOUBLE, l DOUBLE, b DOUBLE, seen LONG",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout))
-    query = (out.writeStream.outputMode("update")
+    query = _drain(spark, out.writeStream.outputMode("update")
              .format("memory").queryName(query_name)
              .option("checkpointLocation", checkpoint)
-             .trigger(availableNow=True).start())
-    query.awaitTermination()
+             .trigger(availableNow=True))
     emissions = spark.table(query_name)
     return (emissions.groupBy("user_id")
             .agg(F.max("n_seen").alias("n_events"),
@@ -1120,18 +1140,16 @@ def streaming_changepoint_final(spark: SparkSession, events_dir: str, *,
         def sink(batch_df: DataFrame, _epoch: int) -> None:
             batch_df.write.mode("append").parquet(output_dir)
 
-        query = (out.writeStream.outputMode("update")
+        query = _drain(spark, out.writeStream.outputMode("update")
                  .foreachBatch(sink)
                  .option("checkpointLocation", checkpoint)
-                 .trigger(availableNow=True).start())
-        query.awaitTermination()
+                 .trigger(availableNow=True))
         emissions = spark.read.parquet(output_dir)
     else:
-        query = (out.writeStream.outputMode("update")
+        query = _drain(spark, out.writeStream.outputMode("update")
                  .format("memory").queryName(query_name)
                  .option("checkpointLocation", checkpoint)
-                 .trigger(availableNow=True).start())
-        query.awaitTermination()
+                 .trigger(availableNow=True))
         emissions = spark.table(query_name)
     # seen is monotone per type: max_by(seen) is the drained state.
     # Means + rounding are JVM-side with the batch plan's expression

@@ -38,10 +38,41 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import time
 
 from kinesis_s3_data_shipper_spark.plans import all_queries
 from kinesis_s3_data_shipper_spark.session import get_session
+
+#: Steal-outlier replacement protocol (r11 verdict ask #2): the
+#: committed dispersion blocks show isolated per-run steal spikes
+#: (join_bloom_prefilter 1.64 s min / 24.5 s max INSIDE one session),
+#: so a run that lands > OUTLIER_MULT x the query's running min is
+#: treated as a stolen sample and earns ONE replacement run, bounded
+#: at MAX_EXTRA_RUNS per session so the protocol cannot degenerate
+#: into run-until-fast.  The outlier run itself stays in the recorded
+#: dispersion (max shows the spike); replacement counts are recorded
+#: per query and session-wide so the artifact says how often the
+#: grant fired.
+OUTLIER_MULT = 4.0
+MAX_EXTRA_RUNS = 8
+
+
+def read_steal_ticks() -> tuple[int | None, int | None]:
+    """(steal_ticks, total_ticks) from /proc/stat's aggregate cpu line
+    — the r11 verdict ask #7 health stamp.  SCALE.md attributes bench
+    dispersion to VM steal; sampling the counter around each session
+    makes that claim measurable instead of inferred.  Returns (None,
+    None) where /proc/stat is unavailable (non-Linux)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+    except (OSError, ValueError):
+        return None, None
+    if len(vals) < 8:
+        return None, None
+    return vals[7], sum(vals)
 
 # Headline membership is budgeted: the driver captures one line of
 # ~1900 chars, and tests/test_bench_output.py pins the worst-case
@@ -129,6 +160,7 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    steal0, ticks0 = read_steal_ticks()
     spark = get_session("ksds-bench")
     queries = all_queries()
 
@@ -158,6 +190,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     dispersion: dict[str, dict[str, float]] = {}
     errors: dict[str, str] = {}
+    extra_budget = MAX_EXTRA_RUNS
+    replaced_total = 0
     for name in HEADLINE:
         fn = queries[name]
         best = None
@@ -167,19 +201,30 @@ def main() -> None:
         # same query swinging 0.4 s to 7 s across back-to-back runs,
         # and whole-bench totals swinging 30-44 s on identical code),
         # so min-of-N is what makes cross-round comparison meaningful.
+        # A run landing > OUTLIER_MULT x the query's running min is a
+        # steal spike: it stays in the dispersion record but earns one
+        # replacement run (session budget MAX_EXTRA_RUNS), so the min
+        # still rests on 4 plausibly-clean samples (r11 ask #2).
         # Cache cleared per run so persisted intermediates (minhash
         # signatures) are honestly recomputed, not replayed. One
         # failing query must not sink the whole bench: record the
         # error and keep going.
         runs: list[float] = []
+        replaced = 0
         try:
-            for _ in range(4):
+            target = 4
+            while len(runs) < target:
                 spark.catalog.clearCache()
                 start = time.perf_counter()
                 df = fn(spark, sf_dir)
                 n = df.count()
                 elapsed = time.perf_counter() - start
                 assert n >= 0
+                if (runs and extra_budget > 0
+                        and elapsed > OUTLIER_MULT * min(runs)):
+                    target += 1
+                    extra_budget -= 1
+                    replaced += 1
                 runs.append(elapsed)
             best = min(runs)
             timings[name] = round(best, 3)
@@ -189,9 +234,12 @@ def main() -> None:
             runs.sort()
             dispersion[name] = {
                 "min": round(runs[0], 3),
-                "med": round((runs[1] + runs[2]) / 2, 3),
+                "med": round(statistics.median(runs), 3),
                 "max": round(runs[-1], 3),
             }
+            if replaced:
+                dispersion[name]["replaced"] = replaced
+                replaced_total += replaced
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
@@ -205,14 +253,28 @@ def main() -> None:
         # the committed cross-session min (BENCH_LOCAL_r{N}.json =
         # per-query min across >=3 sessions of scripts/
         # bench_sessions.py, each itself min-of-4).
-        "protocol": ("single session, min of 4 runs per query, cache "
-                     "cleared per run, full ramp warmup before timing"),
+        "protocol": ("single session, min of 4 runs per query with one "
+                     f"replacement per steal-outlier run (> {OUTLIER_MULT}x "
+                     f"running min, <= {MAX_EXTRA_RUNS} extras/session), "
+                     "cache cleared per run, full ramp warmup before "
+                     "timing"),
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "dispersion": dispersion,
+        "replaced_runs": replaced_total,
         "sf": sf_val,
     }
+    steal1, ticks1 = read_steal_ticks()
+    if steal0 is not None and steal1 is not None and ticks1 > ticks0:
+        # Session health stamp (r11 ask #7): steal share of ALL host
+        # ticks over the bench window — the measurable form of the
+        # "VM steal episode" dispersion attribution.
+        full["steal"] = {
+            "ticks": steal1 - steal0,
+            "pct_of_host": round(100.0 * (steal1 - steal0)
+                                 / (ticks1 - ticks0), 3),
+        }
     compact = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 2),

@@ -69,11 +69,20 @@ def merge(records: list[dict]) -> dict:
         "metric": records[0]["metric"],
         "scope": records[0].get("scope"),
         "protocol": f"per-query min across {len(records)} sessions, "
-                    "min-of-4 runs within each",
+                    "min-of-4 runs within each (+steal-outlier "
+                    "replacement runs, see session protocol)",
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
         "session_totals": [r["value"] for r in records],
+        # Per-session health stamps (r11 ask #7): steal share of host
+        # ticks over each session window, plus how many steal-outlier
+        # replacement runs each session granted — the dispersion
+        # discussion can now cite measured steal instead of inference.
+        "session_steal_pct": [
+            (r.get("steal") or {}).get("pct_of_host") for r in records],
+        "session_replaced_runs": [
+            r.get("replaced_runs", 0) for r in records],
         "sf": records[0]["sf"],
     }
 

@@ -27,6 +27,23 @@ import traceback
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem_gb() -> int:
+    """Quarter of host MemTotal, clamped to [8, 48] GiB (r11 advice:
+    the sweep needs a real heap for sf0.1's wide-row sorts, but a
+    flat 48g on a small host is an OS-OOM-kill waiting to happen)."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    host_gb = int(line.split()[1]) // (1024 * 1024)
+                    break
+            else:
+                return 8
+    except OSError:
+        return 8
+    return max(8, min(48, host_gb // 4))
+
+
 def resolve_out_path(out_arg: str | None, only: bool) -> str:
     """Pick the record path. A ``--only`` subset run must NEVER land on
     the full-sweep artifact by default — round 6 lost the committed
@@ -61,11 +78,18 @@ def main() -> int:
     # rep-text SMJ killed the JVM and failed the whole sweep) — a
     # budget no real deployment runs.  The DRIVER's gate executes at
     # sf0.01, where the stock 1g heap still passes all 263 (the r11
-    # sf0.01 sweep ran before this line existed).
+    # sf0.01 sweep ran before this line existed).  The heap is sized
+    # from HOST RAM (quarter of MemTotal, clamped to [8g, 48g] — r11
+    # advice: a flat 48g default either diverges from the external
+    # gate silently or gets the JVM OS-OOM-killed on small hosts) and
+    # the EFFECTIVE value is recorded in the artifact's _meta so the
+    # protocol divergence from the stock-1g external gate is
+    # machine-visible, not comment-only.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM",
+                                f"{_default_driver_mem_gb()}g")
     spark = (SparkSession.builder.master(f"local[{args.cpus}]")
              .config("spark.sql.shuffle.partitions", args.cpus)
-             .config("spark.driver.memory",
-                     os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+             .config("spark.driver.memory", driver_mem)
              .config("spark.ui.enabled", "false")
              .appName("correctness-local").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
@@ -108,16 +132,26 @@ def main() -> int:
             # build+toPandas instead of build+count: a one-time
             # protocol discontinuity vs r10 records, noted here so
             # cross-round trend readers don't mistake it for a change.
+            # compute_sec (r11 verdict ask #3): build + persist +
+            # full-value aggregate — the FETCH-FREE scale signal, so
+            # row-heavy outputs stop reading ~10x across sf steps just
+            # because toPandas ships 10x the rows.  The hash compare's
+            # toPandas then reads the persisted partitions: one plan
+            # execution total, same cost as the r11 protocol.
             if spec.oracle is None:
                 ts = time.perf_counter()
                 rec["spark_rows"] = spec.spark(spark, args.sf_dir).count()
                 rec["spark_sec"] = round(time.perf_counter() - ts, 3)
+                # count() ships no rows: already fetch-free.
+                rec["compute_sec"] = rec["spark_sec"]
                 rec["rows_only"] = True
             else:
                 stats = run_pair(spark, args.sf_dir, name, spec.spark,
-                                 spec.oracle, con=shared_con)
+                                 spec.oracle, con=shared_con,
+                                 compute_timing=True)
                 rec["spark_rows"] = stats["spark_rows"]
                 rec["spark_sec"] = round(stats["spark_sec"], 3)
+                rec["compute_sec"] = round(stats["compute_sec"], 3)
                 rec["oracle_rows"] = stats["oracle_rows"]
                 rec["oracle_sec"] = round(stats["oracle_sec"], 3)
                 rec.update(rows_match=True, schema_match=True,
@@ -134,7 +168,13 @@ def main() -> int:
 
     meta = {"_meta": {"sf_dir": args.sf_dir, "n_queries": len(out),
                       "n_pass": n_pass, "n_fail": n_fail,
-                      "wall_sec": round(time.time() - t0, 1)}}
+                      "wall_sec": round(time.time() - t0, 1),
+                      "driver_memory": driver_mem,
+                      "timing_protocol": (
+                          "spark_sec = build + persist + full-value "
+                          "agg + cached toPandas (single execution); "
+                          "compute_sec = the fetch-free prefix of "
+                          "that — the cross-sf scale signal")}}
     with open(args.out, "w") as f:
         json.dump({**meta, **out}, f, indent=1, sort_keys=False)
     print(json.dumps(meta))

@@ -65,25 +65,67 @@ def compare_pdfs(got_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame,
                 obj=f"{name}.{c}")
 
 
+def full_value_agg(sdf) -> None:
+    """Force EVERY value of ``sdf`` to be computed while fetching one
+    row: sum(xxhash64(all columns)).  The SCALE.md timing methodology
+    — a bare count() lets Catalyst eliminate joins/projections whose
+    outputs nothing reads (measured: the ngram groups form "ran" in
+    1.1 s under count() because both left joins were ELIMINATED),
+    while hashing every column keeps the whole plan live and ships no
+    rows to the driver.  Map-typed columns are routed through to_json
+    (hash expressions reject MapType's undefined ordering)."""
+    from pyspark.sql import functions as F
+    cols = [F.to_json(F.col(c)) if "map<" in t else F.col(c)
+            for c, t in sdf.dtypes]
+    # bit_xor, not sum: summing int64 hashes overflows under ANSI mode.
+    sdf.select(F.bit_xor(F.xxhash64(*cols)).alias("h")).collect()
+
+
 def run_pair(spark, sf_dir: str, name: str, spark_fn, oracle: str,
-             con: duckdb.DuckDBPyConnection | None = None) -> dict:
+             con: duckdb.DuckDBPyConnection | None = None,
+             compute_timing: bool = False) -> dict:
     """Run one (Spark, oracle) pair and compare.  Returns execution
     stats so sweep callers don't re-execute either side just to record
     counts/timings (r11: the sf0.1 sweep ran every Spark plan AND
     every oracle TWICE — once here, once for the stats — which is why
     its wall sat at 2x the actual work).  ``spark_sec`` covers plan
     build + full result fetch (toPandas); ``con`` may be a shared
-    per-sf connection (the views are read-only)."""
+    per-sf connection (the views are read-only).
+
+    ``compute_timing=True`` (r11 verdict ask #3) additionally records
+    ``compute_sec``: build + persist + full-value aggregate — a
+    FETCH-FREE scale signal, so row-heavy outputs (scalar_*/window_*)
+    stop reading ~10x across sf steps merely because toPandas ships
+    10x the rows.  The result df is persisted first, so the follow-up
+    toPandas for the hash compare reads cached partitions instead of
+    re-executing the plan — one plan execution total, same as the
+    plain protocol — and unpersisted before return so the cache can
+    never substitute into a LATER query's plan (the audit-gate
+    cache-substitution lesson)."""
     import time
     t0 = time.perf_counter()
     sdf = spark_fn(spark, sf_dir)
-    got = sdf.toPandas()
-    spark_sec = time.perf_counter() - t0
+    compute_sec = None
+    if compute_timing:
+        sdf = sdf.persist()
+        try:
+            full_value_agg(sdf)
+            compute_sec = time.perf_counter() - t0
+            got = sdf.toPandas()
+            spark_sec = time.perf_counter() - t0
+        finally:
+            sdf.unpersist()
+    else:
+        got = sdf.toPandas()
+        spark_sec = time.perf_counter() - t0
     if con is None:
         con = duckdb_connection(sf_dir)
     t1 = time.perf_counter()
     want = con.sql(oracle).df()
     oracle_sec = time.perf_counter() - t1
     compare_pdfs(got, want, name)
-    return {"spark_rows": len(got), "oracle_rows": len(want),
-            "spark_sec": spark_sec, "oracle_sec": oracle_sec}
+    stats = {"spark_rows": len(got), "oracle_rows": len(want),
+             "spark_sec": spark_sec, "oracle_sec": oracle_sec}
+    if compute_sec is not None:
+        stats["compute_sec"] = compute_sec
+    return stats

@@ -718,6 +718,129 @@ def blocked_ngram_jaccard_groups(docs: DataFrame, *, id_col: str,
     return out
 
 
+def setsim_prefix_pairs(docs: DataFrame, *, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        threshold: float = 0.7,
+                        eager_release: bool = False) -> DataFrame:
+    """EXACT whitespace-token set-similarity self-join via PPJoin
+    prefix filtering (Xiao et al. 2008) — the word-token sibling of
+    :func:`blocked_ngram_jaccard_pairs`, extracted from the
+    ``dedup_setsim_prefix`` plan so per-epoch callers get the same
+    ``eager_release`` lifecycle (r11 verdict ask #6: the plan carried
+    the identical per-invocation member-map persist with only a
+    docstring caveat).
+
+    Output: (doc_a < doc_b, n_common, jaccard) for every pair with
+    token-set Jaccard >= ``threshold``.  Pipeline: exact-duplicate
+    collapse on md5(text) (min-id representatives; members inherit
+    rep scores, within-group pairs emit at jaccard 1.0 with
+    n_common = s), then rarest-first global token ordering, prefix
+    emission of p = s - ceil(t*s) + 1 tokens, candidate equi-join on
+    prefix tokens with PPJoin's length + positional filters, and
+    exact intersection-count verification.  All filter derivations,
+    IEEE ceil nudges, and the collapse's two honest bounds are
+    documented at :func:`blocked_ngram_jaccard_pairs`; the no-miss
+    guarantee is itself oracle-gated (brute-force all-pairs) through
+    the registered plan.
+
+    ``eager_release=True`` materializes the pair output
+    (localCheckpoint) and unpersists the member map before returning
+    — the per-epoch lifecycle; the default stays lazy because
+    registered-query plans must compose (and be audited) unexecuted,
+    leaving one evictable MEMORY_AND_DISK member map per invocation
+    until memory pressure or ``spark.catalog.clearCache()``.
+    """
+    from pyspark.sql import Window as W
+
+    t = threshold
+    nn = docs.filter(F.col(text_col).isNotNull())
+    members = (nn.select(F.col(id_col).alias("_id"),
+                         F.md5(text_col).alias("_dg"))
+               .withColumn("_rep", F.min("_id").over(
+                   W.partitionBy("_dg")))
+               .select("_id", "_rep")
+               .persist(StorageLevel.MEMORY_AND_DISK))
+    repids = members.filter(F.col("_id") == F.col("_rep")) \
+                    .select(F.col("_id").alias("_rid"))
+    toks = (nn.join(repids, nn[id_col] == repids._rid).drop("_rid")
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode(F.array_distinct(F.split(text_col, " ")))
+                    .alias("word")))
+    df = toks.groupBy("word").agg(F.count("*").alias("df"))
+    ranked = (toks.join(F.broadcast(df), "word")
+              .withColumn("pos", F.row_number().over(
+                  W.partitionBy("doc_id").orderBy("df", "word")))
+              .withColumn("s", F.count("*").over(W.partitionBy("doc_id"))))
+    # 1e-9 ceil nudge: see blocked_ngram_jaccard_pairs (a float
+    # rounding overshoot would silently shorten the prefix — erring
+    # long never misses, only adds candidates).
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("s")
+        - F.ceil(F.lit(t) * F.col("s") - F.lit(1e-9)) + 1)
+    pa = prefix.select(F.col("doc_id").alias("doc_a"), "word",
+                       F.col("s").alias("sa"), F.col("pos").alias("pa"))
+    pb = prefix.select(F.col("doc_id").alias("doc_b"), "word",
+                       F.col("s").alias("sb"), F.col("pos").alias("pb"))
+    # PPJoin length + positional filters — derivations in
+    # blocked_ngram_jaccard_pairs; unlike the char-ngram operator's
+    # length-bucketed blocks, nothing pre-constrains sizes here, so
+    # the length filter does real work.
+    alpha = F.ceil(F.lit(t / (1.0 + t))
+                   * (F.col("sa") + F.col("sb")) - F.lit(1e-9))
+    cands = (pa.join(pb, "word")
+             .filter((F.col("doc_a") < F.col("doc_b"))
+                     & (F.col("sb")
+                        >= F.lit(t) * F.col("sa") - F.lit(1e-9))
+                     & (F.col("sa")
+                        >= F.lit(t) * F.col("sb") - F.lit(1e-9))
+                     & (1 + F.least(F.col("sa") - F.col("pa"),
+                                    F.col("sb") - F.col("pb")) >= alpha))
+             .select("doc_a", "doc_b", "sa", "sb").distinct())
+    ta = toks.select(F.col("doc_id").alias("doc_a"),
+                     F.col("word").alias("wa"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"),
+                     F.col("word").alias("wb"))
+    inter = (cands.join(ta, "doc_a").join(tb, "doc_b")
+             .filter(F.col("wa") == F.col("wb"))
+             .groupBy("doc_a", "doc_b", "sa", "sb")
+             .agg(F.count("*").alias("n_common")))
+    jac = (F.col("n_common").cast("double")
+           / (F.col("sa") + F.col("sb") - F.col("n_common")))
+    rep_out = (inter.filter(jac >= t)
+               .select(F.col("doc_a").alias("_ra"),
+                       F.col("doc_b").alias("_rb"), "n_common",
+                       F.round(jac, 6).alias("jaccard")))
+    # Expansion: rep scores ARE member scores; within-group pairs are
+    # exact duplicates with n_common = s (the group text's distinct-
+    # token count) and jaccard exactly 1.0 — the values the
+    # un-collapsed verify computes for identical token sets.
+    ma = members.select(F.col("_rep").alias("_ra"),
+                        F.col("_id").alias("_ma"))
+    mb = members.select(F.col("_rep").alias("_rb"),
+                        F.col("_id").alias("_mb"))
+    cross = (rep_out.join(ma, "_ra").join(mb, "_rb")
+             .select(F.least("_ma", "_mb").alias("doc_a"),
+                     F.greatest("_ma", "_mb").alias("doc_b"),
+                     "n_common", "jaccard"))
+    sizes = toks.groupBy(F.col("doc_id").alias("_srep")) \
+                .agg(F.count("*").alias("_s_rep"))
+    within = (members.alias("x")
+              .join(members.alias("y"),
+                    (F.col("x._rep") == F.col("y._rep"))
+                    & (F.col("x._id") < F.col("y._id")))
+              .join(sizes, F.col("x._rep") == F.col("_srep"))
+              .select(F.col("x._id").alias("doc_a"),
+                      F.col("y._id").alias("doc_b"),
+                      F.col("_s_rep").alias("n_common"),
+                      F.lit(1.0).alias("jaccard"))
+              .filter(F.lit(1.0) >= F.lit(t)))
+    out = cross.unionByName(within)
+    if eager_release:
+        out = out.localCheckpoint()
+        members.unpersist()
+    return out
+
+
 def minhash_lsh_candidates(docs: DataFrame, *, id_col: str, text_col: str,
                            shingle_k: int = 3, num_hashes: int = 16,
                            num_bands: int = 4) -> DataFrame:

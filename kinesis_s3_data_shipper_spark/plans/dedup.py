@@ -570,9 +570,10 @@ WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
          "and is NOT dropped by the lazy plan — repeated invocations "
          "in one session accumulate evictable entries until memory "
          "pressure or spark.catalog.clearCache(); per-epoch callers "
-         "should use operators.dedup.blocked_ngram_jaccard_pairs-"
-         "style eager_release composition instead of the registered "
-         "lazy form. The ORACLE is deliberately "
+         "pass eager_release=True to the underlying "
+         "operators.dedup.setsim_prefix_pairs (r11 ask #6: output "
+         "localCheckpointed, member map unpersisted — gated by "
+         "tests/test_setsim_operator.py). The ORACLE is deliberately "
          "INDEPENDENT of all of that: a brute-force all-pairs "
          "Jaccard over the same subset — so the prefix filter's "
          "no-miss guarantee is itself under test, not replicated. "
@@ -587,115 +588,16 @@ WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
          "persisted member map's one cached scan reprints under "
          "each InMemoryTableScan in the plan text.")
 def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
-    from pyspark.storagelevel import StorageLevel
+    from ..operators.dedup import setsim_prefix_pairs
     docs = load_table(spark, sf_dir, "documents").filter(F.expr(_PP_PRED))
-    # r10c: exact-duplicate collapse before the similarity join (the
-    # blocked_ngram_jaccard_pairs pattern — identical text means an
-    # identical token SET, and Jaccard is a set function, so only
-    # each (md5(text))-group's min-id representative needs to run
-    # the PPJoin; within-group pairs emit at jaccard 1.0 / n_common
-    # = s, cross-group member pairs inherit their reps' scores.  On
-    # the 10x-replicated step this is the difference between the
-    # verify's pair-token groupBy processing ~10^9 rows (433 s
-    # measured) and the rep pipeline re-running at base-corpus cost
-    # plus pure output materialization (28.3M pairs, the floor).
-    nn = docs.filter(F.col("text").isNotNull())
-    members = (nn.select(F.col("doc_id").alias("_id"),
-                         F.md5("text").alias("_dg"))
-               .withColumn("_rep", F.min("_id").over(
-                   W.partitionBy("_dg")))
-               .select("_id", "_rep")
-               .persist(StorageLevel.MEMORY_AND_DISK))
-    repids = members.filter(F.col("_id") == F.col("_rep")) \
-                    .select(F.col("_id").alias("_rid"))
-    toks = (nn.join(repids, nn.doc_id == repids._rid).drop("_rid")
-            .select("doc_id",
-                    F.explode(F.array_distinct(F.split("text", " ")))
-                    .alias("word")))
-    df = toks.groupBy("word").agg(F.count("*").alias("df"))
-    ranked = (toks.join(F.broadcast(df), "word")
-              .withColumn("pos", F.row_number().over(
-                  W.partitionBy("doc_id").orderBy("df", "word")))
-              .withColumn("s", F.count("*").over(W.partitionBy("doc_id"))))
-    # The 1e-9 nudge keeps ceil() on the safe side of IEEE (the
-    # blocked_ngram_jaccard_pairs note): if float rounding ever pushes
-    # t*s infinitesimally past the intended integer, ceil overshoots
-    # and cuts the prefix one token short — a silent no-miss
-    # violation.  Exhaustive scan: short-decimal constants (0.6-0.95)
-    # never diverge up to s=100k, so this is insurance for thresholds
-    # that aren't short decimals (2/3, computed values).  Erring long
-    # never misses, only adds candidates — and the scan shows the
-    # nudge never actually lengthens the prefix for decimal t.
-    prefix = ranked.filter(
-        F.col("pos") <= F.col("s")
-        - F.ceil(F.lit(_PP_T) * F.col("s") - F.lit(1e-9)) + 1)
-    pa = prefix.select(F.col("doc_id").alias("doc_a"), "word",
-                       F.col("s").alias("sa"), F.col("pos").alias("pa"))
-    pb = prefix.select(F.col("doc_id").alias("doc_b"), "word",
-                       F.col("s").alias("sb"), F.col("pos").alias("pb"))
-    # PPJoin's length + positional filters (r10b, same derivation as
-    # operators.dedup.blocked_ngram_jaccard_pairs): a qualifying pair
-    # has t*sa <= sb <= sa/t and overlap >= alpha =
-    # ceil(t/(1+t)*(sa+sb)); a shared prefix token at positions
-    # (pa, pb) bounds the overlap by 1 + min(sa-pa, sb-pb).  The
-    # pair's FIRST common token always passes, so per-row pruning
-    # never misses; both ceils carry the 1e-9 nudge erring toward
-    # extra candidates.  Unlike the char-ngram operator's
-    # length-bucketed blocks, nothing pre-constrains sizes here, so
-    # the length filter does real work.
-    alpha = F.ceil(F.lit(_PP_T / (1.0 + _PP_T))
-                   * (F.col("sa") + F.col("sb")) - F.lit(1e-9))
-    cands = (pa.join(pb, "word")
-             .filter((F.col("doc_a") < F.col("doc_b"))
-                     & (F.col("sb")
-                        >= F.lit(_PP_T) * F.col("sa") - F.lit(1e-9))
-                     & (F.col("sa")
-                        >= F.lit(_PP_T) * F.col("sb") - F.lit(1e-9))
-                     & (1 + F.least(F.col("sa") - F.col("pa"),
-                                    F.col("sb") - F.col("pb")) >= alpha))
-             .select("doc_a", "doc_b", "sa", "sb").distinct())
-    ta = toks.select(F.col("doc_id").alias("doc_a"),
-                     F.col("word").alias("wa"))
-    tb = toks.select(F.col("doc_id").alias("doc_b"),
-                     F.col("word").alias("wb"))
-    inter = (cands.join(ta, "doc_a").join(tb, "doc_b")
-             .filter(F.col("wa") == F.col("wb"))
-             .groupBy("doc_a", "doc_b", "sa", "sb")
-             .agg(F.count("*").alias("n_common")))
-    jac = (F.col("n_common").cast("double")
-           / (F.col("sa") + F.col("sb") - F.col("n_common")))
-    rep_out = (inter.filter(jac >= _PP_T)
-               .select(F.col("doc_a").alias("_ra"),
-                       F.col("doc_b").alias("_rb"), "n_common",
-                       F.round(jac, 6).alias("jaccard")))
-    # Expansion (see blocked_ngram_jaccard_pairs): rep scores ARE
-    # member scores; within-group pairs are exact duplicates with
-    # n_common = s (the group text's distinct-token count) and
-    # jaccard exactly 1.0 — the values the un-collapsed verify
-    # computes for identical token sets.
-    ma = members.select(F.col("_rep").alias("_ra"),
-                        F.col("_id").alias("_ma"))
-    mb = members.select(F.col("_rep").alias("_rb"),
-                        F.col("_id").alias("_mb"))
-    cross = (rep_out.join(ma, "_ra").join(mb, "_rb")
-             .select(F.least("_ma", "_mb").alias("doc_a"),
-                     F.greatest("_ma", "_mb").alias("doc_b"),
-                     "n_common", "jaccard"))
-    sizes = toks.groupBy(F.col("doc_id").alias("_srep")) \
-                .agg(F.count("*").alias("_s_rep"))
-    within = (members.alias("x")
-              .join(members.alias("y"),
-                    (F.col("x._rep") == F.col("y._rep"))
-                    & (F.col("x._id") < F.col("y._id")))
-              .join(sizes, F.col("x._rep") == F.col("_srep"))
-              .select(F.col("x._id").alias("doc_a"),
-                      F.col("y._id").alias("doc_b"),
-                      F.col("_s_rep").alias("n_common"),
-                      F.lit(1.0).alias("jaccard"))
-              .filter(F.lit(1.0) >= F.lit(_PP_T)))
-    return cross.unionByName(within)
+    # The whole pipeline (r10c exact-dup collapse, PPJoin prefix +
+    # length + positional filters, exact verify, member expansion)
+    # lives in operators.dedup.setsim_prefix_pairs — extracted in r11
+    # so per-epoch callers get the eager_release lifecycle; the
+    # registered form stays lazy (plans must compose and be audited
+    # unexecuted).
+    return setsim_prefix_pairs(docs, id_col="doc_id", text_col="text",
+                               threshold=_PP_T)
 
 
 @register("dedup_paragraphs", oracle="""

@@ -1,0 +1,68 @@
+"""setsim_prefix_pairs — the extracted PPJoin word-token operator
+(r11 verdict ask #6): correctness against a brute force, and the
+eager_release cache lifecycle mirroring
+tests/test_ngram_jaccard_operator.py::test_eager_release_drops_member_map_and_keeps_output
+/ tests/test_graph_family.py's block-count gates."""
+
+from __future__ import annotations
+
+from kinesis_s3_data_shipper_spark.operators.dedup import setsim_prefix_pairs
+
+T = 0.6
+
+
+def _brute(rows):
+    """All-pairs token-set Jaccard >= T over (doc_id, text) rows."""
+    toks = {i: set(t.split(" ")) for i, t in rows if t is not None}
+    out = {}
+    ids = sorted(toks)
+    for x, a in enumerate(ids):
+        for b in ids[x + 1:]:
+            inter = len(toks[a] & toks[b])
+            union = len(toks[a] | toks[b])
+            j = inter / union
+            if j >= T:
+                out[(a, b)] = (inter, round(j, 6))
+    return out
+
+
+ROWS = [
+    (1, "the quick brown fox jumps"),
+    (2, "the quick brown fox jumps"),       # exact dup of 1
+    (3, "the quick brown fox leaps"),        # near dup (J = 4/6)
+    (4, "an entirely different document"),
+    (5, None),                               # null text: excluded
+    (6, "the quick brown fox jumps"),        # second exact dup of 1
+]
+
+
+def test_pairs_match_brute_force(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    out = setsim_prefix_pairs(df, threshold=T)
+    got = {(r.doc_a, r.doc_b): (r.n_common, r.jaccard)
+           for r in out.collect()}
+    assert got == _brute(ROWS)
+
+
+def test_eager_release_drops_member_map_and_keeps_output(spark):
+    """eager_release=True must return the same pairs while leaving no
+    cached member map behind (output localCheckpointed, persist
+    dropped before returning); the default lazy form leaves exactly
+    one more live cache entry — the documented caller-owned
+    lifetime."""
+    jsc = spark.sparkContext._jsc.sc()
+    spark.catalog.clearCache()
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    before = jsc.getPersistentRDDs().size()
+    out = setsim_prefix_pairs(df, threshold=T, eager_release=True)
+    got = {(r.doc_a, r.doc_b): (r.n_common, r.jaccard)
+           for r in out.collect()}
+    assert got == _brute(ROWS)
+    # only the localCheckpointed OUTPUT may remain live; the member
+    # map's MEMORY_AND_DISK entry was unpersisted before returning
+    assert jsc.getPersistentRDDs().size() - before <= 1
+    eager_live = jsc.getPersistentRDDs().size()
+    lazy = setsim_prefix_pairs(df, threshold=T)
+    assert {(r.doc_a, r.doc_b): (r.n_common, r.jaccard)
+            for r in lazy.collect()} == _brute(ROWS)
+    assert jsc.getPersistentRDDs().size() == eager_live + 1

@@ -51,14 +51,49 @@ def _tree_depth(line: str) -> int:
     return i
 
 
+#: One order-spec entry ends with a sort direction (optionally with
+#: its nulls ordering): ``x#1 ASC NULLS FIRST``.  Anchored at entry
+#: END so a sort-order string PRINTED INSIDE a partition expression
+#: (a windowspecdefinition or sort_array argument) cannot match — it
+#: is always followed by at least a closing paren there (r11 advice).
+_ORDER_ENTRY_RE = re.compile(r"\b(ASC|DESC)( NULLS (FIRST|LAST))?$")
+
+
+def _top_level_entries(group: str) -> list[str]:
+    """Split one bracket group's inner text at top-level commas
+    (paren/bracket-aware, so function arguments stay together)."""
+    inner = group.strip()
+    if inner.startswith("[") and inner.endswith("]"):
+        inner = inner[1:-1]
+    entries, depth, cur = [], 0, ""
+    for ch in inner:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            entries.append(cur.strip())
+            cur = ""
+        else:
+            cur += ch
+    if cur.strip():
+        entries.append(cur.strip())
+    return entries
+
+
 def _window_is_unpartitioned(body: str) -> bool:
     """Given the text after a ``Window `` node name, decide whether the
     partition spec is empty.  treeString prints
     ``Window [exprs], [partitionSpec], [orderSpec]`` with empty specs
     OMITTED, so: one bracket group = no partition and no order; three
     = partitioned; two is ambiguous (partition-no-order vs
-    order-no-partition) and is resolved by the last group carrying
-    sort directions (' ASC'/' DESC') only when it is an ORDER spec."""
+    order-no-partition) and is resolved by the ORDER-SPEC GRAMMAR:
+    the last group is an order spec iff EVERY top-level entry ends
+    with a sort direction (``ASC``/``DESC``, optionally ``NULLS
+    FIRST/LAST``).  Substring matching was not enough (r11 advice): a
+    partition expression can PRINT an embedded sort-order string
+    (e.g. a windowspecdefinition argument), but there it is always
+    inside parens, never at a top-level entry's end."""
     groups, depth, cur = [], 0, ""
     for ch in body:
         cur += ch
@@ -73,8 +108,9 @@ def _window_is_unpartitioned(body: str) -> bool:
         return True
     if len(groups) >= 3:
         return False
-    last = groups[-1]
-    return (" ASC" in last) or (" DESC" in last)
+    entries = _top_level_entries(groups[-1])
+    return bool(entries) and all(_ORDER_ENTRY_RE.search(e)
+                                 for e in entries)
 
 
 def audit_query(df) -> dict:
@@ -122,16 +158,25 @@ def audit_query(df) -> dict:
             # consumer's InMemoryTableScan, and DeduplicateRelations
             # re-aliases the InMemoryRelation HEADER per consumer —
             # but the build subtree below it is the one shared plan
-            # object, printed with its original expr ids.  Key the
-            # relation by its id-normalized subtree text: count the
-            # build once, skip reprints (cached blocks, not parquet).
-            sub = [body]
+            # object, printed with its ORIGINAL expr/plan ids, stable
+            # across reprints (verified: three consumers of one cache
+            # print byte-identical subtrees under re-aliased headers).
+            # Key the relation by id-normalized HEADER + RAW subtree:
+            # the raw ids ARE the per-relation identity (r11 advice —
+            # full id normalization collapsed two genuinely distinct
+            # caches with identical-printing builds into one key,
+            # silently uncounting the second real scan; note Spark's
+            # CacheManager dedups same-session identical persists, so
+            # such twins arise only from non-canonically-equal plans,
+            # which carry different original ids).  Count the build
+            # once, skip reprints (cached blocks, not parquet).
+            sub = [re.sub(r"#\d+", "#", body)]
             for nxt in lines[i + 1:]:
                 nd = _tree_depth(nxt)
                 if nd <= d:
                     break
                 sub.append(nxt[nd:])
-            key = re.sub(r"#\d+", "#", "\n".join(sub))
+            key = "\n".join(sub)
             if key in seen_caches:
                 skip_deeper_than = d
                 continue

@@ -52,57 +52,62 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
 #: local sweep (correctness_local.py / tests/test_oracle_parity.py);
 #: this list ROTATES which ones land in the externally-verified window
 #: so the union across rounds converges on the whole registry.
-#: Round-11 window, in strict priority order (the r10 verdict's ask
-#: #1: rotate the FINAL 31 r05-stale rows, top the remaining slots up
-#: with the oldest r06 rows; registration frozen except the one
-#: sanctioned addition, the ask-#4 group form):
-#: (1) the five plans whose executed plans/loops CHANGED this round —
-#: post-change rows outrank staleness everywhere in this file's
-#: history: dedup_ngram_jaccard (r11 advice fix: NULL block columns
-#: excluded from the exact-dup collapse; r11 text-first reorder: gram
-#: evaluation O(reps), corpus-gram broadcast removed),
-#: dedup_ngram_jaccard_groups (NEW r11 — the O(docs) group-form
-#: escape hatch the r10 verdict asked to register),
-#: embedding_cosine_histogram (the new unpartitioned-window audit
-#: caught its 64-row sample drawn via row_number over the whole
-#: vector corpus; now orderBy+limit), and graph_louvain_fixpoint /
-#: graph_pagerank_fixpoint (post-loop checkpoint release — the ask-#6
-#: block-count gates caught their final rounds' frames surviving);
-#: (2) the ENTIRE remaining 31-query r05 cohort (last round's
-#: documented deferral list, verbatim) — after this round no driver
-#: row anywhere predates r06;
-#: (3) twelve oldest r06 rows (alphabetical prefix of the 40-query
-#: r06 cohort); the final two tier-3 slots instead carry the two
-#: Louvain steps whose ORACLES changed in r11 (MATERIALIZED CTEs for
-#: the DuckDB-inlined multi-reference chain, 71 s -> 1.4 s at sf0.1,
-#: A/B row-equal — post-change freshness outranks r06 staleness).
-#: Still-deferred to round 12: the remaining 28 r06 rows — all
+#: Round-12 window, in strict priority order (the r11 verdict's ask
+#: #1: rotate the 28 r06-stale rows in, top the remaining slots with
+#: the oldest r07 rows preferring touched plan files; registration
+#: FROZEN this round — no additions):
+#: (1) plans whose EXECUTION changed this round — post-change rows
+#: outrank staleness everywhere in this file's history: the 13
+#: streaming twins outside the r06 cohort (every drain now runs with
+#: the state-store partition count pinned to state volume instead of
+#: CPU count — streaming/jobs.py::_drain; values are
+#: partition-count-invariant by the per-key fold-order argument, but
+#: the driver should re-attest post-change), and dedup_setsim_prefix
+#: (pipeline extracted verbatim into
+#: operators.dedup.setsim_prefix_pairs for the eager_release
+#: lifecycle — audit pins 18 textual / 8 physical unchanged);
+#: (2) the ENTIRE 28-query r06 cohort (last round's documented
+#: deferral list, verbatim; includes the three r06 streaming twins,
+#: whose drains also changed) — pre-rotation plan audit at sf0.01
+#: showed ZERO drift vs the pinned sets (AUDIT_R06_COHORT.json, the
+#: r11 ask #8 artifact); after this round no driver row predates r07;
+#: (3) eight r07 rows from the two most-churned-since-r07 plan
+#: modules — plans/analytics.py (+892 lines) and plans/dedup.py
+#: (+244: the r10b/r10c/r11 PPJoin-collapse work).
+#: Still-deferred to round 13: the remaining 40 r07 rows — all
 #: hash-green in both committed local sweeps.
 _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
-    # (1) plans changed in r11 (one NEW registration, four changed):
-    "dedup_ngram_jaccard", "dedup_ngram_jaccard_groups",
-    "embedding_cosine_histogram", "graph_louvain_fixpoint",
-    "graph_pagerank_fixpoint",
-    # (2) the final r05-stale cohort (31):
-    "dedup_exact_hash", "dedup_paragraphs", "dedup_simhash",
-    "events_cusum", "events_hourly", "events_mad_outliers",
-    "grouped_minmax_scale", "json_extract_agg", "multimodal_dedup_phash",
-    "pivot_event_counts", "sample_deterministic_upsample",
-    "sample_quality_weighted", "scalar_array_funcs", "scalar_datetime",
-    "scalar_math_funcs", "scalar_null_funcs", "sessionize",
-    "set_except", "set_except_all", "set_intersect",
-    "set_intersect_all", "set_union_all", "subquery_above_nation_avg",
-    "unpivot_measures", "window_lag_lead", "window_range_frame",
-    "window_rank", "window_rank_stats", "window_running_sum",
-    "window_topk_per_group", "window_value_funcs",
-    # (3) twelve oldest r06 rows (alphabetical) + the two
-    # oracle-changed Louvain steps:
-    "agg_approx_quantiles", "agg_collect_sorted", "agg_corr_covar",
-    "agg_histogram", "agg_mode_per_user", "agg_sketch_merge_hll",
-    "agg_sketch_merge_kll", "ann_bruteforce_topk", "ann_lsh_buckets",
-    "dedup_minhash_lsh_incremental", "diff_snapshots",
-    "doc_fingerprint", "graph_louvain_merge_step",
-    "graph_louvain_contract_step",
+    # (1) plans changed in r12 (13 streaming drains + the extracted
+    # setsim operator):
+    "streaming_hourly", "streaming_sliding", "streaming_sessions",
+    "streaming_late_data", "streaming_interval_join",
+    "streaming_outer_join", "streaming_merge", "streaming_topk",
+    "streaming_cusum", "streaming_rate_limit",
+    "streaming_match_recognize", "streaming_holt",
+    "streaming_changepoint", "streaming_changepoint_windowed",
+    "dedup_setsim_prefix",
+    # (2) the r06-stale cohort (28; streaming_cusum above is one of
+    # them, so 27 more here — streaming_dedup / streaming_enrich are
+    # both r06-stale AND r12-changed):
+    "streaming_dedup", "streaming_enrich",
+    "embedding_cosine_pairs", "embedding_int8_quantize",
+    "ingest_pipeline_agg", "merge_upsert_customers",
+    "multimodal_features", "multimodal_frame_sample",
+    "pipeline_training_data", "profile_table_stats",
+    "sample_balance_classes", "sample_hash_stratified",
+    "split_train_val_test", "tag_prefix_derivation",
+    "text_bpe_merge_step", "text_chunk_udtf", "text_decontaminate",
+    "text_fuzzy_match", "text_lang_id", "text_pii_scrub",
+    "text_quality", "text_quality_filter", "text_repetition_filter",
+    "text_stats", "text_tfidf_top_terms", "text_token_count_regex",
+    "text_unigram_lm_score",
+    # (3) eight r07 rows in the churned modules (5 analytics, 3
+    # dedup; dedup_minhash_lsh and dedup_containment defer to r13 —
+    # both already re-pinned every round by the plan-audit gate):
+    "agg_sketch_countmin", "agg_weighted_quantile", "events_funnel",
+    "events_funnel_window", "profile_gini_simpson",
+    "dedup_bow_priority", "dedup_hybrid_lsh_semantic",
+    "dedup_containment",
 )
 
 

@@ -117,6 +117,18 @@ def main() -> int:
                      "hash_match": None, "spark_rows": None,
                      "oracle_rows": None, "err": None}
         try:
+            # COLD catalog cache per query (r12): an earlier query's
+            # persisted intermediate otherwise SUBSTITUTES into a
+            # later query's plan (the audit-gate lesson), which both
+            # disables AQE inside the substituted subtree and makes
+            # every timing depend on REGISTRY ORDER — the r12 window
+            # rotation alone moved dedup_ngram_jaccard_groups 77 s ->
+            # 160 s and ann_lsh_multiprobe 0.7 s -> 22.5 s with zero
+            # code change (a fresh session runs them in 19 s / 2 s).
+            # Each query's own internal persists (member maps,
+            # signatures) still build and reuse normally WITHIN its
+            # execution; localCheckpoint blocks are untouched.
+            spark.catalog.clearCache()
             # spark_sec: build + full result fetch of the Spark side —
             # the registry-WIDE timing record (r09 verdict ask #3: the
             # 63-query headline bench can't see a regression in the
@@ -171,10 +183,12 @@ def main() -> int:
                       "wall_sec": round(time.time() - t0, 1),
                       "driver_memory": driver_mem,
                       "timing_protocol": (
-                          "spark_sec = build + persist + full-value "
-                          "agg + cached toPandas (single execution); "
-                          "compute_sec = the fetch-free prefix of "
-                          "that — the cross-sf scale signal")}}
+                          "catalog cache cleared per query (order-"
+                          "independent plans); spark_sec = build + "
+                          "persist + full-value agg + cached toPandas "
+                          "(single execution); compute_sec = the "
+                          "fetch-free prefix of that — the cross-sf "
+                          "scale signal")}}
     with open(args.out, "w") as f:
         json.dump({**meta, **out}, f, indent=1, sort_keys=False)
     print(json.dumps(meta))

@@ -297,8 +297,14 @@ FROM bg
 def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import let
     docs = load_table(spark, sf_dir, "documents")
-    bigrams = ("transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)),"
-               " i -> array_join(slice(split(text, ' '), i, 2), ' '))")
+    # Both lets nest: the OUTER binds the token split once per row
+    # (r12 — the old spelling re-split inside the bigram lambda, once
+    # per bigram), the INNER binds the bigram array once for the
+    # distinct/filter/max cascade.
+    bigrams = let(
+        "split(text, ' ')", "w",
+        "transform(sequence(1, greatest(size(w) - 1, 1)),"
+        " i -> array_join(slice(w, i, 2), ' '))")
     top_frac = let(
         bigrams, "bg",
         "CAST(array_max(transform(array_distinct(bg),"
@@ -1844,15 +1850,22 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # transform would evaluate slice(w, 0, 3) and throw — the oracle's
     # range() is empty there instead.  Empty grams also zeroes n_grams,
     # which the novelty division guards on both sides.
+    # let-bound token split (operators.dedup.let): the naive spelling
+    # re-evaluates split(text, ' ') inside the transform lambda — once
+    # per gram, O(words^2) splits per document (the CollapseProject
+    # pitfall the minhash pipeline documented; r12: this was the
+    # sweep's worst honest hot spot at sf0.1, 20.8 s -> 2.8 s).
+    from ..operators.dedup import let
     d = docs.select(
         "doc_id",
-        F.expr(
-            "CASE WHEN size(split(text, ' ')) < 3"
+        F.expr(let(
+            "split(text, ' ')", "w",
+            "CASE WHEN size(w) < 3"
             " THEN CAST(array() AS ARRAY<STRING>)"
             " ELSE array_distinct(transform("
-            " sequence(1, size(split(text, ' ')) - 2),"
-            " i -> md5(array_join(slice(split(text, ' '), i, 3),"
-            " ' ')))) END").alias("grams"))
+            " sequence(1, size(w) - 2),"
+            " i -> md5(array_join(slice(w, i, 3),"
+            " ' ')))) END")).alias("grams"))
     per_doc = d.select(
         "doc_id", F.size("grams").cast("long").alias("n_grams"))
     g = d.select("doc_id", F.explode("grams").alias("gram"))

@@ -101,13 +101,17 @@ _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
     "text_quality", "text_quality_filter", "text_repetition_filter",
     "text_stats", "text_tfidf_top_terms", "text_token_count_regex",
     "text_unigram_lm_score",
-    # (3) eight r07 rows in the churned modules (5 analytics, 3
+    # (3) seven r07 rows in the churned modules (5 analytics, 2
     # dedup; dedup_minhash_lsh and dedup_containment defer to r13 —
-    # both already re-pinned every round by the plan-audit gate):
+    # both already re-pinned every round by the plan-audit gate) plus
+    # text_ngram_novelty, whose PLAN changed late in r12 (token split
+    # let-bound, 20.8 s -> 2.8 s at sf0.1 — post-change freshness
+    # outranks r07 staleness; text_repetition_filter got the same fix
+    # and already sits in tier 2 as an r06 row):
     "agg_sketch_countmin", "agg_weighted_quantile", "events_funnel",
     "events_funnel_window", "profile_gini_simpson",
     "dedup_bow_priority", "dedup_hybrid_lsh_semantic",
-    "dedup_containment",
+    "text_ngram_novelty",
 )
 
 

@@ -98,6 +98,28 @@ def main() -> int:
     from tests.oracle_harness import duckdb_connection, run_pair
 
     all_queries()
+    # Session ramp (r12, the bench.py warmup rationale): absorb the
+    # one-time costs — JVM/codegen spin-up and, separately, the
+    # streaming machinery (Python worker pool, state-store init,
+    # micro-batch scheduler) — BEFORE the timed loop, so they aren't
+    # charged to whichever queries sit first in the verify window
+    # (streaming_hourly was carrying ~6 s of startup as its own cost).
+    import shutil
+    import tempfile
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    warm = tempfile.mkdtemp(prefix="ksds_sweep_warm_")
+    try:
+        spark.range(10).selectExpr("id", "id AS v").write.mode(
+            "overwrite").parquet(os.path.join(warm, "in"))
+        (spark.readStream.schema("id long, v long")
+         .parquet(os.path.join(warm, "in"))
+         .groupBy("id").count()
+         .writeStream.outputMode("complete").format("memory")
+         .queryName("sweep_warmup_drain")
+         .option("checkpointLocation", os.path.join(warm, "ckpt"))
+         .trigger(availableNow=True).start().awaitTermination())
+    finally:
+        shutil.rmtree(warm, ignore_errors=True)
     only = set(args.only.split(",")) if args.only else None
     if only:
         unknown = only - set(REGISTRY)
@@ -183,12 +205,13 @@ def main() -> int:
                       "wall_sec": round(time.time() - t0, 1),
                       "driver_memory": driver_mem,
                       "timing_protocol": (
-                          "catalog cache cleared per query (order-"
-                          "independent plans); spark_sec = build + "
-                          "persist + full-value agg + cached toPandas "
-                          "(single execution); compute_sec = the "
-                          "fetch-free prefix of that — the cross-sf "
-                          "scale signal")}}
+                          "session ramp (incl. one streaming drain) "
+                          "before the loop; catalog cache cleared per "
+                          "query (order-independent plans); spark_sec "
+                          "= build + persist + full-value agg + "
+                          "cached toPandas (single execution); "
+                          "compute_sec = the fetch-free prefix of "
+                          "that — the cross-sf scale signal")}}
     with open(args.out, "w") as f:
         json.dump({**meta, **out}, f, indent=1, sort_keys=False)
     print(json.dumps(meta))

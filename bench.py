@@ -192,56 +192,74 @@ def main() -> None:
     errors: dict[str, str] = {}
     extra_budget = MAX_EXTRA_RUNS
     replaced_total = 0
+    # Four runs per query, report the min: steady-state cost, not
+    # JVM/codegen warmup or GC noise — and this VM shows random
+    # multi-second steal-time spikes (measured: the same query
+    # swinging 0.4 s to 7 s across back-to-back runs, and whole-bench
+    # totals swinging 30-44 s on identical code), so min-of-N is what
+    # makes cross-round comparison meaningful.  The runs are
+    # INTERLEAVED in rounds (every query once per round, r12): four
+    # back-to-back runs all sat inside the same ~10 s window, so one
+    # steal episode ate every sample of 2-3 adjacent queries at once
+    # — spread across the session, a query keeps 3 samples from other
+    # times and min-of-4 actually resists episodes instead of just
+    # spikes.  A run landing > OUTLIER_MULT x the query's running min
+    # additionally earns one replacement run (session budget
+    # MAX_EXTRA_RUNS), taken after the rounds; the outlier stays in
+    # the dispersion record.  Cache cleared per run so persisted
+    # intermediates (minhash signatures) are honestly recomputed, not
+    # replayed.  One failing query must not sink the whole bench:
+    # record the error, skip its remaining rounds, keep going.
+    runs: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    replaced: dict[str, int] = dict.fromkeys(HEADLINE, 0)
+
+    def one_run(name: str) -> None:
+        nonlocal extra_budget
+        spark.catalog.clearCache()
+        start = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        n = df.count()
+        elapsed = time.perf_counter() - start
+        assert n >= 0
+        rs = runs[name]
+        if rs and extra_budget > 0 and elapsed > OUTLIER_MULT * min(rs):
+            extra_budget -= 1
+            replaced[name] += 1
+        rs.append(elapsed)
+
+    for _round in range(4):
+        for name in HEADLINE:
+            if name in errors:
+                continue
+            try:
+                one_run(name)
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
     for name in HEADLINE:
-        fn = queries[name]
-        best = None
-        # Four runs, report the min: steady-state cost, not JVM/codegen
-        # warmup or GC noise from the preceding query — and this VM
-        # shows random multi-second steal-time spikes (measured: the
-        # same query swinging 0.4 s to 7 s across back-to-back runs,
-        # and whole-bench totals swinging 30-44 s on identical code),
-        # so min-of-N is what makes cross-round comparison meaningful.
-        # A run landing > OUTLIER_MULT x the query's running min is a
-        # steal spike: it stays in the dispersion record but earns one
-        # replacement run (session budget MAX_EXTRA_RUNS), so the min
-        # still rests on 4 plausibly-clean samples (r11 ask #2).
-        # Cache cleared per run so persisted intermediates (minhash
-        # signatures) are honestly recomputed, not replayed. One
-        # failing query must not sink the whole bench: record the
-        # error and keep going.
-        runs: list[float] = []
-        replaced = 0
-        try:
-            target = 4
-            while len(runs) < target:
-                spark.catalog.clearCache()
-                start = time.perf_counter()
-                df = fn(spark, sf_dir)
-                n = df.count()
-                elapsed = time.perf_counter() - start
-                assert n >= 0
-                if (runs and extra_budget > 0
-                        and elapsed > OUTLIER_MULT * min(runs)):
-                    target += 1
-                    extra_budget -= 1
-                    replaced += 1
-                runs.append(elapsed)
-            best = min(runs)
-            timings[name] = round(best, 3)
-            # Per-query dispersion so cross-round deltas are auditable:
-            # a noisy-VM spike shows as med >> min; a REAL regression
-            # moves min and med together (round-4 verdict ask #6).
-            runs.sort()
-            dispersion[name] = {
-                "min": round(runs[0], 3),
-                "med": round(statistics.median(runs), 3),
-                "max": round(runs[-1], 3),
-            }
-            if replaced:
-                dispersion[name]["replaced"] = replaced
-                replaced_total += replaced
-        except Exception as exc:  # noqa: BLE001
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+        # Replacement pass: a replacement run can itself be flagged
+        # (budget-capped), so loop until the query's grant is spent.
+        while (name not in errors
+               and len(runs[name]) < 4 + replaced[name]):
+            try:
+                one_run(name)
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+    for name in HEADLINE:
+        if name in errors or not runs[name]:
+            continue
+        rs = sorted(runs[name])
+        timings[name] = round(rs[0], 3)
+        # Per-query dispersion so cross-round deltas are auditable:
+        # a noisy-VM spike shows as med >> min; a REAL regression
+        # moves min and med together (round-4 verdict ask #6).
+        dispersion[name] = {
+            "min": round(rs[0], 3),
+            "med": round(statistics.median(rs), 3),
+            "max": round(rs[-1], 3),
+        }
+        if replaced[name]:
+            dispersion[name]["replaced"] = replaced[name]
+            replaced_total += replaced[name]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -253,11 +271,13 @@ def main() -> None:
         # the committed cross-session min (BENCH_LOCAL_r{N}.json =
         # per-query min across >=3 sessions of scripts/
         # bench_sessions.py, each itself min-of-4).
-        "protocol": ("single session, min of 4 runs per query with one "
-                     f"replacement per steal-outlier run (> {OUTLIER_MULT}x "
-                     f"running min, <= {MAX_EXTRA_RUNS} extras/session), "
-                     "cache cleared per run, full ramp warmup before "
-                     "timing"),
+        "protocol": ("single session, min of 4 INTERLEAVED rounds per "
+                     "query (every query once per round, so one steal "
+                     "episode cannot eat all of a query's samples) plus "
+                     f"one replacement per steal-outlier run (> "
+                     f"{OUTLIER_MULT}x running min, <= {MAX_EXTRA_RUNS} "
+                     "extras/session), cache cleared per run, full ramp "
+                     "warmup before timing"),
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,

@@ -235,15 +235,24 @@ def main() -> None:
                 one_run(name)
             except Exception as exc:  # noqa: BLE001
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+    replacement_errors: dict[str, str] = {}
     for name in HEADLINE:
         # Replacement pass: a replacement run can itself be flagged
         # (budget-capped), so loop until the query's grant is spent.
+        # Replacement runs are extra credit on top of 4 already-valid
+        # interleaved samples — a failure here is recorded but must
+        # NOT move the query into `errors`, which would discard those
+        # core-protocol samples from the report (r12 advice).
         while (name not in errors
                and len(runs[name]) < 4 + replaced[name]):
             try:
                 one_run(name)
             except Exception as exc:  # noqa: BLE001
-                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                msg = f"{type(exc).__name__}: {exc}"[:300]
+                if len(runs[name]) >= 4:
+                    replacement_errors[name] = msg
+                    break
+                errors[name] = msg
     for name in HEADLINE:
         if name in errors or not runs[name]:
             continue
@@ -260,6 +269,9 @@ def main() -> None:
         if replaced[name]:
             dispersion[name]["replaced"] = replaced[name]
             replaced_total += replaced[name]
+        if name in replacement_errors:
+            dispersion[name]["replacement_error"] = (
+                replacement_errors[name])
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

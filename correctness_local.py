@@ -39,7 +39,10 @@ def _default_driver_mem_gb() -> int:
                     break
             else:
                 return 8
-    except OSError:
+    except (OSError, ValueError, IndexError):
+        # ValueError/IndexError: a malformed MemTotal line must fall
+        # back to the floor, not crash the sweep before Spark starts
+        # (r12 advice).
         return 8
     return max(8, min(48, host_gb // 4))
 

@@ -52,66 +52,53 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
 #: local sweep (correctness_local.py / tests/test_oracle_parity.py);
 #: this list ROTATES which ones land in the externally-verified window
 #: so the union across rounds converges on the whole registry.
-#: Round-12 window, in strict priority order (the r11 verdict's ask
-#: #1: rotate the 28 r06-stale rows in, top the remaining slots with
-#: the oldest r07 rows preferring touched plan files; registration
-#: FROZEN this round — no additions):
-#: (1) plans whose EXECUTION changed this round — post-change rows
-#: outrank staleness everywhere in this file's history: the 13
-#: streaming twins outside the r06 cohort (every drain now runs with
-#: the state-store partition count pinned to state volume instead of
-#: CPU count — streaming/jobs.py::_drain; values are
-#: partition-count-invariant by the per-key fold-order argument, but
-#: the driver should re-attest post-change), and dedup_setsim_prefix
-#: (pipeline extracted verbatim into
-#: operators.dedup.setsim_prefix_pairs for the eager_release
-#: lifecycle — audit pins 18 textual / 8 physical unchanged);
-#: (2) the ENTIRE 28-query r06 cohort (last round's documented
-#: deferral list, verbatim; includes the three r06 streaming twins,
-#: whose drains also changed) — pre-rotation plan audit at sf0.01
-#: showed ZERO drift vs the pinned sets (AUDIT_R06_COHORT.json, the
-#: r11 ask #8 artifact); after this round no driver row predates r07;
-#: (3) eight r07 rows from the two most-churned-since-r07 plan
-#: modules — plans/analytics.py (+892 lines) and plans/dedup.py
-#: (+244: the r10b/r10c/r11 PPJoin-collapse work).
-#: Still-deferred to round 13: the remaining 40 r07 rows — all
+#: Round-13 window, in strict priority order (the r12 verdict's ask
+#: #1, verbatim: "rotate the 40 r07-deferral rows into the r13 verify
+#: window … topping the remaining 10 slots with the oldest r08 rows
+#: whose plan files were touched most recently"; registration FROZEN
+#: again this round — no additions):
+#: (1) the ENTIRE 40-query r07 deferral cohort (last round's
+#: documented deferral list, verbatim) — pre-rotation executed-plan
+#: audit at sf0.01 showed ZERO drift vs the pinned accepted sets
+#: (AUDIT_R07_COHORT.json, committed in r12 one round ahead of the
+#: r11-ask-#8 schedule); after this round no driver row predates r08;
+#: (2) ten r08 rows chosen by module last-touch recency (git log -1
+#: per plan file, 2026-08-16 timestamps): plans/text.py 17:57 (3
+#: rows) > plans/dedup.py 15:48 (1) > plans/analytics.py 12:52 (1) >
+#: plans/similarity.py 09:12 (7 rows for 5 slots — alphabetical
+#: within the module; retrieval_hybrid_rrf and semdedup_kmeans defer
+#: to r14 with the rest of the r08 cohort, all pre-audited in
+#: AUDIT_R08_COHORT.json).
+#: Still-deferred to round 14: the remaining 29 r08 rows — all
 #: hash-green in both committed local sweeps.
 _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
-    # (1) plans changed in r12 (13 streaming drains + the extracted
-    # setsim operator):
-    "streaming_hourly", "streaming_sliding", "streaming_sessions",
-    "streaming_late_data", "streaming_interval_join",
-    "streaming_outer_join", "streaming_merge", "streaming_topk",
-    "streaming_cusum", "streaming_rate_limit",
-    "streaming_match_recognize", "streaming_holt",
-    "streaming_changepoint", "streaming_changepoint_windowed",
-    "dedup_setsim_prefix",
-    # (2) the r06-stale cohort (28; streaming_cusum above is one of
-    # them, so 27 more here — streaming_dedup / streaming_enrich are
-    # both r06-stale AND r12-changed):
-    "streaming_dedup", "streaming_enrich",
-    "embedding_cosine_pairs", "embedding_int8_quantize",
-    "ingest_pipeline_agg", "merge_upsert_customers",
-    "multimodal_features", "multimodal_frame_sample",
-    "pipeline_training_data", "profile_table_stats",
-    "sample_balance_classes", "sample_hash_stratified",
-    "split_train_val_test", "tag_prefix_derivation",
-    "text_bpe_merge_step", "text_chunk_udtf", "text_decontaminate",
-    "text_fuzzy_match", "text_lang_id", "text_pii_scrub",
-    "text_quality", "text_quality_filter", "text_repetition_filter",
-    "text_stats", "text_tfidf_top_terms", "text_token_count_regex",
-    "text_unigram_lm_score",
-    # (3) seven r07 rows in the churned modules (5 analytics, 2
-    # dedup; dedup_minhash_lsh and dedup_containment defer to r13 —
-    # both already re-pinned every round by the plan-audit gate) plus
-    # text_ngram_novelty, whose PLAN changed late in r12 (token split
-    # let-bound, 20.8 s -> 2.8 s at sf0.1 — post-change freshness
-    # outranks r07 staleness; text_repetition_filter got the same fix
-    # and already sits in tier 2 as an r06 row):
-    "agg_sketch_countmin", "agg_weighted_quantile", "events_funnel",
-    "events_funnel_window", "profile_gini_simpson",
-    "dedup_bow_priority", "dedup_hybrid_lsh_semantic",
-    "text_ngram_novelty",
+    # (1) the r07 deferral cohort (40, alphabetical — no intra-cohort
+    # priority; all equally stale and all pre-audited):
+    "agg_distinct_twophase", "agg_ttest_welch", "ann_binary_hamming",
+    "ann_ivfpq_refine", "asof_join_forward", "asof_join_nearest",
+    "asof_join_tolerance", "cdc_apply_changes",
+    "compute_range_splits", "compute_range_splits_sampled",
+    "customer_rfm_segments", "dedup_containment", "dedup_minhash_lsh",
+    "embedding_kcenter_step", "embedding_matryoshka_recall",
+    "embedding_pca_power_step", "events_changepoint_binary",
+    "events_holt_step", "events_hourly_autocorr",
+    "events_interpolate_linear", "events_rate_limit",
+    "events_sliding_distinct", "feature_hash_vectorize",
+    "grouped_quantile_normalize", "join_bloom_prefilter",
+    "maintenance_compact_roundtrip", "multimodal_audio_chunks",
+    "multimodal_audio_vad", "multimodal_image_resize",
+    "multimodal_video_scenecut", "sample_negatives_per_user",
+    "text_bigram_lm_score", "text_bm25_topk", "text_bpe_encode",
+    "text_bpe_merge_2step", "text_keyword_rake",
+    "text_winnowing_fingerprint", "warehouse_deletion_vectors",
+    "warehouse_lifecycle", "warehouse_zorder_cluster",
+    # (2) ten r08 rows by module last-touch recency (see header):
+    "pack_sequences_bestfit", "text_cdc_chunks",
+    "text_kneser_ney_counts",
+    "dedup_minhash_est_quality",
+    "profile_benford_digits",
+    "ann_lsh_probe", "ann_pq_adc", "embedding_dim_variance_prune",
+    "embedding_pq_train_step", "kmeans_lloyd_iter",
 )
 
 

@@ -16,6 +16,7 @@ tests, and identically as continuous micro-batch jobs in production.
 
 from __future__ import annotations
 
+import contextlib
 import datetime
 import glob
 import os
@@ -103,8 +104,45 @@ def _events_stream(spark: SparkSession, events_dir: str,
 #: explicit (ts, event_id) sort inside each update function — so the
 #: partition count can change parallelism and store-file counts, never
 #: values (the oracle gate re-attests this per round).
+#: KNOWN SIDE EFFECT of the drain-wide pin: batch jobs launched INSIDE
+#: a ``foreachBatch`` body run under the same session conf, so their
+#: shuffles (the incremental-merge sink's groupBy + bucketed writes,
+#: the ingest sink's dynamic-overwrite writes) are also capped at
+#: :data:`STATE_PARTITIONS` during the drain.  At this repo's fixture
+#: sizes that cap is a WIN (micro-batches are tiny; fewer tasks =
+#: lower floor), so the default inherits the pin.  At 100 TB the two
+#: knobs diverge — state volume does not track per-batch compute
+#: volume — so shuffling sinks route through
+#: :func:`_batch_shuffle_scope`, and a deployment sets
+#: ``SPARK_GRAFT_STREAM_BATCH_SHUFFLE_PARTITIONS`` to size batch
+#: compute independently of the state-store count (which stays
+#: checkpoint-pinned from the first batch regardless of later conf).
 STATE_PARTITIONS = int(os.environ.get(
     "SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8"))
+
+_BATCH_SINK_PARTITIONS: str | None = os.environ.get(
+    "SPARK_GRAFT_STREAM_BATCH_SHUFFLE_PARTITIONS")
+
+
+@contextlib.contextmanager
+def _batch_shuffle_scope(spark: SparkSession):
+    """Inside a ``foreachBatch`` body: lift the drain's state-volume
+    shuffle pin to the deployment's batch-compute value for the
+    duration of the batch work, restoring the pin before the next
+    micro-batch plans.  No-op unless
+    ``SPARK_GRAFT_STREAM_BATCH_SHUFFLE_PARTITIONS`` is set — the
+    stateful plan's state-store count is immune either way (recorded
+    in the checkpoint at the first batch), this only affects the batch
+    job's own shuffles."""
+    if _BATCH_SINK_PARTITIONS is None:
+        yield
+        return
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", _BATCH_SINK_PARTITIONS)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def _drain(spark: SparkSession, writer):
@@ -473,18 +511,20 @@ def streaming_ingest(spark: SparkSession, landing_dir: str, *,
            .load(landing_dir))
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        events = flatten_events(parse_blocks(split_blocks(
-            batch_df.select("path", "content"))))
-        # Idempotent sink: each epoch OVERWRITES its own partition
-        # directory, so a retried/replayed epoch rewrites the same data
-        # instead of appending a duplicate copy — exactly-once output
-        # on top of the checkpoint's exactly-once input, fixing the
-        # reference's lost/duplicated-batch flaw (SURVEY §3).
-        (events.withColumn("_epoch", F.lit(epoch_id))
-         .write.mode("overwrite")
-         .partitionBy("_epoch")
-         .option("partitionOverwriteMode", "dynamic")
-         .parquet(out_dir))
+        with _batch_shuffle_scope(spark):
+            events = flatten_events(parse_blocks(split_blocks(
+                batch_df.select("path", "content"))))
+            # Idempotent sink: each epoch OVERWRITES its own partition
+            # directory, so a retried/replayed epoch rewrites the same
+            # data instead of appending a duplicate copy — exactly-once
+            # output on top of the checkpoint's exactly-once input,
+            # fixing the reference's lost/duplicated-batch flaw
+            # (SURVEY §3).
+            (events.withColumn("_epoch", F.lit(epoch_id))
+             .write.mode("overwrite")
+             .partitionBy("_epoch")
+             .option("partitionOverwriteMode", "dynamic")
+             .parquet(out_dir))
 
     query = _drain(spark, raw.writeStream.foreachBatch(process)
              .option("checkpointLocation", checkpoint)
@@ -776,18 +816,21 @@ def streaming_incremental_merge(spark: SparkSession, events_dir: str, *,
                             max_files=max_files_per_trigger)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        delta = (batch_df
-                 .select("user_id",
-                         (F.col("value").cast("decimal(18,6)") * 1_000_000)
-                         .cast("long").alias("vm"))
-                 .groupBy("user_id")
-                 .agg(F.count("*").alias("d_n"),
-                      F.sum("vm").alias("d_sum")))
-        merge_delta_into_bucketed_table(spark, delta, batch_id, table_dir,
-                                        num_buckets=num_buckets)
-        if vacuum_keep is not None:
-            from ..operators.maintenance import vacuum_versions
-            vacuum_versions(table_dir, keep=vacuum_keep)
+        with _batch_shuffle_scope(spark):
+            delta = (batch_df
+                     .select("user_id",
+                             (F.col("value").cast("decimal(18,6)")
+                              * 1_000_000)
+                             .cast("long").alias("vm"))
+                     .groupBy("user_id")
+                     .agg(F.count("*").alias("d_n"),
+                          F.sum("vm").alias("d_sum")))
+            merge_delta_into_bucketed_table(spark, delta, batch_id,
+                                            table_dir,
+                                            num_buckets=num_buckets)
+            if vacuum_keep is not None:
+                from ..operators.maintenance import vacuum_versions
+                vacuum_versions(table_dir, keep=vacuum_keep)
 
     query = _drain(spark, events.writeStream.foreachBatch(merge_batch)
              .queryName(query_name)

@@ -47,6 +47,40 @@ def let(bound_expr: str, var: str, body: str) -> str:
     return f"transform(array({bound_expr}), {var} -> {body})[0]"
 
 
+#: Two-stage verify prefilter slack (see _ngram_members_and_rep_pairs):
+#: hashed-gram Jaccard must clear threshold - HASH_MARGIN before the
+#: exact string verify runs.  The margin absorbs up to
+#: 0.02*|union| xxhash64 collisions per pair — ~10 orders of magnitude
+#: beyond the collision expectation — at the cost of a handful of
+#: extra survivor pairs re-verified exactly.
+HASH_MARGIN = 0.02
+
+
+def _tap(df: DataFrame, diag: dict | None, name: str) -> DataFrame:
+    """Candidate-economy tap (r12 verdict ask #2): when ``diag`` is a
+    dict, attach a named row-count Observation (a CollectMetrics node,
+    computed as rows FLOW — no extra action, no plan re-execution) and
+    record it under ``diag[name]``; read the numbers after an action
+    with :func:`diag_counts`.  ``diag=None`` (the default everywhere)
+    returns ``df`` untouched, so registered-query plans and the
+    executed-plan audit never see the node.  Taps are only attached at
+    single-consumer points of the DAG — a twice-referenced observed
+    subtree may count rows once or twice depending on subtree reuse,
+    which would make the record protocol-dependent."""
+    if diag is None:
+        return df
+    from pyspark.sql import Observation
+    obs = Observation(name)
+    diag[name] = obs
+    return df.observe(obs, F.count(F.lit(1)).alias("rows"))
+
+
+def diag_counts(diag: dict) -> dict[str, int]:
+    """Resolve a ``diag`` dict of Observations into plain row counts
+    (blocks until the observed query's action has completed)."""
+    return {name: int(obs.get["rows"]) for name, obs in diag.items()}
+
+
 def _shingles_sql(text_col: str, k: int) -> str:
     """Distinct word k-gram shingles; the token split is let-bound so it
     runs once per row, not once per shingle."""
@@ -392,7 +426,8 @@ def blocked_ngram_jaccard_pairs(docs: DataFrame, *, id_col: str,
                                 text_col: str, block_cols: list[str],
                                 ngram_n: int = 5,
                                 threshold: float = 0.6,
-                                eager_release: bool = False) -> DataFrame:
+                                eager_release: bool = False,
+                                diag: dict | None = None) -> DataFrame:
     """Exact char-n-gram Jaccard over pairs inside blocking keys,
     candidate-pruned by PPJoin prefix filtering (Xiao et al. 2008).
 
@@ -514,7 +549,10 @@ def blocked_ngram_jaccard_pairs(docs: DataFrame, *, id_col: str,
     """
     members, rep_pairs = _ngram_members_and_rep_pairs(
         docs, id_col=id_col, text_col=text_col, block_cols=block_cols,
-        ngram_n=ngram_n, threshold=threshold)
+        ngram_n=ngram_n, threshold=threshold, diag=diag)
+    # diag tap: qualifying rep pairs (post exact verify) — rep_pairs
+    # is single-consumer in this form, so the count is exact.
+    rep_pairs = _tap(rep_pairs, diag, "qualifying_rep_pairs")
     # Expansion: a rep pair scores every cross-group member pair
     # (identical gram sets => identical Jaccard); groups score their
     # own member pairs at exactly 1.0 (array_intersect == array_union
@@ -543,15 +581,20 @@ def blocked_ngram_jaccard_pairs(docs: DataFrame, *, id_col: str,
 
 def _ngram_members_and_rep_pairs(
         docs: DataFrame, *, id_col: str, text_col: str,
-        block_cols: list[str], ngram_n: int,
-        threshold: float) -> tuple[DataFrame, DataFrame]:
+        block_cols: list[str], ngram_n: int, threshold: float,
+        diag: dict | None = None) -> tuple[DataFrame, DataFrame]:
     """Shared core of the pairs and groups forms: the exact-duplicate
     collapse plus the PPJoin rep pipeline.  Returns (members,
     rep_pairs): the persisted (_id, _rep) member map over docs with
     non-null text AND non-null block columns, and the qualifying
     (_ra < _rb, jaccard) pairs over group REPRESENTATIVES.  All
     filter derivations and safety notes live in
-    :func:`blocked_ngram_jaccard_pairs`'s docstring."""
+    :func:`blocked_ngram_jaccard_pairs`'s docstring.  ``diag`` taps
+    (see :func:`_tap`): ``reps`` (collapsed representatives entering
+    the PPJoin), ``cand_rows`` (candidate-join output rows surviving
+    the length+positional filters, BEFORE distinct — the join/shuffle
+    volume), ``cand_pairs`` (distinct candidate pairs — exactly the
+    pairs the exact verify touches)."""
     from pyspark.sql import Window as W
     nn = docs.filter(F.col(text_col).isNotNull())
     for bc in block_cols:
@@ -613,17 +656,22 @@ def _ngram_members_and_rep_pairs(
     # misses).
     alpha = F.ceil(F.lit(threshold / (1.0 + threshold))
                    * (F.col("_sa") + F.col("_sb")) - F.lit(1e-9))
-    cands = (pa.join(pb, [*block_cols, "_g"])
-             .filter((F.col("_ida") < F.col("_idb"))
-                     # length filter
-                     & (F.col("_sb")
-                        >= F.lit(threshold) * F.col("_sa") - F.lit(1e-9))
-                     & (F.col("_sa")
-                        >= F.lit(threshold) * F.col("_sb") - F.lit(1e-9))
-                     # positional filter
-                     & (1 + F.least(F.col("_sa") - F.col("_pa"),
-                                    F.col("_sb") - F.col("_pb")) >= alpha))
-             .select("_ida", "_idb").distinct())
+    cand_rows = (pa.join(pb, [*block_cols, "_g"])
+                 .filter((F.col("_ida") < F.col("_idb"))
+                         # length filter
+                         & (F.col("_sb")
+                            >= F.lit(threshold) * F.col("_sa")
+                            - F.lit(1e-9))
+                         & (F.col("_sa")
+                            >= F.lit(threshold) * F.col("_sb")
+                            - F.lit(1e-9))
+                         # positional filter
+                         & (1 + F.least(F.col("_sa") - F.col("_pa"),
+                                        F.col("_sb") - F.col("_pb"))
+                            >= alpha))
+                 .select("_ida", "_idb"))
+    cands = _tap(cand_rows, diag, "cand_rows").distinct()
+    cands = _tap(cands, diag, "cand_pairs")
     # Verify sides read the REP-filtered text-first gram projection:
     # candidate ids are always reps, so corpus-wide gram arrays were
     # pure waste — and at 10x replication the old scan-projection was
@@ -634,11 +682,50 @@ def _ngram_members_and_rep_pairs(
     # corpus-sized gram checkpoint; AQE picks the cands join strategy
     # from the candidates' RUNTIME size (broadcast when small,
     # shuffle of rep-sized gram arrays when not).
-    ga = rep_txt.select(F.col("_id").alias("_ida"),
-                        char_ngrams("_txt", ngram_n).alias("_ga"))
-    gb = rep_txt.select(F.col("_id").alias("_idb"),
-                        char_ngrams("_txt", ngram_n).alias("_gb"))
-    rep_pairs = (cands.join(ga, "_ida").join(gb, "_idb")
+    #
+    # r13 two-stage verify, driven by the candidate-economy record
+    # (NGRAM_CANDIDATE_ECONOMY.json): candidate pairs grow ~124x for
+    # a 10x corpus on this data (shared templated substrings keep
+    # even block-local-rarest prefix grams collidy), and profiling
+    # put ~75% of the operator's sf0.1 cost in this verify — the
+    # per-pair joins ship two ~400-gram STRING arrays per candidate.
+    # Stage 1 prefilters on xxhash64-hashed gram sets (8-byte
+    # elements: ~2.4x less join payload, long compares instead of
+    # string compares — measured 28.0 s -> 11.6 s end-to-end at
+    # sf0.1) with the threshold relaxed by HASH_MARGIN; stage 2
+    # re-verifies the surviving pairs EXACTLY on the true string
+    # grams, gramming only survivor texts (join text first, gram
+    # after — the r11 text-first rule).  Exactness: stage 2 decides
+    # every emitted score, so a hash collision can only cost work
+    # (an extra survivor), never correctness, PROVIDED no true pair
+    # dies in stage 1 — a collision among a pair's sa+sb <= ~2k
+    # grams has probability <= (sa+sb)^2/2^64 ~= 2e-13, and even c
+    # colliding gram pairs move hashed Jaccard by <= c/|union|, so
+    # the 0.02 margin absorbs c <= 0.02*|union| collisions — orders
+    # of magnitude beyond anything reachable.  The no-miss oracle
+    # gate (brute-force all-pairs) re-attests this every round.
+    hashed = F.array_distinct(F.transform(
+        char_ngrams("_txt", ngram_n), lambda g: F.xxhash64(g)))
+    ha = rep_txt.select(F.col("_id").alias("_ida"), hashed.alias("_ha"))
+    hb = rep_txt.select(F.col("_id").alias("_idb"), hashed.alias("_hb"))
+    # let-binds the intersect size (see `let`): referenced twice in
+    # the Jaccard expression, and CollapseProject would otherwise
+    # inline the array_intersect per reference.
+    j_hash = F.expr(let(
+        "size(array_intersect(_ha, _hb))", "i",
+        "i / cast(size(_ha) + size(_hb) - i as double)"))
+    survivors = (cands.join(ha, "_ida").join(hb, "_idb")
+                 .filter(j_hash >= threshold - HASH_MARGIN)
+                 .select("_ida", "_idb"))
+    survivors = _tap(survivors, diag, "hash_survivors")
+    sa_txt = rep_txt.select(F.col("_id").alias("_ida"),
+                            F.col("_txt").alias("_txta"))
+    sb_txt = rep_txt.select(F.col("_id").alias("_idb"),
+                            F.col("_txt").alias("_txtb"))
+    rep_pairs = (survivors.join(sa_txt, "_ida").join(sb_txt, "_idb")
+                 .select("_ida", "_idb",
+                         char_ngrams("_txta", ngram_n).alias("_ga"),
+                         char_ngrams("_txtb", ngram_n).alias("_gb"))
                  .select(
                      F.col("_ida").alias("_ra"), F.col("_idb").alias("_rb"),
                      (F.size(F.array_intersect("_ga", "_gb")).cast("double")
@@ -652,7 +739,8 @@ def blocked_ngram_jaccard_groups(docs: DataFrame, *, id_col: str,
                                  text_col: str, block_cols: list[str],
                                  ngram_n: int = 5,
                                  threshold: float = 0.6,
-                                 eager_release: bool = False) -> DataFrame:
+                                 eager_release: bool = False,
+                                 diag: dict | None = None) -> DataFrame:
     """GROUP form of :func:`blocked_ngram_jaccard_pairs` — one row per
     document: (doc_id, rep, jaccard_to_rep), where ``rep`` is the
     smallest doc id in {doc} ∪ {neighbors with Jaccard >= t in the
@@ -687,12 +775,16 @@ def blocked_ngram_jaccard_groups(docs: DataFrame, *, id_col: str,
     """
     members, rep_pairs = _ngram_members_and_rep_pairs(
         docs, id_col=id_col, text_col=text_col, block_cols=block_cols,
-        ngram_n=ngram_n, threshold=threshold)
+        ngram_n=ngram_n, threshold=threshold, diag=diag)
     sym = rep_pairs.select(
         F.col("_ra").alias("_r"), F.col("_rb").alias("_partner"),
         "jaccard").unionByName(rep_pairs.select(
             F.col("_rb").alias("_r"), F.col("_ra").alias("_partner"),
             "jaccard"))
+    # diag tap: rep_pairs itself is referenced twice here (both union
+    # arms), so the exact-count tap sits on the single-consumer
+    # symmetrized stream — sym_rows == 2 x qualifying rep pairs.
+    sym = _tap(sym, diag, "sym_rows")
     best = sym.groupBy("_r").agg(
         F.min("_partner").alias("_pmin"),
         F.min_by("jaccard", "_partner").alias("_pjac"))
@@ -721,7 +813,8 @@ def blocked_ngram_jaccard_groups(docs: DataFrame, *, id_col: str,
 def setsim_prefix_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                         text_col: str = "text",
                         threshold: float = 0.7,
-                        eager_release: bool = False) -> DataFrame:
+                        eager_release: bool = False,
+                        diag: dict | None = None) -> DataFrame:
     """EXACT whitespace-token set-similarity self-join via PPJoin
     prefix filtering (Xiao et al. 2008) — the word-token sibling of
     :func:`blocked_ngram_jaccard_pairs`, extracted from the
@@ -787,15 +880,18 @@ def setsim_prefix_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     # the length filter does real work.
     alpha = F.ceil(F.lit(t / (1.0 + t))
                    * (F.col("sa") + F.col("sb")) - F.lit(1e-9))
-    cands = (pa.join(pb, "word")
-             .filter((F.col("doc_a") < F.col("doc_b"))
-                     & (F.col("sb")
-                        >= F.lit(t) * F.col("sa") - F.lit(1e-9))
-                     & (F.col("sa")
-                        >= F.lit(t) * F.col("sb") - F.lit(1e-9))
-                     & (1 + F.least(F.col("sa") - F.col("pa"),
-                                    F.col("sb") - F.col("pb")) >= alpha))
-             .select("doc_a", "doc_b", "sa", "sb").distinct())
+    cand_rows = (pa.join(pb, "word")
+                 .filter((F.col("doc_a") < F.col("doc_b"))
+                         & (F.col("sb")
+                            >= F.lit(t) * F.col("sa") - F.lit(1e-9))
+                         & (F.col("sa")
+                            >= F.lit(t) * F.col("sb") - F.lit(1e-9))
+                         & (1 + F.least(F.col("sa") - F.col("pa"),
+                                        F.col("sb") - F.col("pb"))
+                            >= alpha))
+                 .select("doc_a", "doc_b", "sa", "sb"))
+    cands = _tap(cand_rows, diag, "cand_rows").distinct()
+    cands = _tap(cands, diag, "cand_pairs")
     ta = toks.select(F.col("doc_id").alias("doc_a"),
                      F.col("word").alias("wa"))
     tb = toks.select(F.col("doc_id").alias("doc_b"),
@@ -810,6 +906,9 @@ def setsim_prefix_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                .select(F.col("doc_a").alias("_ra"),
                        F.col("doc_b").alias("_rb"), "n_common",
                        F.round(jac, 6).alias("jaccard")))
+    # diag tap: qualifying rep pairs — rep_out is single-consumer
+    # (the cross-expansion join below).
+    rep_out = _tap(rep_out, diag, "qualifying_rep_pairs")
     # Expansion: rep scores ARE member scores; within-group pairs are
     # exact duplicates with n_common = s (the group text's distinct-
     # token count) and jaccard exactly 1.0 — the values the

@@ -39,16 +39,18 @@ ACCEPTED_SCANS: dict[str, dict[str, int]] = {
     # scans are members (once, then cached) + the toks re-derivations
     # (prefix pa/pb, verify ta/tb, sizes), each column-pruned.
     "dedup_setsim_prefix": {"documents": 18},
-    # 12 TEXTUAL (10 in r10), 5 physical unchanged: the r11
-    # text-first reorder moved the gram projection above the rep-id
-    # join, which adds the member map's reprint under the ga/gb
-    # verify sides; live scans stay members (once, then cached) +
-    # pa/pb text + ga/gb text.
-    "dedup_ngram_jaccard": {"documents": 12},
-    # the r11 group form: same core as dedup_ngram_jaccard (5
-    # physical live scans) + the O(docs) projection's docs read and
-    # the member map reprinting under best/scored/out consumers.
-    "dedup_ngram_jaccard_groups": {"documents": 18},
+    # 16 TEXTUAL (12 in r11-r12), 7 physical (was 5): the r13
+    # two-stage verify replaced the ga/gb string-gram sides with
+    # ha/hb hashed-gram prefilter sides PLUS sa/sb survivor-text
+    # sides — two extra rep-sized column-pruned re-scans, bought
+    # deliberately: the candidate-economy record measured the old
+    # string-array verify at ~75% of the operator's sf0.1 cost
+    # (NGRAM_CANDIDATE_ECONOMY.json; 22.7 s -> 12.2 s end-to-end).
+    "dedup_ngram_jaccard": {"documents": 16},
+    # the group form: same two-stage core (7 physical live scans)
+    # + the O(docs) projection's docs read and the member map
+    # reprinting under best/scored/out consumers.
+    "dedup_ngram_jaccard_groups": {"documents": 26},
     "dedup_containment": {"documents": 4},
     "ann_recall_eval": {"embeddings": 4},
     "ann_binary_hamming": {"embeddings": 4},
@@ -69,8 +71,13 @@ ACCEPTED_SCANS_PHYSICAL: dict[str, dict[str, int]] = {
     "dedup_minhash_lsh": {"documents": 1},
     "dedup_minhash_est_quality": {"documents": 3},
     "dedup_setsim_prefix": {"documents": 8},
-    "dedup_ngram_jaccard": {"documents": 5},
-    "dedup_ngram_jaccard_groups": {"documents": 10},
+    # 5 -> 7 / 10 -> 14 in r13: the two-stage verify's hashed
+    # prefilter (ha/hb) and survivor-text (sa/sb) sides are four
+    # rep-sized derivations where ga/gb were two — the re-scan-beats-
+    # materialize trade, now applied twice, each column-pruned to
+    # (doc_id, text).
+    "dedup_ngram_jaccard": {"documents": 7},
+    "dedup_ngram_jaccard_groups": {"documents": 14},
     "dedup_containment": {"documents": 3},
     "ann_recall_eval": {"embeddings": 4},
     "ann_binary_hamming": {"embeddings": 4},

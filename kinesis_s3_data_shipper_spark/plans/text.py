@@ -1942,17 +1942,25 @@ LIMIT 25
          "families, whose candidate sets grow with dup clusters).")
 def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
+
+    from ..operators.dedup import let
     docs = load_table(spark, sf_dir, "documents")
     gate = (f"pmod(CAST(conv(substring(md5(concat(element_at(w, i), "
             f"' ', x)), 1, 15), 16, 10) AS BIGINT), {_CDC_MOD})")
+    # let-bind the token split (operators.dedup.let): the boundary
+    # lambda reads element_at(w, i), and a plain aliased-column w
+    # collapses INTO the lambda (CollapseProject), re-running
+    # split(text) once per token — the r12 O(words^2) pitfall, found
+    # live by the r13 invariant-lambda audit heuristic this gate now
+    # pins to zero (tests/test_plan_audit_gate.py).
     toks = docs.select(
         "doc_id",
-        F.expr("split(text, ' ')").alias("w")).select(
-        "doc_id",
-        F.expr(f"transform(w, (x, i) -> struct("
-               f"CAST(i AS BIGINT) AS pos, x AS word, "
-               f"CASE WHEN i = 0 THEN 0 WHEN {gate} = 0 THEN 1 "
-               f"ELSE 0 END AS b))").alias("toks"))
+        F.expr(let(
+            "split(text, ' ')", "w",
+            f"transform(w, (x, i) -> struct("
+            f"CAST(i AS BIGINT) AS pos, x AS word, "
+            f"CASE WHEN i = 0 THEN 0 WHEN {gate} = 0 THEN 1 "
+            f"ELSE 0 END AS b))")).alias("toks"))
     tok = toks.select("doc_id", F.explode("toks").alias("t"))
     wc = W.partitionBy("doc_id").orderBy("t.pos")
     chunked = tok.select(

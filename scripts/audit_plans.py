@@ -113,6 +113,51 @@ def _window_is_unpartitioned(body: str) -> bool:
                                  for e in entries)
 
 
+#: Expensive per-row calls that must never re-evaluate per lambda
+#: ITERATION: the two r12 finds (text_ngram_novelty,
+#: text_repetition_filter) were exactly a split(text, ' ') inside a
+#: transform lambda body — CollapseProject inlines the aliased column
+#: into the lambda, so the split runs once per gram: O(words^2)
+#: splits per document (see operators/dedup.py::let).
+_EXPENSIVE_CALL_RE = re.compile(
+    r"\b(split|sequence|regexp_extract_all|regexp_extract"
+    r"|regexp_replace|regexp_like)\(")
+
+
+def _balanced_span(text: str, open_paren: int) -> int:
+    """Index just past the ')' matching the '(' at ``open_paren``."""
+    depth = 0
+    for j in range(open_paren, len(text)):
+        if text[j] == "(":
+            depth += 1
+        elif text[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return j + 1
+    return len(text)
+
+
+def _invariant_lambda_calls(plan: str) -> int:
+    """Count expensive calls inside ``lambdafunction(...)`` bodies
+    whose arguments reference NO lambda variable (they print as
+    ``lambda x#123``) — i.e. loop-invariant work re-evaluated once
+    per collection element, the r12 CollapseProject let pitfall
+    (verdict ask #7).  The fix is operators/dedup.py::let, which
+    binds the expression to a one-element transform OUTSIDE the
+    consuming lambda.  Distinct absolute offsets so a call inside a
+    nested lambda is counted once."""
+    flagged: set[int] = set()
+    for m in re.finditer(r"lambdafunction\(", plan):
+        body_start = m.end()
+        body_end = _balanced_span(plan, m.end() - 1)
+        body = plan[body_start:body_end - 1]
+        for c in _EXPENSIVE_CALL_RE.finditer(body):
+            call_text = body[c.start():_balanced_span(body, c.end() - 1)]
+            if "lambda " not in call_text:
+                flagged.add(body_start + c.start())
+    return len(flagged)
+
+
 def audit_query(df) -> dict:
     """Scan/cartesian/python/window counts for one built DataFrame's
     final executed plan.
@@ -192,7 +237,8 @@ def audit_query(df) -> dict:
             "per_source_physical": per_source_physical,
             "unpartitioned_windows": unpartitioned_windows,
             "cartesian": plan.count("CartesianProduct"),
-            "python": plan.count("BatchEvalPython")}
+            "python": plan.count("BatchEvalPython"),
+            "invariant_lambda_calls": _invariant_lambda_calls(plan)}
 
 
 def audit(spark, sf_dir: str, *, threshold: int = 4,
@@ -230,7 +276,8 @@ def audit(spark, sf_dir: str, *, threshold: int = 4,
             continue
         worst = max(counts["per_source"].values(), default=0)
         if (worst >= threshold or counts["cartesian"] or counts["python"]
-                or counts["unpartitioned_windows"]):
+                or counts["unpartitioned_windows"]
+                or counts["invariant_lambda_calls"]):
             flagged[name] = counts
     return flagged, errors
 

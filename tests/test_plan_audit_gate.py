@@ -111,6 +111,14 @@ ACCEPTED_UNPARTITIONED: dict[str, int] = {
 #: The one registered Python eval: the UDTF demonstrator, by design.
 ACCEPTED_PYTHON: dict[str, int] = {"text_chunk_udtf": 1}
 
+#: Loop-invariant expensive calls inside lambda bodies (the r12
+#: CollapseProject let pitfall — split/sequence/regexp_* re-evaluated
+#: once per collection element; r12 verdict ask #7).  EMPTY after the
+#: r12 let-bind fixes: any new entry is a review-required O(n^2)
+#: plan and must either be let-bound (operators/dedup.py::let) or
+#: triaged here with the reason the re-evaluation is cheap.
+ACCEPTED_INVARIANT_LAMBDA: dict[str, int] = {}
+
 
 #: Confs the audit's pinned counts assume (the get_session values).
 #: Pinned here because a PRIOR test leaking a changed conf (e.g. a
@@ -151,9 +159,20 @@ def audit_results(spark):
 
 def test_flagged_set_is_exactly_the_accepted_set(audit_results):
     expected = (set(ACCEPTED_SCANS) | set(ACCEPTED_PYTHON)
-                | set(ACCEPTED_UNPARTITIONED))
+                | set(ACCEPTED_UNPARTITIONED)
+                | set(ACCEPTED_INVARIANT_LAMBDA))
     assert set(audit_results) == expected, (
         sorted(set(audit_results) ^ expected))
+
+
+def test_invariant_lambda_calls_pinned_exactly(audit_results):
+    """r12 verdict ask #7: a new split/sequence/regexp_* call inside
+    a lambda body that references no lambda variable (the exact
+    signature of the two r12 O(words^2) finds) fails pytest as a
+    review-required plan."""
+    got = {n: c["invariant_lambda_calls"] for n, c in audit_results.items()
+           if c["invariant_lambda_calls"]}
+    assert got == ACCEPTED_INVARIANT_LAMBDA
 
 
 def test_no_cartesian_products_anywhere(audit_results):

@@ -65,6 +65,12 @@ def merge(records: list[dict]) -> dict:
         raise ValueError("a session had errored queries; fix first")
     queries = {n: round(min(r["queries"][n] for r in records), 3)
                for n in names}
+    # Heavy-tail tier (r12 verdict ask #5): merged identically, kept
+    # out of `value` so the headline total stays cross-round
+    # comparable.
+    tail_names = records[0].get("tail_queries", {}).keys()
+    tail = {n: round(min(r["tail_queries"][n] for r in records), 3)
+            for n in tail_names}
     return {
         "metric": records[0]["metric"],
         "scope": records[0].get("scope"),
@@ -74,7 +80,11 @@ def merge(records: list[dict]) -> dict:
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
+        "tail_scope": records[0].get("tail_scope"),
+        "tail_sec": round(sum(tail.values()), 3),
+        "tail_queries": tail,
         "session_totals": [r["value"] for r in records],
+        "session_tail_totals": [r.get("tail_sec") for r in records],
         # Per-session health stamps (r11 ask #7): steal share of host
         # ticks over each session window, plus how many steal-outlier
         # replacement runs each session granted — the dispersion

@@ -12,7 +12,7 @@ is structurally impossible rather than just currently absent.
 
 import json
 
-from bench import HEADLINE
+from bench import HEADLINE, TAIL
 
 # Driver keeps the last ~2,000 chars; leave headroom for a trailing
 # newline and any final log line fragments that share the tail.
@@ -25,6 +25,7 @@ def _compact_line(per_query_seconds: float) -> str:
         "value": round(per_query_seconds * len(HEADLINE), 2),
         "unit": "sec",
         "queries": {n: round(per_query_seconds, 2) for n in HEADLINE},
+        "tail_sec": round(per_query_seconds * len(TAIL), 2),
         "sf": 0.1,
     }
     return json.dumps(compact, separators=(",", ":"))
@@ -46,3 +47,15 @@ def test_compact_line_is_valid_driver_record():
     assert rec["metric"] == "headline_queries_total_runtime"
     assert rec["unit"] == "sec"
     assert set(rec["queries"]) == set(HEADLINE)
+
+
+def test_tail_tier_names_are_registered_and_disjoint():
+    """The heavy-tail tier (r12 verdict ask #5) must stay a real,
+    non-overlapping query set: every name registered, none also in
+    HEADLINE (its total would double-count), exactly the documented
+    10 slots."""
+    from kinesis_s3_data_shipper_spark.plans import all_queries
+    names = set(all_queries())
+    assert len(TAIL) == 10 and len(set(TAIL)) == 10
+    assert set(TAIL) <= names
+    assert not set(TAIL) & set(HEADLINE)

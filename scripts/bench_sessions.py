@@ -81,6 +81,7 @@ def merge(records: list[dict]) -> dict:
         "unit": "sec",
         "queries": queries,
         "tail_scope": records[0].get("tail_scope"),
+        "tail_action": records[0].get("tail_action"),
         "tail_sec": round(sum(tail.values()), 3),
         "tail_queries": tail,
         "session_totals": [r["value"] for r in records],

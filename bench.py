@@ -184,6 +184,25 @@ TAIL = [
 ]
 
 
+def full_value(df) -> int:
+    """Fetch-free full-value action: bit_xor(xxhash64(all cols)).
+    A bare count() lets Catalyst ELIMINATE work nothing reads —
+    measured on the tail tier's own first run: the ngram groups
+    form (docs LEFT JOIN distinct-keyed member map) "benched" at
+    0.53 s under count() because the row count is join-invariant
+    and the optimizer dropped both joins, vs 10.8 s for the real
+    plan (the sweep's compute_sec; same lesson documented at
+    tests/oracle_harness.py::full_value_agg).  Map columns route
+    through to_json (hash exprs reject MapType ordering).
+    Module-level so tests/test_bench_output.py can plan-pin the
+    join-survives-under-full-value property."""
+    from pyspark.sql import functions as F
+    cols = [F.to_json(F.col(c)) if "map<" in t else F.col(c)
+            for c, t in df.dtypes]
+    return len(df.select(F.bit_xor(F.xxhash64(*cols)).alias("h"))
+               .collect())
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     steal0, ticks0 = read_steal_ticks()
@@ -239,22 +258,6 @@ def main() -> None:
     all_bench = HEADLINE + TAIL
     runs: dict[str, list[float]] = {n: [] for n in all_bench}
     replaced: dict[str, int] = dict.fromkeys(all_bench, 0)
-
-    def full_value(df) -> int:
-        """Fetch-free full-value action: bit_xor(xxhash64(all cols)).
-        A bare count() lets Catalyst ELIMINATE work nothing reads —
-        measured on the tail tier's own first run: the ngram groups
-        form (docs LEFT JOIN distinct-keyed member map) "benched" at
-        0.53 s under count() because the row count is join-invariant
-        and the optimizer dropped both joins, vs 10.8 s for the real
-        plan (the sweep's compute_sec; same lesson documented at
-        tests/oracle_harness.py::full_value_agg).  Map columns route
-        through to_json (hash exprs reject MapType ordering)."""
-        from pyspark.sql import functions as F
-        cols = [F.to_json(F.col(c)) if "map<" in t else F.col(c)
-                for c, t in df.dtypes]
-        return len(df.select(F.bit_xor(F.xxhash64(*cols)).alias("h"))
-                   .collect())
 
     def one_run(name: str) -> None:
         nonlocal extra_budget

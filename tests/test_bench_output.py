@@ -59,3 +59,39 @@ def test_tail_tier_names_are_registered_and_disjoint():
     assert len(TAIL) == 10 and len(set(TAIL)) == 10
     assert set(TAIL) <= names
     assert not set(TAIL) & set(HEADLINE)
+
+
+def test_tail_full_value_action_defeats_count_join_elimination(spark):
+    """Plan-pin the round-13 tail-action lesson: for an output shaped
+    like the ngram groups form (left join against a distinct-keyed
+    member map), a bare count() lets Catalyst ELIMINATE the join (its
+    row count is join-invariant), so timing count() measures a scan,
+    not the plan — the tail tier's first artifact showed 0.53 s
+    against the 10.8 s real cost.  bench.full_value must keep the
+    join alive.  If a Spark upgrade changes either property, the tail
+    protocol needs re-deciding, so both directions are asserted."""
+    from pyspark.sql import functions as F
+
+    from bench import full_value
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"))
+    members = (docs.filter(F.col("doc_id") % 7 == 0)
+               .groupBy("doc_id")
+               .agg(F.min("text").alias("rep")))
+    out = docs.join(members, "doc_id", "left")
+
+    def optimized(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    # count(): the join is eliminated from the optimized plan...
+    assert "Join" not in optimized(out.groupBy().count()), (
+        "count() no longer eliminates the distinct-keyed left join - "
+        "the tail tier could go back to count() (re-measure first)")
+    # ...while the full-value hash keeps it (and runs correctly).
+    hashed = out.select(
+        F.bit_xor(F.xxhash64(*[F.col(c) for c in out.columns]))
+        .alias("h"))
+    assert "Join" in optimized(hashed)
+    assert full_value(out) == 1

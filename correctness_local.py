@@ -130,6 +130,13 @@ def main() -> int:
             print(f"unknown queries: {sorted(unknown)}", file=sys.stderr)
             return 2
     t0 = time.time()
+    # Steal stamp around the timed loop (the bench.py r11 health
+    # stamp, extended to the sweep in r13 after a noise episode
+    # inflated ~18 unrelated queries' single-shot timings by +1-5 s
+    # each and the artifact carried no evidence to attribute it —
+    # min-of-3 re-measurement showed the code unchanged).
+    from bench import read_steal_ticks
+    steal0, ticks0 = read_steal_ticks()
     out: dict[str, dict] = {}
     n_pass = n_fail = 0
     # One read-only connection for the whole sweep: re-registering 10
@@ -215,6 +222,12 @@ def main() -> int:
                           "cached toPandas (single execution); "
                           "compute_sec = the fetch-free prefix of "
                           "that — the cross-sf scale signal")}}
+    steal1, ticks1 = read_steal_ticks()
+    if steal0 is not None and steal1 is not None and ticks1 > ticks0:
+        meta["_meta"]["steal"] = {
+            "ticks": steal1 - steal0,
+            "pct_of_host": round(100.0 * (steal1 - steal0)
+                                 / (ticks1 - ticks0), 3)}
     with open(args.out, "w") as f:
         json.dump({**meta, **out}, f, indent=1, sort_keys=False)
     print(json.dumps(meta))

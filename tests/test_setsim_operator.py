@@ -61,8 +61,17 @@ def test_eager_release_drops_member_map_and_keeps_output(spark):
     # only the localCheckpointed OUTPUT may remain live; the member
     # map's MEMORY_AND_DISK entry was unpersisted before returning
     assert jsc.getPersistentRDDs().size() - before <= 1
-    eager_live = jsc.getPersistentRDDs().size()
+    # Compare persistent-RDD ID SETS, not map sizes: in the shared
+    # session the async ContextCleaner may unpersist an UNRELATED
+    # earlier RDD between the two snapshots, and a -1 from that
+    # cancels the lazy call's +1 (observed as a full-suite-only
+    # flake).  New-id arithmetic is immune to concurrent removals.
+    jjsc = spark.sparkContext._jsc
+    ids_before = set(jjsc.getPersistentRDDs().keySet().toArray())
     lazy = setsim_prefix_pairs(df, threshold=T)
     assert {(r.doc_a, r.doc_b): (r.n_common, r.jaccard)
             for r in lazy.collect()} == _brute(ROWS)
-    assert jsc.getPersistentRDDs().size() == eager_live + 1
+    ids_after = set(jjsc.getPersistentRDDs().keySet().toArray())
+    # exactly one NEW live entry: the lazy form's caller-owned
+    # member-map cache
+    assert len(ids_after - ids_before) == 1

@@ -623,9 +623,26 @@ def _ngram_members_and_rep_pairs(
     rep_txt = txt.join(repids, txt._id == repids._rid).drop("_rid")
     prepared = rep_txt.select(
         "_id", *block_cols, char_ngrams("_txt", ngram_n).alias("_grams"))
+    # r13: the generation pipeline runs in HASHED gram space — the
+    # exploded rows below pass through two window shuffles (per-block
+    # df count, per-doc rank) and the prefix equi-join, and an 8-byte
+    # long is cheaper than a UTF8String to shuffle, sort, and
+    # hash-join at every one of those steps.  No-miss is preserved:
+    # the prefix-filter theorem holds for ANY gram order consistent
+    # within a block (here: per-block df of the HASH, hash value as
+    # tiebreak), a cross-doc hash collision only MERGES universe
+    # elements (df inflates identically for both docs, the candidate
+    # join matches a superset — extra candidates, never a miss), the
+    # within-doc array_distinct keeps a collision from silently
+    # shortening a doc's effective prefix, and _s stays the TRUE
+    # string-gram set size, so prefix length and the alpha bound are
+    # computed against s >= s_hashed — erring long, which admits
+    # candidates and never drops one.  Stage 2 decides every emitted
+    # score on true string grams regardless.
     toks = prepared.select(
         "_id", *block_cols, F.size("_grams").alias("_s"),
-        F.explode("_grams").alias("_g"))
+        F.explode(F.array_distinct(F.transform(
+            "_grams", lambda g: F.xxhash64(g)))).alias("_g"))
     # Per-block df: pairs only form within a block, so any order
     # that is CONSISTENT WITHIN the block is valid — block-local
     # rarity is strictly more selective than global rarity.  A count
@@ -859,8 +876,20 @@ def setsim_prefix_pairs(docs: DataFrame, *, id_col: str = "doc_id",
             .select(F.col(id_col).alias("doc_id"),
                     F.explode(F.array_distinct(F.split(text_col, " ")))
                     .alias("word")))
-    df = toks.groupBy("word").agg(F.count("*").alias("df"))
-    ranked = (toks.join(F.broadcast(df), "word")
+    # r13: candidate GENERATION runs in HASHED token space (the
+    # blocked_ngram_jaccard_pairs rationale verbatim: 8-byte longs
+    # beat UTF8Strings through the df aggregate, the broadcast build,
+    # the rank window sort, and the prefix equi-join; a collision
+    # only merges universe elements — candidates become a superset,
+    # never fewer; within-doc array_distinct runs BEFORE hashing so
+    # s is the true token-set size and the prefix/alpha bounds err
+    # long).  The VERIFY below stays on STRING tokens — unlike the
+    # ngram operator's two-stage shape, n_common here is an OUTPUT
+    # value, and counting hashed matches could inflate it on a
+    # collision instead of merely costing work.
+    toksh = toks.select("doc_id", F.xxhash64("word").alias("word"))
+    df = toksh.groupBy("word").agg(F.count("*").alias("df"))
+    ranked = (toksh.join(F.broadcast(df), "word")
               .withColumn("pos", F.row_number().over(
                   W.partitionBy("doc_id").orderBy("df", "word")))
               .withColumn("s", F.count("*").over(W.partitionBy("doc_id"))))

@@ -689,7 +689,20 @@ def _ngram_members_and_rep_pairs(
                  .select("_ida", "_idb"))
     cands = _tap(cand_rows, diag, "cand_rows").distinct()
     cands = _tap(cands, diag, "cand_pairs")
-    # Verify sides read the REP-filtered text-first gram projection:
+    # r13 (optimization round): AQE coalesces the post-distinct
+    # candidate partitions by BYTES (~6 MB of id pairs -> ~10
+    # partitions at sf0.1), but the stage-1 verify below is CPU-bound
+    # per ROW (two ~400-element hashed-gram set intersects per pair),
+    # so byte-sized partitions left 2/3 of the cores idle.  An
+    # explicit hash repartition on the pair key spreads the intersect
+    # over every core — keyed, so it is deterministic under retry and
+    # skips the keyless repartition's sort-before-repartition; sized
+    # from defaultParallelism, which tracks executor core count at
+    # any deployment scale (a CPU knob for a CPU-bound stage, guide
+    # §2.5).  Measured min-of-3 at sf0.1: the survivors subplan
+    # 7.9 s -> 5.7 s.
+    cands = cands.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "_ida", "_idb")
     # candidate ids are always reps, so corpus-wide gram arrays were
     # pure waste — and at 10x replication the old scan-projection was
     # broadcast-ESTIMATED from parquet stats and shipped the entire
@@ -921,6 +934,14 @@ def setsim_prefix_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                  .select("doc_a", "doc_b", "sa", "sb"))
     cands = _tap(cand_rows, diag, "cand_rows").distinct()
     cands = _tap(cands, diag, "cand_pairs")
+    # r13: same CPU-vs-bytes repartition as the char-ngram operator's
+    # stage-1 (see blocked_ngram_jaccard_pairs) — the exploded
+    # intersection count below fans each pair out by its token lists,
+    # and AQE's byte-coalesced candidate partitions under-parallelize
+    # that CPU-bound fan-out.
+    cands = cands.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism,
+        "doc_a", "doc_b")
     ta = toks.select(F.col("doc_id").alias("doc_a"),
                      F.col("word").alias("wa"))
     tb = toks.select(F.col("doc_id").alias("doc_b"),

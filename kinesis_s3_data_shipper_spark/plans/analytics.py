@@ -11,7 +11,7 @@ surface belongs inside that window (see plans.base._load_all).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, Observation, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.decimal_safe import fixed2_str, sql_fixed2_str
@@ -383,29 +383,61 @@ SELECT CAST(month AS STRING) AS month, rev, s AS ewma_rev FROM ewma
               "the identical monthly pre-aggregate. Scale: the "
               "recursion runs on the tiny month-level aggregate "
               "(group count rows), never the fact table — pre-"
-              "aggregate first, recurse on the rollup. The rollup is "
-              "MATERIALIZED before the recursion (r10): Spark's "
-              "recursive-CTE executor re-evaluates the joined "
-              "relation m EVERY step, so inlining the monthly "
-              "aggregate re-ran the full orders scan+agg once per "
-              "month — 80 months made it the sweep's slowest "
-              "relational query (48 s at sf0.1; 80 corpus scans at "
-              "100 TB). One eager checkpoint of the |months|-row "
-              "rollup drops it to the recursion's fixed per-step "
-              "scheduling cost (~10 s), with the float chain and the "
-              "oracle text unchanged.")
+              "aggregate first, recurse on the rollup. Spark side "
+              "(r13, optimization round): the linear recursion over "
+              "the |months|-row rollup is executed as a single-task "
+              "array FOLD — sort_array(collect_list(struct)) then "
+              "aggregate() replaying s' = a*x + (1-a)*s element by "
+              "element, the IDENTICAL IEEE expression tree in the "
+              "IDENTICAL order, so the chain stays bit-exact vs the "
+              "recursive-CTE oracle (verified at sf0.001/0.01/0.1). "
+              "The recursive-CTE executor schedules one step per "
+              "month (~80 jobs, a data-independent ~5 s floor at any "
+              "sf — and it re-evaluates the joined relation m every "
+              "step, which before the r10 rollup checkpoint meant 80 "
+              "full corpus scans at 100 TB); the fold runs the whole "
+              "chain inside one task over the group-count-sized "
+              "rollup, which is also the scale-correct shape: the "
+              "recursion's input is |months| rows regardless of "
+              "corpus size, so single-task is the floor, not a "
+              "bottleneck.")
 def recursive_ewma_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
-
-    from ..operators.checkpoint import truncated_checkpoint
     view = f"orders_ewma_{uuid.uuid4().hex[:8]}"
     load_table(spark, sf_dir, "orders").createOrReplaceTempView(view)
-    monthly = _EWMA_MONTHLY.replace("FROM orders", f"FROM {view}")
-    mview = f"monthly_ewma_{uuid.uuid4().hex[:8]}"
-    # The checkpoint frame stays alive as long as the returned result
-    # reads it (caller-owned, like every live _graph_ckpt leaf).
-    truncated_checkpoint(spark.sql(monthly)).createOrReplaceTempView(mview)
-    return spark.sql(_ewma_sql(f"SELECT idx, month, rev FROM {mview}"))
+    monthly = spark.sql(_EWMA_MONTHLY.replace("FROM orders", f"FROM {view}"))
+    return _ewma_fold(monthly)
+
+
+def _ewma_fold(monthly: DataFrame,
+               alpha: float = float(_EWMA_ALPHA)) -> DataFrame:
+    """The recursive-CTE EWMA chain executed as a single-task array
+    fold over the (idx, month, rev) rollup — bit-exact vs the oracle's
+    WITH RECURSIVE (pinned by tests/test_ewma_fold.py)."""
+    # sort_array orders the structs by idx (first field, unique), so
+    # the fold replays the recursion in exactly the oracle's step
+    # order; collect_list's nondeterministic order is irrelevant.
+    arr = monthly.agg(F.array_sort(
+        F.collect_list(F.struct("idx", "month", "rev"))).alias("a"))
+    # s' = a*x + (1.0-a)*s — the oracle's recursive-step expression
+    # verbatim ((1.0-a) constant-folds identically in both engines);
+    # base case s_1 = rev_1, the CTE anchor.
+    step = lambda acc, x: F.concat(acc, F.array(F.struct(  # noqa: E731
+        x["idx"].alias("idx"), x["month"].alias("month"),
+        x["rev"].alias("rev"),
+        F.when(F.size(acc) == 0, x["rev"]).otherwise(
+            F.lit(alpha) * x["rev"]
+            + (F.lit(1.0) - F.lit(alpha)) * F.element_at(acc, -1)["s"])
+        .alias("s"))))
+    chain = F.aggregate(
+        "a",
+        F.expr("CAST(array() AS ARRAY<STRUCT<idx: BIGINT, month: DATE,"
+               " rev: DOUBLE, s: DOUBLE>>)"),
+        step)
+    folded = arr.select(F.explode(chain).alias("r"))
+    return folded.select(F.col("r.month").cast("string").alias("month"),
+                         F.col("r.rev").alias("rev"),
+                         F.col("r.s").alias("ewma_rev"))
 
 
 #: Column inventory the profiler walks, with the per-type VARCHAR
@@ -1611,18 +1643,28 @@ FROM und{rounds} GROUP BY u""")
         "Spark dataflows quadratic in rounds at 100 TB).")
 def graph_kcore_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _copurchase_edges(spark, sf_dir)
+    # r13 (optimization round): the edge counts the convergence check
+    # needs are FUSED into the checkpoint materializations via
+    # observe() — the connected_components pattern — replacing the
+    # initial und.count() and the per-round survived.count() jobs
+    # (1 + rounds scheduled jobs of pure loop control).
+    obs0 = Observation()
     und = _graph_ckpt(
         e.select(F.col("s").alias("u"), F.col("d").alias("v"))
         .unionAll(e.select(F.col("d").alias("u"),
-                           F.col("s").alias("v"))))
+                           F.col("s").alias("v")))
+        .observe(obs0, F.count(F.lit(1)).alias("n_edges")))
     _graph_unpersist(e)  # und is materialized; the directed list is dead
-    n_edges = und.count()
+    n_edges = obs0.get["n_edges"]
     for _ in range(_KCORE_FIX_ROUNDS):
         # The degree table feeds BOTH semi-join sides of the peel; the
         # node-sized checkpoint keeps the agg from running twice.
         deg = _graph_ckpt(_kcore_degrees(und))
-        survived = _graph_ckpt(_kcore_peel(und, deg))
-        n_next = survived.count()
+        obs = Observation()
+        survived = _graph_ckpt(_kcore_peel(und, deg)
+                               .observe(obs, F.count(F.lit(1))
+                                        .alias("n_edges")))
+        n_next = obs.get["n_edges"]
         # Each round's eager materialization has fully consumed deg and
         # (on progress) the previous survivor set — release superseded
         # rounds so live blocks stay O(1) rounds, not O(rounds).
@@ -1713,6 +1755,18 @@ def graph_pagerank_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         outdeg.select(F.col("u").alias("node"),
                       F.lit(1_000_000_000_000).cast("long").alias("pr")))
     for _ in range(_PAGERANK_FIX_ROUNDS):
+        # r13 (optimization round): the convergence count is FUSED
+        # into the checkpoint materialization — the previous round's
+        # pr is left-joined in (node sets are identical: both are
+        # und's endpoint set, so no row is added or dropped) and an
+        # observe() metric counts changed nodes while the blocks
+        # write, replacing the separate nxt-vs-rank join+count job
+        # that ran once per round (8 scheduled jobs on a plan whose
+        # per-round data is tiny — pure scheduling floor).  The
+        # metric's count matches the old inner-join count exactly:
+        # _prev is non-null for every node, and count(when(...))
+        # counts strict pr inequality.
+        obs = Observation()
         nxt = _graph_ckpt(
             und.join(rank.select(F.col("node").alias("u"), "pr"), "u")
             .join(outdeg, "u")
@@ -1722,9 +1776,14 @@ def graph_pagerank_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.expr(
                 "CAST(150000000000 + "
                 "(85 * sum(CAST(c AS DECIMAL(38,0)))) div 100 "
-                "AS BIGINT)").alias("pr")))
-        n_changed = (nxt.alias("a").join(rank.alias("b"), "node")
-                     .filter(F.col("a.pr") != F.col("b.pr")).count())
+                "AS BIGINT)").alias("pr"))
+            .join(rank.select("node", F.col("pr").alias("_prev")),
+                  "node", "left")
+            .observe(obs, F.count(F.when(
+                F.col("_prev").isNotNull()
+                & (F.col("pr") != F.col("_prev")), 1)).alias("n_changed"))
+            .drop("_prev"))
+        n_changed = obs.get["n_changed"]
         if n_changed == 0:
             _graph_unpersist(nxt)  # fixpoint: rank already holds it
             break
@@ -1876,6 +1935,12 @@ def graph_louvain_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         moved = ((F.col("gain_num") > 0)
                  & ~(F.col("t_node").isNotNull()
                      & (F.col("node") < F.col("community"))))
+        # r13 (optimization round): the convergence sum is FUSED into
+        # the checkpoint materialization via observe() — the gain
+        # column is already in the frame, so the separate
+        # comm.agg(sum).first() job that ran once per level was pure
+        # scheduling floor on a tiny plan.
+        obs = Observation()
         comm = _graph_ckpt(
             deg.select("node")
             .join(dec, "node", "left")
@@ -1887,12 +1952,14 @@ def graph_louvain_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(moved, F.col("community"))
                     .otherwise(F.col("node")).alias("community"),
                     F.when(moved, F.col("gain_num"))
-                    .otherwise(F.lit(0)).cast("long").alias("gain")))
+                    .otherwise(F.lit(0)).cast("long").alias("gain"))
+            .observe(obs, F.sum("gain").alias("total_gain")))
         _graph_unpersist(dec)
         # Convergence = nobody MOVED this level (any positive gain
         # produces at least one mover: non-mutual winners move, and a
-        # mutual pair moves its larger id) — one driver-side long.
-        total_gain = comm.agg(F.sum("gain")).first()[0]
+        # mutual pair moves its larger id) — one driver-side long,
+        # read from the observation the checkpoint write populated.
+        total_gain = obs.get["total_gain"]
         if not total_gain:
             _graph_unpersist(comm)
             break

@@ -368,7 +368,18 @@ def _stage_time_slices(spark: SparkSession, sf_dir: str,
     work = staging_dir("ksds_stream_")
     landing = os.path.join(work, "landing")
     os.makedirs(landing)
-    for i in range(n_slices):
+
+    # r13 (optimization round): the slice writes are independent
+    # single-task jobs (each a filtered scan + coalesce(1) encode), so
+    # they run CONCURRENTLY from a small driver thread pool (guide
+    # §2.6 overlap-independent-jobs) instead of serially — the staged
+    # bytes, boundaries, and per-slice file contents are byte-for-byte
+    # what the serial loop produced; only the wall time changes
+    # (measured ~0.9 s -> ~0.4 s at sf0.1, paid once per stateful
+    # twin).  mtimes are stamped AFTER all writes land, in slice
+    # order, so the maxFilesPerTrigger=1 ordering contract is
+    # untouched by write-completion order.
+    def _write_slice(i: int) -> str:
         a = int(lo) + span * i // n_slices
         b = int(lo) + span * (i + 1) // n_slices
         slice_dir = os.path.join(work, f"slice_{i}")
@@ -377,6 +388,12 @@ def _stage_time_slices(spark: SparkSession, sf_dir: str,
         part = glob.glob(os.path.join(slice_dir, "part-*.parquet"))[0]
         dest = os.path.join(landing, f"slice_{i}.parquet")
         os.rename(part, dest)
+        return dest
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=n_slices) as pool:
+        dests = list(pool.map(_write_slice, range(n_slices)))
+    for i, dest in enumerate(dests):
         os.utime(dest, (1_000_000 + i, 1_000_000 + i))
     return landing, os.path.join(work, "ckpt")
 

@@ -106,6 +106,12 @@ ACCEPTED_UNPARTITIONED: dict[str, int] = {
     "profile_key_skew": 2,             # count-of-counts (checkpointed)
     "warehouse_partition_stats_skew": 1,  # |months| partitions
     "parts_skyline_pareto": 1,         # |p_size| groups (50)
+    # r13: the EWMA fold inlines the monthly rollup (the pre-r13 plan
+    # hid this same row_number-over-months window behind an eager
+    # checkpoint, so the audit never saw it; the window itself is
+    # unchanged).  |months| rows (~80 at any sf — group count of a
+    # month-truncated date), the canonical tiny-aggregate class.
+    "recursive_ewma_monthly": 1,
 }
 
 #: The one registered Python eval: the UDTF demonstrator, by design.

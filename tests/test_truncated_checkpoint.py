@@ -124,3 +124,32 @@ def test_release_refuses_multi_child_plans(spark):
     assert jsc.getPersistentRDDs().size() == live
     release_checkpoint(a)
     release_checkpoint(b)
+
+
+def test_observe_metric_fires_during_checkpoint_materialization(spark):
+    """r13 optimization pin: the graph fixpoint loops fuse their
+    convergence aggregate into the per-round checkpoint via
+    ``observe()`` — one job per round instead of two.  That relies on
+    ``localCheckpoint(eager=True)`` counting as the action that
+    populates the Observation (for the plain AND the DISK_ONLY
+    storage-level path).  A Spark upgrade that stops delivering
+    metrics for the checkpoint action must fail HERE, not stall a
+    fixpoint loop waiting on ``obs.get``."""
+    from pyspark.sql import Observation
+    from pyspark.storagelevel import StorageLevel
+
+    for level in (None, StorageLevel.DISK_ONLY):
+        obs = Observation()
+        df = (spark.range(100)
+              .selectExpr("id as k", "id % 7 as gain")
+              .observe(obs, F.sum("gain").alias("total_gain"),
+                       F.count(F.when(F.col("k") % 2 == 0, 1))
+                       .alias("n_changed")))
+        ckpt = (truncated_checkpoint(df) if level is None
+                else truncated_checkpoint(df, level))
+        got = obs.get
+        assert got["total_gain"] == sum(i % 7 for i in range(100))
+        assert got["n_changed"] == 50
+        # The checkpointed frame is intact and readable afterwards.
+        assert ckpt.count() == 100
+        release_checkpoint(ckpt)

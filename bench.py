@@ -327,6 +327,13 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # r14 (verdict ask #2): echo the EFFECTIVE core count, read back
+    # from the live SparkContext rather than the env var, so the
+    # driver's scaling probe can verify $SPARK_GRAFT_CPUS took effect
+    # (local[n] => defaultParallelism == n) instead of inferring it
+    # from ratios on scheduling-bound sub-second queries
+    # (PERF_r13.json's suspect_cpus_ignored false alarm).
+    eff_cpus = spark.sparkContext.defaultParallelism
     full = {
         "metric": "headline_queries_total_runtime",
         "scope": f"headline_{len(HEADLINE)}_of_{len(queries)}_registered",
@@ -358,6 +365,7 @@ def main() -> None:
         "dispersion": dispersion,
         "replaced_runs": replaced_total,
         "sf": sf_val,
+        "cpus": eff_cpus,
     }
     steal1, ticks1 = read_steal_ticks()
     if steal0 is not None and steal1 is not None and ticks1 > ticks0:
@@ -378,7 +386,16 @@ def main() -> None:
         # map lives in the FULL record (capture budget).
         "tail_sec": round(sum(tail_timings.values()), 2),
         "sf": sf_val,
+        # r14 (verdict ask #2): session config + health are part of the
+        # driver-visible line, so a mis-configured or steal-contaminated
+        # session self-identifies instead of reading as a regression
+        # (r13's driver session carried 1.517% steal vs the committed
+        # sessions' 0.003-0.09% and its uniform ~25% inflation was only
+        # diagnosable from the side file).
+        "cpus": eff_cpus,
     }
+    if "steal" in full:
+        compact["steal_pct"] = full["steal"]["pct_of_host"]
     if errors:
         # A crashed query's timing is missing from `value`, so the
         # headline total must never be compared against a full run.

@@ -703,6 +703,7 @@ def _ngram_members_and_rep_pairs(
     # 7.9 s -> 5.7 s.
     cands = cands.repartition(
         docs.sparkSession.sparkContext.defaultParallelism, "_ida", "_idb")
+    # Verify sides read the REP-filtered text-first gram projection:
     # candidate ids are always reps, so corpus-wide gram arrays were
     # pure waste — and at 10x replication the old scan-projection was
     # broadcast-ESTIMATED from parquet stats and shipped the entire

@@ -266,10 +266,19 @@ def identity_partition_tokens(spark, n: int) -> dict[int, int]:
     (tests/test_compaction.py) guards the same invariant end-to-end.
     """
     from pyspark.sql import functions as F
-    cache_key = (spark.sparkContext.applicationId, n)
+    app_id = spark.sparkContext.applicationId
+    cache_key = (app_id, n)
     cached = _IDENTITY_TOKENS_CACHE.get(cache_key)
     if cached is not None:
         return dict(cached)
+    # Evict entries from dead applications on insert (r13 advice): the
+    # cache is keyed by applicationId, so in a long-lived process that
+    # creates many sessions, stale apps' token maps would otherwise
+    # accumulate unboundedly.  Keeping only the LIVE application also
+    # re-asserts the cache's contract: hash-placement tokens for this
+    # SparkContext, never data.
+    for stale in [k for k in _IDENTITY_TOKENS_CACHE if k[0] != app_id]:
+        del _IDENTITY_TOKENS_CACHE[stale]
     need = set(range(n))
     tokens: dict[int, int] = {}
     base = 0

@@ -1669,6 +1669,17 @@ def graph_kcore_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (on progress) the previous survivor set — release superseded
         # rounds so live blocks stay O(1) rounds, not O(rounds).
         _graph_unpersist(deg)
+        # RETRY CAVEAT (r13 advice): observed metrics are accumulator-
+        # backed, and task/stage RETRIES can overcount them at cluster
+        # scale.  Pagerank/louvain fusions fail safe (an overcount only
+        # delays convergence), but THIS equality is the one terminating
+        # comparison where an inflated n_next that happens to equal
+        # n_edges would end peeling early on an unpeeled graph.  The
+        # assumption is the same one _graph_ckpt already makes: these
+        # localCheckpoint loops accept executor-loss-fails-query, and
+        # local mode never retries a succeeded task — a retry-prone
+        # deployment that re-backs the checkpoints with reliable
+        # storage must also swap this check for an exact count().
         if n_next == n_edges:
             _graph_unpersist(survived)  # fixpoint: und already holds it
             break

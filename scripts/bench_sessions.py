@@ -95,6 +95,10 @@ def merge(records: list[dict]) -> dict:
         "session_replaced_runs": [
             r.get("replaced_runs", 0) for r in records],
         "sf": records[0]["sf"],
+        # r14: the per-session effective core count (bench.py now reads
+        # it back from the live SparkContext) rides along so the merged
+        # artifact is self-describing too.
+        "cpus": records[0].get("cpus"),
     }
 
 

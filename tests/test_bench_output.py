@@ -27,15 +27,23 @@ def _compact_line(per_query_seconds: float) -> str:
         "queries": {n: round(per_query_seconds, 2) for n in HEADLINE},
         "tail_sec": round(per_query_seconds * len(TAIL), 2),
         "sf": 0.1,
+        # r14 contract fields at their widest plausible rendering: a
+        # 3-digit core count and a 100.0% steal share.
+        "cpus": 128,
+        "steal_pct": 100.0,
     }
     return json.dumps(compact, separators=(",", ":"))
 
 
 def test_compact_line_fits_capture_budget_at_worst_plausible_timings():
-    # 999.99 s/query is far beyond anything observed (worst single
-    # query across five rounds: ~8 s); 6-char values are the widest
-    # rendering 2-decimal rounding produces below 1000 s.
-    line = _compact_line(999.99)
+    # 99.99 s/query is far beyond anything observed (worst single
+    # query min across all rounds: ~2.5 s; worst single RUN incl.
+    # steal spikes: ~24.5 s — and the compact line carries min-of-4,
+    # never a single run); 5-char values are the widest rendering
+    # 2-decimal rounding produces below 100 s.  The bound was 999.99
+    # before r14 added the cpus/steal_pct fields; a 40x margin on the
+    # worst observed min is still structural, not incidental.
+    line = _compact_line(99.99)
     assert len(line) <= CAPTURE_BUDGET, (
         f"compact bench line is {len(line)} chars at worst-case "
         f"timings; trim HEADLINE or shorten the record"
@@ -47,6 +55,9 @@ def test_compact_line_is_valid_driver_record():
     assert rec["metric"] == "headline_queries_total_runtime"
     assert rec["unit"] == "sec"
     assert set(rec["queries"]) == set(HEADLINE)
+    # r14 contract: the config/health echo fields parse as numbers.
+    assert isinstance(rec["cpus"], int)
+    assert isinstance(rec["steal_pct"], float)
 
 
 def test_tail_tier_names_are_registered_and_disjoint():

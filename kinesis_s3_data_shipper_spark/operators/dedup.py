@@ -667,12 +667,6 @@ def _ngram_members_and_rep_pairs(
                        F.col("_s").alias("_sa"), F.col("_pos").alias("_pa"))
     pb = prefix.select(*block_cols, "_g", F.col("_id").alias("_idb"),
                        F.col("_s").alias("_sb"), F.col("_pos").alias("_pb"))
-    # alpha = the minimum overlap a qualifying pair must have; both
-    # ceils carry the same 1e-9 safety nudge as the prefix length
-    # (erring LOW on alpha only admits extra candidates, never
-    # misses).
-    alpha = F.ceil(F.lit(threshold / (1.0 + threshold))
-                   * (F.col("_sa") + F.col("_sb")) - F.lit(1e-9))
     cand_rows = (pa.join(pb, [*block_cols, "_g"])
                  .filter((F.col("_ida") < F.col("_idb"))
                          # length filter
@@ -681,13 +675,60 @@ def _ngram_members_and_rep_pairs(
                             - F.lit(1e-9))
                          & (F.col("_sa")
                             >= F.lit(threshold) * F.col("_sb")
-                            - F.lit(1e-9))
-                         # positional filter
-                         & (1 + F.least(F.col("_sa") - F.col("_pa"),
-                                        F.col("_sb") - F.col("_pb"))
-                            >= alpha))
-                 .select("_ida", "_idb"))
-    cands = _tap(cand_rows, diag, "cand_rows").distinct()
+                            - F.lit(1e-9)))
+                 .select("_ida", "_idb", "_sa", "_sb", "_pa", "_pb"))
+    cand_rows = _tap(cand_rows, diag, "cand_rows")
+    # r14: AGGREGATED positional filter (PPJoin's suffix bound applied
+    # per PAIR instead of per matched row).  The join emits one row
+    # per SHARED prefix gram; the r13 shape deduplicated them with
+    # distinct() and kept a pair if ANY single row passed the per-row
+    # bound 1 + least(sa-pa, sb-pb) >= alpha — which on this corpus
+    # pruned ~nothing (templated substrings put a shared gram early in
+    # almost every candidate) and fed 391k pairs into the stage-1
+    # verify for 76 qualifiers (NGRAM_CANDIDATE_ECONOMY.json).  The
+    # same groupBy shuffle that distinct() already paid can instead
+    # count the shared prefix grams k and take the max matched
+    # positions, giving the far tighter TRUE upper bound on overlap:
+    #
+    #   o  <=  k + least(sa - max(_pa), sb - max(_pb))
+    #
+    # Validity: positions rank each doc's grams in the block-consistent
+    # (df, hash) order, so g < g' implies pos(g) < pos(g') in EVERY doc
+    # containing both.  Let g* be the order-largest shared prefix gram
+    # — max(_pa) and max(_pb) are BOTH g*'s positions (order
+    # consistency).  Any common gram not counted in k is outside at
+    # least one prefix, hence order-greater than that doc's entire
+    # prefix, hence > g* (g* sits inside both prefixes) — so it lies
+    # at positions > max(_pa) AND > max(_pb), and there are at most
+    # least(sa - max(_pa), sb - max(_pb)) of those.  Hashed-space
+    # caveats err safe: positions come from the array_distinct'ed
+    # hashed arrays (<= true positions, so the suffix terms err LONG),
+    # sa/sb are TRUE string-set sizes (>= hashed sizes), and alpha is
+    # computed at threshold - HASH_MARGIN — the stage-1 relaxation —
+    # so the bound can only drop a qualifying pair if cross-gram hash
+    # collisions eat the whole margin (~orders of magnitude beyond
+    # reachable, same analysis as the stage-1 filter below; the
+    # brute-force no-miss oracle gate re-attests every round).
+    # Measured at sf0.1 (economy taps re-run): cand_pairs 391,303 ->
+    # 39,655 entering stage 1 and cand_rows 1.46M -> 3.29M flowing into
+    # this aggregation (the dropped per-row filter pruned rows, not
+    # pairs — and the groupBy partial-aggregates map-side, so the extra
+    # rows never cross the exchange as rows, while the verify stage
+    # downstream shrinks 10x).  Qualifying pairs unchanged at 76;
+    # sf0.01 cand_pairs 3,163 -> 328 at 6 qualifying.
+    th_h = threshold - HASH_MARGIN
+    alpha_h = F.ceil(F.lit(th_h / (1.0 + th_h))
+                     * (F.col("_sa") + F.col("_sb")) - F.lit(1e-9))
+    cands = (cand_rows
+             .groupBy("_ida", "_idb", "_sa", "_sb")
+             .agg(F.count("*").alias("_k"),
+                  F.max("_pa").alias("_pam"),
+                  F.max("_pb").alias("_pbm"))
+             .filter(F.col("_k")
+                     + F.least(F.col("_sa") - F.col("_pam"),
+                               F.col("_sb") - F.col("_pbm"))
+                     >= alpha_h)
+             .select("_ida", "_idb"))
     cands = _tap(cands, diag, "cand_pairs")
     # r13 (optimization round): AQE coalesces the post-distinct
     # candidate partitions by BYTES (~6 MB of id pairs -> ~10

@@ -1281,12 +1281,15 @@ def _kcore_degrees(edges: DataFrame) -> DataFrame:
 
 
 def _kcore_peel(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    # r14: the alive set is node-sized — broadcast both semi-joins
+    # (the _oriented_edges degree-annotation pattern) so a peel round
+    # never shuffles the edge-scale frame by u and again by v.
     alive = deg.filter(F.col("dg") >= _KCORE_K).select("node")
     return (edges
-            .join(alive.withColumnRenamed("node", "u"), "u",
-                  "left_semi")
-            .join(alive.withColumnRenamed("node", "v"), "v",
-                  "left_semi"))
+            .join(F.broadcast(alive.withColumnRenamed("node", "u")),
+                  "u", "left_semi")
+            .join(F.broadcast(alive.withColumnRenamed("node", "v")),
+                  "v", "left_semi"))
 
 
 #: Benford first-digit expectation, per mille: round(log10(1+1/d)*1000)
@@ -1464,11 +1467,20 @@ def _louvain_merge_decision(und: DataFrame, deg: DataFrame,
     put when the best gain is <= 0.  Shared verbatim by the phase-1
     merge step and the phase-2 contracted re-run, mirroring the
     oracle's shared CTE prefix."""
+    # r14: the degree annotations are node-sized BROADCASTS (the
+    # _oriented_edges degree-annotation pattern this graph family
+    # already uses, and the r13 verdict's louvain ask): without the
+    # hint the stats-firewalled checkpoints default to huge estimates
+    # and every per-level join sort-merge-shuffles the EDGE-scale
+    # frame by u and again by v — measured 5 Exchanges in the level-0
+    # decision job vs 1 (the argmax groupBy) after.  Deg shrinks every
+    # contraction level, so level 0's node set is the broadcast
+    # ceiling, identical to the jaccard/triangle family's.
     gains = (und
-             .join(deg.select(F.col("node").alias("u"),
-                              F.col("k").alias("ku")), "u")
-             .join(deg.select(F.col("node").alias("v"),
-                              F.col("k").alias("kv")), "v")
+             .join(F.broadcast(deg.select(F.col("node").alias("u"),
+                                          F.col("k").alias("ku"))), "u")
+             .join(F.broadcast(deg.select(F.col("node").alias("v"),
+                                          F.col("k").alias("kv"))), "v")
              .crossJoin(F.broadcast(m2))
              .select(F.col("u").alias("node"),
                      F.col("v").alias("neighbor"), "ku",
@@ -1557,23 +1569,27 @@ def graph_louvain_contract_step(spark: SparkSession,
     und, deg, m2 = _louvain_graph(spark, sf_dir)
     comm = _graph_ckpt(_louvain_merge_decision(und, deg, m2)
                        .select("node", "community"))
+    # r14: node-sized community map broadcast into the contraction
+    # joins (the fixpoint loop's rationale, same annotation pattern).
     cund = _graph_ckpt(
-        und.join(comm.select(F.col("node").alias("u"),
-                             F.col("community").alias("cu")), "u")
-        .join(comm.select(F.col("node").alias("v"),
-                          F.col("community").alias("cv")), "v")
+        und.join(F.broadcast(comm.select(F.col("node").alias("u"),
+                                         F.col("community")
+                                         .alias("cu"))), "u")
+        .join(F.broadcast(comm.select(F.col("node").alias("v"),
+                                      F.col("community")
+                                      .alias("cv"))), "v")
         .filter(F.col("cu") != F.col("cv"))
         .groupBy(F.col("cu").alias("u"), F.col("cv").alias("v"))
         .agg(F.sum("w").cast("long").alias("w")))
     cdeg = _graph_ckpt(
-        deg.join(comm, "node")
+        deg.join(F.broadcast(comm), "node")
         .groupBy(F.col("community").alias("node"))
         .agg(F.sum("k").cast("long").alias("k")))
     decided = _louvain_merge_decision(cund, cdeg, m2)
     return (cdeg.select("node", F.col("k").alias("k_node"))
-            .join(decided.select("node",
-                                 F.col("community").alias("comm2"),
-                                 F.col("gain_num").alias("g2")),
+            .join(F.broadcast(decided.select(
+                      "node", F.col("community").alias("comm2"),
+                      F.col("gain_num").alias("g2"))),
                   "node", "left")
             .select("node", "k_node",
                     F.coalesce("comm2", F.col("node")).alias("community"),
@@ -1777,10 +1793,15 @@ def graph_pagerank_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         # metric's count matches the old inner-join count exactly:
         # _prev is non-null for every node, and count(when(...))
         # counts strict pr inequality.
+        # r14: rank/outdeg are node-sized — broadcast them (the
+        # _oriented_edges degree-annotation pattern) so each round's
+        # job shuffles only the contribution groupBy, never the
+        # edge-scale und by u (measured 4 Exchanges -> 1 per round).
         obs = Observation()
         nxt = _graph_ckpt(
-            und.join(rank.select(F.col("node").alias("u"), "pr"), "u")
-            .join(outdeg, "u")
+            und.join(F.broadcast(rank.select(F.col("node").alias("u"),
+                                             "pr")), "u")
+            .join(F.broadcast(outdeg), "u")
             .select(F.col("v").alias("node"),
                     F.expr("pr div d").alias("c"))
             .groupBy("node")
@@ -1788,7 +1809,8 @@ def graph_pagerank_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(150000000000 + "
                 "(85 * sum(CAST(c AS DECIMAL(38,0)))) div 100 "
                 "AS BIGINT)").alias("pr"))
-            .join(rank.select("node", F.col("pr").alias("_prev")),
+            .join(F.broadcast(rank.select("node",
+                                          F.col("pr").alias("_prev"))),
                   "node", "left")
             .observe(obs, F.count(F.when(
                 F.col("_prev").isNotNull()
@@ -1951,11 +1973,16 @@ def graph_louvain_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         # column is already in the frame, so the separate
         # comm.agg(sum).first() job that ran once per level was pure
         # scheduling floor on a tiny plan.
+        # r14: dec/back are node-sized decision tables — broadcast them
+        # (the merge decision's degree-annotation rationale) so the
+        # comm job plans with zero Exchange instead of three node-frame
+        # shuffles.
         obs = Observation()
         comm = _graph_ckpt(
             deg.select("node")
-            .join(dec, "node", "left")
-            .join(back, (F.col("community") == F.col("t_node"))
+            .join(F.broadcast(dec), "node", "left")
+            .join(F.broadcast(back),
+                  (F.col("community") == F.col("t_node"))
                   & (F.col("t_comm") == F.col("node"))
                   & (F.col("gain_num") > 0)
                   & (F.col("t_gain") > 0), "left")
@@ -1974,21 +2001,29 @@ def graph_louvain_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not total_gain:
             _graph_unpersist(comm)
             break
+        # r14: comm is the node-sized community map — broadcast it into
+        # the contraction joins so the edge-scale und is never shuffled
+        # for annotation (only the contraction groupBy exchanges), and
+        # cdeg/nassign plan annotation-free of node-frame shuffles.
         cund = _graph_ckpt(
-            und.join(comm.select(F.col("node").alias("u"),
-                                 F.col("community").alias("cu")), "u")
-            .join(comm.select(F.col("node").alias("v"),
-                              F.col("community").alias("cv")), "v")
+            und.join(F.broadcast(comm.select(F.col("node").alias("u"),
+                                             F.col("community")
+                                             .alias("cu"))), "u")
+            .join(F.broadcast(comm.select(F.col("node").alias("v"),
+                                          F.col("community")
+                                          .alias("cv"))), "v")
             .filter(F.col("cu") != F.col("cv"))
             .groupBy(F.col("cu").alias("u"), F.col("cv").alias("v"))
             .agg(F.sum("w").cast("long").alias("w")))
         cdeg = _graph_ckpt(
-            deg.join(comm.select("node", "community"), "node")
+            deg.join(F.broadcast(comm.select("node", "community")),
+                     "node")
             .groupBy(F.col("community").alias("node"))
             .agg(F.sum("k").cast("long").alias("k")))
         nassign = _graph_ckpt(
-            assign.join(comm.select(F.col("node").alias("community"),
-                                    F.col("community").alias("nc")),
+            assign.join(F.broadcast(
+                comm.select(F.col("node").alias("community"),
+                            F.col("community").alias("nc"))),
                         "community")
             .select("orig", F.col("nc").alias("community")))
         # Superseded level: release everything the next level and the

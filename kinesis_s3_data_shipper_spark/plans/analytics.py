@@ -586,23 +586,32 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str, *,
     multiple consumers off it."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
+    # r14: one hash(okey) repartition feeds BOTH the exact-duplicate
+    # drop and the basket self-join.  The r13 shape exchanged each
+    # join side twice (hash(okey, part) for distinct, then hash(okey)
+    # for the join — 4 basket-scale shuffles + the groupBy, 5 total);
+    # hash(okey) partitioning already clusters every (okey, part)
+    # group AND satisfies the join's distribution, so dropDuplicates
+    # and the sort-merge join both ride the one exchange per side
+    # (3 Exchanges total incl. the edge groupBy — two corpus-scale
+    # shuffles removed from the front of every graph-family query).
     basket = (li.join(orders.filter(F.col("o_orderpriority") == "1-URGENT")
                       .select("o_orderkey"),
                       li.l_orderkey == F.col("o_orderkey"))
               .select(F.col("l_orderkey").alias("okey"),
                       F.col("l_partkey").alias("part"))
-              .distinct())
-    b2 = basket.select(F.col("okey").alias("okey2"),
-                       F.col("part").alias("part2"))
-    pairs = basket.join(b2, (F.col("okey") == F.col("okey2"))
-                        & (F.col("part") < F.col("part2")))
+              .repartition(F.col("okey"))
+              .dropDuplicates(["okey", "part"]))
+    a, b = basket.alias("a"), basket.alias("b")
+    pairs = a.join(b, (F.col("a.okey") == F.col("b.okey"))
+                   & (F.col("a.part") < F.col("b.part")))
     if weighted:
-        e = (pairs.groupBy(F.col("part").alias("s"),
-                           F.col("part2").alias("d"))
+        e = (pairs.groupBy(F.col("a.part").alias("s"),
+                           F.col("b.part").alias("d"))
              .agg(F.count("*").cast("long").alias("w")))
     else:
-        e = (pairs.select(F.col("part").alias("s"),
-                          F.col("part2").alias("d"))
+        e = (pairs.select(F.col("a.part").alias("s"),
+                          F.col("b.part").alias("d"))
              .distinct())
     return _graph_ckpt(e)
 

@@ -52,53 +52,55 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
 #: local sweep (correctness_local.py / tests/test_oracle_parity.py);
 #: this list ROTATES which ones land in the externally-verified window
 #: so the union across rounds converges on the whole registry.
-#: Round-13 window, in strict priority order (the r12 verdict's ask
-#: #1, verbatim: "rotate the 40 r07-deferral rows into the r13 verify
-#: window … topping the remaining 10 slots with the oldest r08 rows
-#: whose plan files were touched most recently"; registration FROZEN
-#: again this round — no additions):
-#: (1) the ENTIRE 40-query r07 deferral cohort (last round's
-#: documented deferral list, verbatim) — pre-rotation executed-plan
-#: audit at sf0.01 showed ZERO drift vs the pinned accepted sets
-#: (AUDIT_R07_COHORT.json, committed in r12 one round ahead of the
-#: r11-ask-#8 schedule); after this round no driver row predates r08;
-#: (2) ten r08 rows chosen by module last-touch recency (git log -1
-#: per plan file, 2026-08-16 timestamps): plans/text.py 17:57 (3
-#: rows) > plans/dedup.py 15:48 (1) > plans/analytics.py 12:52 (1) >
-#: plans/similarity.py 09:12 (7 rows for 5 slots — alphabetical
-#: within the module; retrieval_hybrid_rrf and semdedup_kmeans defer
-#: to r14 with the rest of the r08 cohort, all pre-audited in
-#: AUDIT_R08_COHORT.json).
-#: Still-deferred to round 14: the remaining 29 r08 rows — all
-#: hash-green in both committed local sweeps.
+#: Round-14 window, in strict priority order (the r13 verdict's ask
+#: #6: "rotate the 29 remaining r08 rows into the r14 verify window
+#: topped with post-change rows"; registration FROZEN again this
+#: round — no additions):
+#: (1) the ENTIRE 29-query r08 deferral cohort — pre-rotation
+#: executed-plan audit at sf0.01 showed ZERO drift vs the pinned
+#: accepted sets (AUDIT_R08_COHORT.json, committed in r13 one round
+#: ahead); after this round no driver row predates r09;
+#: (2) every query whose EXECUTION changed in the r13/r14
+#: optimization rounds, so the changes re-attest driver-side: the
+#: two-stage + aggregated-positional-filter ngram family and the
+#: r13-hashed setsim (operators/dedup.py), the EWMA fold
+#: (r13), the graph family over the reshaped co-purchase edge build
+#: and broadcast annotation joins (r14), and the six time-sliced
+#: stateful twins after the 3->2 slice staging change (r14) —
+#: all re-audited pre-rotation in AUDIT_R14_WINDOW.json;
+#: (3) three r09 rows (alphabetical) topping the window to 50.
+#: Still-deferred to the next rotation: the remaining 36 r09 rows —
+#: all hash-green in both committed local sweeps.
 _VERIFY_WINDOW_PRIORITY: tuple[str, ...] = (
-    # (1) the r07 deferral cohort (40, alphabetical — no intra-cohort
+    # (1) the r08 deferral cohort (29, alphabetical — no intra-cohort
     # priority; all equally stale and all pre-audited):
-    "agg_distinct_twophase", "agg_ttest_welch", "ann_binary_hamming",
-    "ann_ivfpq_refine", "asof_join_forward", "asof_join_nearest",
-    "asof_join_tolerance", "cdc_apply_changes",
-    "compute_range_splits", "compute_range_splits_sampled",
-    "customer_rfm_segments", "dedup_containment", "dedup_minhash_lsh",
-    "embedding_kcenter_step", "embedding_matryoshka_recall",
-    "embedding_pca_power_step", "events_changepoint_binary",
-    "events_holt_step", "events_hourly_autocorr",
-    "events_interpolate_linear", "events_rate_limit",
-    "events_sliding_distinct", "feature_hash_vectorize",
-    "grouped_quantile_normalize", "join_bloom_prefilter",
-    "maintenance_compact_roundtrip", "multimodal_audio_chunks",
-    "multimodal_audio_vad", "multimodal_image_resize",
-    "multimodal_video_scenecut", "sample_negatives_per_user",
-    "text_bigram_lm_score", "text_bm25_topk", "text_bpe_encode",
-    "text_bpe_merge_2step", "text_keyword_rake",
-    "text_winnowing_fingerprint", "warehouse_deletion_vectors",
-    "warehouse_lifecycle", "warehouse_zorder_cluster",
-    # (2) ten r08 rows by module last-touch recency (see header):
-    "pack_sequences_bestfit", "text_cdc_chunks",
-    "text_kneser_ney_counts",
-    "dedup_minhash_est_quality",
-    "profile_benford_digits",
-    "ann_lsh_probe", "ann_pq_adc", "embedding_dim_variance_prune",
-    "embedding_pq_train_step", "kmeans_lloyd_iter",
+    "agg_chi2_independence", "agg_incremental_view_merge",
+    "agg_ks_statistic", "agg_log2_histogram", "agg_mannwhitney_u",
+    "agg_ols_two_factor", "events_ab_lift_funnel",
+    "events_anomaly_zscore", "events_gap_fill",
+    "events_gap_percentiles", "events_markov_stationary_step",
+    "events_match_recognize", "events_outage_gaps",
+    "events_seasonal_decompose_ma", "parts_skyline_pareto",
+    "retrieval_hybrid_rrf", "sample_group_holdout",
+    "sample_kfold_assign", "sample_poisson_bootstrap_mean",
+    "sample_stratified_neyman", "scalar_json_map",
+    "scalar_variant_json", "semdedup_kmeans",
+    "warehouse_backfill_partition", "warehouse_constraint_check",
+    "warehouse_gdpr_delete_audit", "warehouse_partition_stats_skew",
+    "warehouse_schema_evolution", "warehouse_time_travel",
+    # (2) post-change rows (r13/r14 optimization targets):
+    "dedup_ngram_jaccard", "dedup_ngram_jaccard_groups",
+    "dedup_setsim_prefix", "recursive_ewma_monthly",
+    "graph_triangle_count", "graph_jaccard_neighbors",
+    "graph_kcore_peel", "graph_kcore_fixpoint",
+    "graph_louvain_merge_step", "graph_louvain_contract_step",
+    "graph_louvain_fixpoint", "graph_pagerank_fixpoint",
+    "streaming_cusum", "streaming_rate_limit",
+    "streaming_match_recognize", "streaming_holt",
+    "streaming_changepoint", "streaming_changepoint_windowed",
+    # (3) three r09 rows (alphabetical) to fill the 50-slot window:
+    "agg_sketch_theta_setops", "basket_pair_lift",
+    "events_retention_cohort",
 )
 
 
